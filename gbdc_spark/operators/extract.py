@@ -1,0 +1,272 @@
+"""DataFrame → DataFrame extraction stages.
+
+Each stage mirrors one function of the reference's Python surface
+(gbdlib.cc:317-336: gbdhash, isohash, extract_base_features, ...) as a
+column-adding transformation backed by an Arrow-batched pandas UDF running
+the shared numpy kernels — never per-row Python on the JVM side
+(BASELINE.json input_hint).
+
+The fused ``extract_all`` stage computes hash + isohash + 58 features +
+per-doc runtime/status in ONE Arrow crossing per batch — the hot path of
+the flagship pipeline.  Per-doc failures become status='error:...' rows
+instead of task failures, the Spark analogue of the reference's
+timeout/memout sentinel dicts (gbdlib.cc:106-111).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels import cnf, hashes, opb, transforms, wcnf
+from ..schemas import (
+    BASE_FEATURES_NAMES,
+    OPB_BASE_FEATURES_NAMES,
+    WCNF_BASE_FEATURES_NAMES,
+    feature_struct,
+)
+
+__all__ = [
+    "with_gbdhash",
+    "with_isohash",
+    "with_base_features",
+    "with_wcnf_hashes",
+    "with_wcnf_base_features",
+    "with_opb_hash",
+    "with_opb_base_features",
+    "with_pqbf_hash",
+    "sanitize",
+    "normalize",
+    "relabel_variables",
+    "check_sanitized",
+    "with_cnf2kis_counts",
+    "extract_all",
+    "EXTRACT_ALL_FIELDS",
+]
+
+
+# --------------------------------------------------------------- hashes
+@pandas_udf(T.StringType())
+def _gbdhash_udf(tokens: pd.Series) -> pd.Series:
+    return tokens.map(lambda t: hashes.gbdhash_cnf(np.asarray(t, dtype=np.int64)))
+
+
+@pandas_udf(T.StringType())
+def _isohash_udf(tokens: pd.Series) -> pd.Series:
+    return tokens.map(lambda t: hashes.isohash_cnf(np.asarray(t, dtype=np.int64)))
+
+
+def with_gbdhash(df: DataFrame, tokens_col: str = "tokens", out: str = "gbdhash") -> DataFrame:
+    """CNF::gbdhash (GBDHash.h:30-50) as a column stage."""
+    return df.withColumn(out, _gbdhash_udf(F.col(tokens_col)))
+
+
+def with_isohash(df: DataFrame, tokens_col: str = "tokens", out: str = "isohash") -> DataFrame:
+    """CNF::isohash (ISOHash.h:41-75) as a column stage."""
+    return df.withColumn(out, _isohash_udf(F.col(tokens_col)))
+
+
+@pandas_udf(T.StringType())
+def _pqbf_hash_udf(payload: pd.Series) -> pd.Series:
+    return payload.map(hashes.gbdhash_pqbf_text)
+
+
+def with_pqbf_hash(df: DataFrame, payload_col: str = "payload", out: str = "pqbfhash") -> DataFrame:
+    return df.withColumn(out, _pqbf_hash_udf(F.col(payload_col)))
+
+
+# --------------------------------------------------------- base features
+@pandas_udf(feature_struct(BASE_FEATURES_NAMES))
+def _base_features_udf(tokens: pd.Series) -> pd.DataFrame:
+    rows = [cnf.cnf_base_features(np.asarray(t, dtype=np.int64)) for t in tokens]
+    return pd.DataFrame(np.vstack(rows) if rows else np.zeros((0, 58)),
+                        columns=list(BASE_FEATURES_NAMES))
+
+
+def with_base_features(df: DataFrame, tokens_col: str = "tokens", out: str = "features") -> DataFrame:
+    """CNF::BaseFeatures — 58-field double struct (CNFBaseFeatures.h)."""
+    return df.withColumn(out, _base_features_udf(F.col(tokens_col)))
+
+
+# ------------------------------------------------------------------ WCNF
+@pandas_udf(T.StringType())
+def _wcnf_hash_udf(weights: pd.Series, top: pd.Series, tokens: pd.Series) -> pd.Series:
+    return pd.Series(
+        [hashes.gbdhash_wcnf(w, int(t), np.asarray(tk, dtype=np.int64))
+         for w, t, tk in zip(weights, top, tokens)]
+    )
+
+
+@pandas_udf(T.StringType())
+def _wcnf_isohash_udf(weights: pd.Series, top: pd.Series, tokens: pd.Series) -> pd.Series:
+    return pd.Series(
+        [hashes.isohash_wcnf(w, int(t), np.asarray(tk, dtype=np.int64))
+         for w, t, tk in zip(weights, top, tokens)]
+    )
+
+
+def with_wcnf_hashes(df: DataFrame) -> DataFrame:
+    """WCNF::gbdhash + WCNF::isohash over (weights, top, tokens)."""
+    return df.withColumn(
+        "wcnfhash", _wcnf_hash_udf(F.col("weights"), F.col("top"), F.col("tokens"))
+    ).withColumn(
+        "wcnfisohash", _wcnf_isohash_udf(F.col("weights"), F.col("top"), F.col("tokens"))
+    )
+
+
+@pandas_udf(feature_struct(WCNF_BASE_FEATURES_NAMES))
+def _wcnf_features_udf(weights: pd.Series, top: pd.Series, tokens: pd.Series) -> pd.DataFrame:
+    rows = [
+        wcnf.wcnf_base_features(w, int(t), np.asarray(tk, dtype=np.int64))
+        for w, t, tk in zip(weights, top, tokens)
+    ]
+    return pd.DataFrame(np.vstack(rows) if rows else np.zeros((0, 73)),
+                        columns=list(WCNF_BASE_FEATURES_NAMES))
+
+
+def with_wcnf_base_features(df: DataFrame, out: str = "features") -> DataFrame:
+    return df.withColumn(out, _wcnf_features_udf(F.col("weights"), F.col("top"), F.col("tokens")))
+
+
+# ------------------------------------------------------------------- OPB
+@pandas_udf(T.StringType())
+def _opb_hash_udf(payload: pd.Series) -> pd.Series:
+    return payload.map(hashes.gbdhash_opb_text)
+
+
+@pandas_udf(feature_struct(OPB_BASE_FEATURES_NAMES))
+def _opb_features_udf(payload: pd.Series) -> pd.DataFrame:
+    rows = [opb.opb_base_features(p) for p in payload]
+    return pd.DataFrame(np.vstack(rows) if rows else np.zeros((0, 17)),
+                        columns=list(OPB_BASE_FEATURES_NAMES))
+
+
+def with_opb_hash(df: DataFrame, payload_col: str = "payload", out: str = "opbhash") -> DataFrame:
+    return df.withColumn(out, _opb_hash_udf(F.col(payload_col)))
+
+
+def with_opb_base_features(df: DataFrame, payload_col: str = "payload", out: str = "features") -> DataFrame:
+    return df.withColumn(out, _opb_features_udf(F.col(payload_col)))
+
+
+# ------------------------------------------------------------ transformers
+_INT_ARRAY = T.ArrayType(T.IntegerType())
+
+
+@pandas_udf(_INT_ARRAY)
+def _sanitize_udf(tokens: pd.Series) -> pd.Series:
+    return tokens.map(lambda t: transforms.sanitize_tokens(np.asarray(t, dtype=np.int64)))
+
+
+@pandas_udf(_INT_ARRAY)
+def _relabel_udf(tokens: pd.Series) -> pd.Series:
+    return tokens.map(lambda t: transforms.normalize_variable_names(np.asarray(t, dtype=np.int64)))
+
+
+@pandas_udf(T.BooleanType())
+def _check_sanitized_udf(tokens: pd.Series) -> pd.Series:
+    return tokens.map(lambda t: transforms.check_sanitized(np.asarray(t, dtype=np.int64)))
+
+
+def sanitize(df: DataFrame, tokens_col: str = "tokens", out: str | None = None) -> DataFrame:
+    """Order-preserving sanitize (Normalize.h:80-120); in-place by default,
+    so downstream stages and the content hash see the transformed doc —
+    like the reference's stdout pipeline."""
+    return df.withColumn(out or tokens_col, _sanitize_udf(F.col(tokens_col)))
+
+
+def relabel_variables(df: DataFrame, tokens_col: str = "tokens", out: str | None = None) -> DataFrame:
+    return df.withColumn(out or tokens_col, _relabel_udf(F.col(tokens_col)))
+
+
+def check_sanitized(df: DataFrame, tokens_col: str = "tokens", out: str = "is_sanitized") -> DataFrame:
+    return df.withColumn(out, _check_sanitized_udf(F.col(tokens_col)))
+
+
+def normalize(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """normalize (Normalize.h:54-71): tokens are already comment-free, so
+    this stage just recomputes the header metadata — pure JVM-side
+    expressions, no Python (stays inside whole-stage codegen)."""
+    t = F.col(tokens_col)
+    return (
+        df.withColumn("n_vars", F.coalesce(F.array_max(F.transform(t, F.abs)), F.lit(0)))
+        .withColumn(
+            "n_clauses",
+            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.when(x == 0, 1).otherwise(0))
+            + F.when((F.size(t) > 0) & (F.element_at(t, -1) != 0), 1).otherwise(0),
+        )
+    )
+
+
+@pandas_udf(T.StructType([
+    T.StructField("nodes", T.LongType()),
+    T.StructField("edges", T.LongType()),
+    T.StructField("k", T.LongType()),
+]))
+def _cnf2kis_udf(tokens: pd.Series) -> pd.DataFrame:
+    rows = [transforms.cnf2kis_counts(np.asarray(t, dtype=np.int64)) for t in tokens]
+    return pd.DataFrame(rows, columns=["nodes", "edges", "k"])
+
+
+def with_cnf2kis_counts(df: DataFrame, tokens_col: str = "tokens", out: str = "kis") -> DataFrame:
+    """cnf2kis size metadata (IndependentSet.h:41-58).  Edge *generation*
+    multiplies data size, so it is exposed separately (explode on demand);
+    the counts are what gbdlib returns (gbdlib.cc:249-298)."""
+    return df.withColumn(out, _cnf2kis_udf(F.col(tokens_col)))
+
+
+# ----------------------------------------------------- fused hot path
+EXTRACT_ALL_FIELDS = (
+    ["gbdhash", "isohash"] + list(BASE_FEATURES_NAMES) + ["runtime_s", "status"]
+)
+
+
+def _extract_all_schema(input_schema: T.StructType) -> T.StructType:
+    fields = [f for f in input_schema.fields]
+    fields += [T.StructField("gbdhash", T.StringType()), T.StructField("isohash", T.StringType())]
+    fields += [T.StructField(n, T.DoubleType()) for n in BASE_FEATURES_NAMES]
+    fields += [T.StructField("runtime_s", T.DoubleType()), T.StructField("status", T.StringType())]
+    return T.StructType(fields)
+
+
+def extract_all(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Fused per-doc extraction: gbdhash + isohash + 58 base features +
+    runtime_s + status in one mapInPandas stage (one Arrow crossing)."""
+    out_schema = _extract_all_schema(df.schema)
+    n_feat = len(BASE_FEATURES_NAMES)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ghash = np.empty(n, dtype=object)
+            ihash = np.empty(n, dtype=object)
+            feats = np.full((n, n_feat), np.nan)
+            runtime = np.zeros(n)
+            status = np.full(n, "ok", dtype=object)
+            for i, t in enumerate(pdf[tokens_col].values):
+                t0 = time.process_time()
+                try:
+                    arr = np.asarray(t, dtype=np.int64)
+                    ghash[i] = hashes.gbdhash_cnf(arr)
+                    ihash[i] = hashes.isohash_cnf(arr)
+                    feats[i] = cnf.cnf_base_features(arr)
+                except Exception as e:  # sentinel row, never a task failure
+                    status[i] = f"error:{type(e).__name__}"
+                runtime[i] = time.process_time() - t0
+            out = pdf.copy()
+            out["gbdhash"] = ghash
+            out["isohash"] = ihash
+            for j, name in enumerate(BASE_FEATURES_NAMES):
+                out[name] = feats[:, j]
+            out["runtime_s"] = runtime
+            out["status"] = status
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

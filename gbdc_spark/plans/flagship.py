@@ -1,0 +1,70 @@
+"""The flagship pipeline (SURVEY.md §4.3):
+
+    scan → fused hash+feature extraction (Arrow/pandas)   [python, vectorized]
+         → as-of join vs latest strictly-prior snapshot   [cogrouped merge_asof]
+         → lag/ffill windows                              [JVM]
+         → gap sessionization per source                  [JVM]
+         → per-source aggregate / feature table
+
+Every stage is a composable DataFrame transform; this module just wires
+them for entry()/bench.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import extract, temporal
+from ..sources import tables
+
+__all__ = ["feature_pipeline", "flagship_aggregate", "run_flagship"]
+
+
+def feature_pipeline(sequences: DataFrame, snapshots: DataFrame) -> DataFrame:
+    """sequences (doc_id, tokens, n_tok, source, ingest_ts) × snapshots
+    (doc_id, snapshot_ts, snapshot_id, prev_score) → feature rows."""
+    feats = extract.extract_all(sequences)
+    joined = temporal.asof_join(
+        feats.drop("tokens"),  # hashes/features computed; drop the payload early
+        snapshots,
+        by="doc_id",
+        left_ts="ingest_ts",
+        right_ts="snapshot_ts",
+        allow_exact_matches=False,
+    )
+    enriched = temporal.with_ffill(
+        joined, ["prev_score"], partition_by="source", order_by=["ingest_ts", "doc_id"]
+    )
+    enriched = temporal.with_lag_lead(
+        enriched, ["clauses"], partition_by="source", order_by=["ingest_ts", "doc_id"]
+    )
+    return temporal.with_session_id(
+        enriched, ts="ingest_ts", partition_by="source", gap_seconds=120.0,
+        order_tiebreak=["doc_id"],
+    )
+
+
+def flagship_aggregate(features: DataFrame) -> DataFrame:
+    return (
+        features.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("gbdhash").alias("n_distinct"),
+            F.sum(F.when(F.col("snapshot_ts").isNotNull(), 1).otherwise(0)).alias("n_matched"),
+            F.avg("clauses").alias("avg_clauses"),
+            F.avg("horn").alias("avg_horn"),
+            F.max("session_seq").alias("n_sessions"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("n_errors"),
+        )
+        .orderBy("source")
+    )
+
+
+def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship over the driver's documents table (tokenized JVM-side)
+    with deterministic synthetic snapshots as the as-of right side."""
+    seqs = tables.documents_as_sequences(spark, sf_dir)
+    n_docs = seqs.count()
+    snaps = tables.synth_snapshots_df(spark, n_docs)
+    return flagship_aggregate(feature_pipeline(seqs, snaps))

@@ -1,0 +1,166 @@
+"""Temporal-layer correctness: as-of join (zero leakage), lag/lead,
+forward-fill, sessionization — verified against pandas oracles on the
+deterministic synthetic sequences/snapshots tables (FIXTURES.md §1-2)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gbdc_spark.operators import temporal
+from gbdc_spark.sources import synth, tables
+
+N_DOCS = 150
+
+
+@pytest.fixture(scope="module")
+def seqs_pdf():
+    return synth.gen_sequences_pdf(N_DOCS)[["doc_id", "source", "ingest_ts"]]
+
+
+@pytest.fixture(scope="module")
+def snaps_pdf():
+    return synth.gen_snapshots_pdf(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def joined(spark, seqs_pdf, snaps_pdf):
+    left = spark.createDataFrame(seqs_pdf)
+    right = spark.createDataFrame(snaps_pdf)
+    return temporal.asof_join(left, right, buckets=8).toPandas()
+
+
+def test_asof_matches_pandas_oracle(joined, seqs_pdf, snaps_pdf):
+    want = pd.merge_asof(
+        seqs_pdf.sort_values(["ingest_ts", "doc_id"], kind="mergesort"),
+        snaps_pdf.sort_values(["snapshot_ts", "doc_id"], kind="mergesort"),
+        left_on="ingest_ts",
+        right_on="snapshot_ts",
+        by="doc_id",
+        direction="backward",
+        allow_exact_matches=False,
+    )
+    got = joined.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_asof_zero_leakage(joined):
+    matched = joined[joined["snapshot_ts"].notna()]
+    assert len(matched) > 0
+    # strictly prior: snapshot_ts < ingest_ts for EVERY matched row,
+    # including the deliberately-planted equal-timestamp collisions
+    assert (matched["snapshot_ts"] < matched["ingest_ts"]).all()
+
+
+def test_asof_latest_prior_wins(joined, snaps_pdf):
+    matched = joined[joined["snapshot_ts"].notna()]
+    snaps = snaps_pdf.groupby("doc_id")
+    for _, row in matched.head(50).iterrows():
+        cand = snaps.get_group(row["doc_id"])
+        prior = cand[cand["snapshot_ts"] < row["ingest_ts"]]
+        assert row["snapshot_ts"] == prior["snapshot_ts"].max()
+
+
+def test_asof_no_prior_is_null(joined, snaps_pdf):
+    no_snap_docs = set(joined["doc_id"]) - set(snaps_pdf["doc_id"])
+    if no_snap_docs:
+        sub = joined[joined["doc_id"].isin(no_snap_docs)]
+        assert sub["snapshot_ts"].isna().all()
+
+
+def test_asof_row_preserving(joined, seqs_pdf):
+    assert len(joined) == len(seqs_pdf)
+    assert set(joined["doc_id"]) == set(seqs_pdf["doc_id"])
+
+
+def test_asof_deterministic_across_bucket_counts(spark, seqs_pdf, snaps_pdf):
+    left = spark.createDataFrame(seqs_pdf)
+    right = spark.createDataFrame(snaps_pdf)
+    a = temporal.asof_join(left, right, buckets=2).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = temporal.asof_join(left, right, buckets=32).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ffill_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 4,
+            "t": pd.date_range("2024-01-01", periods=9, freq="1min"),
+            "v": [1.0, None, None, 4.0, None, None, 7.0, None, 9.0],
+        }
+    )
+    got = (
+        temporal.with_ffill(spark.createDataFrame(pdf), ["v"], partition_by="k", order_by="t")
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    want = pdf.assign(v_ffill=pdf.groupby("k")["v"].ffill()).sort_values(["k", "t"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lag_lead_matches_pandas(spark):
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 60),
+            "t": pd.date_range("2024-01-01", periods=60, freq="37s"),
+            "v": rng.normal(size=60),
+        }
+    )
+    got = (
+        temporal.with_lag_lead(spark.createDataFrame(pdf), ["v"], partition_by="k", order_by=["t"])
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    g = pdf.sort_values(["k", "t"]).reset_index(drop=True).groupby("k")["v"]
+    want = pdf.sort_values(["k", "t"]).reset_index(drop=True)
+    want["v_lag1"] = g.shift(1)
+    want["v_lead1"] = g.shift(-1)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sessionize_matches_pandas(spark):
+    rng = np.random.default_rng(1)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(np.cumsum(rng.integers(1, 4000, 80)), unit="s")
+    pdf = pd.DataFrame({"k": rng.choice(["a", "b"], 80), "t": ts, "i": range(80)})
+    got = (
+        temporal.with_session_id(
+            spark.createDataFrame(pdf), ts="t", partition_by="k", gap_seconds=1800, order_tiebreak=["i"]
+        )
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    want = pdf.sort_values(["k", "t"]).reset_index(drop=True)
+    gap = want.groupby("k")["t"].diff() > pd.Timedelta(seconds=1800)
+    new = gap | want.groupby("k")["t"].diff().isna()
+    want["session_seq"] = new.groupby(want["k"]).cumsum()
+    pd.testing.assert_frame_equal(
+        got[["k", "t", "session_seq"]],
+        want[["k", "t", "session_seq"]],
+        check_dtype=False,
+    )
+
+
+def test_trailing_agg(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 4,
+            "t": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:30:00", "2024-01-01 01:15:00", "2024-01-01 03:00:00"]
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    got = (
+        temporal.with_trailing_agg(spark.createDataFrame(pdf), "v", ts="t", partition_by="k",
+                                   window_seconds=3600, funcs={"avg": "avg"})
+        .toPandas()
+        .sort_values("t")["v_trailing_avg"]
+        .tolist()
+    )
+    # windows: [1], [1,2], [2,3] (00:15 out of range... 00:00 is 75min prior), [4]
+    assert got == [1.0, 1.5, 2.5, 4.0]
