@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship feature pipeline on sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline operators) as (spark, sf_dir) -> DataFrame;
+``oracle_sql()`` provides the DuckDB-equivalent ANSI SQL where the
+operator is SQL-expressible; the rest are rows-only checked here and
+value-checked against the pure-Python oracle in tests/.
+
+Column names and rounding are aligned 1:1 between each query and its
+oracle (the driver hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +16,628 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# the documents->tokens rule (gbdc_spark.sources.tables.documents_as_sequences)
+# replicated in DuckDB SQL.  DuckDB lambda indexes are 1-BASED.
+_DUCK_TOKENS = """
+    list_transform(str_split(text, ' '), (w, i) ->
+        CASE WHEN i % 4 = 0
+             THEN [CASE WHEN length(w) % 2 = 0 THEN -(length(w) % 9 + 1)
+                        ELSE length(w) % 9 + 1 END, 0]
+             ELSE [CASE WHEN length(w) % 2 = 0 THEN -(length(w) % 9 + 1)
+                        ELSE length(w) % 9 + 1 END] END)
+"""
+_DUCK_TOKENS_FLAT = f"""
+    CASE WHEN list_last(flatten({_DUCK_TOKENS})) != 0
+         THEN list_append(flatten({_DUCK_TOKENS}), 0)
+         ELSE flatten({_DUCK_TOKENS}) END
+"""
+
+_DOC_KEY = "concat('doc', lpad(CAST(doc_id AS VARCHAR), 8, '0'))"
+
+_STOPWORDS_SQL = "('the','and','of','to','a','in','is','it','for','on')"
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tokenize docs → fused hash+58-feature extraction →
+    as-of join vs prior snapshots → ffill/lag → sessionize → per-source
+    aggregate (SURVEY.md §4.3)."""
+    from gbdc_spark.plans.flagship import run_flagship
+
+    return run_flagship(spark, SF_SMOKE)
 
 
+# ------------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from gbdc_spark.operators import dedup, extract, similarity, temporal, text
+    from gbdc_spark.sources import tables
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- temporal / window layer (events) ----------------
+    def q_asof_join(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        )
+        return temporal.asof_join(
+            left, right, by="user_id", left_ts="ts", right_ts="click_ts",
+            allow_exact_matches=False, right_tiebreak=["click_id"],
+        ).select("event_id", "user_id", "ts", "value", "click_ts", "click_id", "click_value")
+
+    def q_lag_lead(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        return temporal.with_lag_lead(
+            ev.select("event_id", "user_id", "ts", "value"),
+            ["value"], partition_by="user_id", order_by=["ts", "event_id"],
+        ).select("event_id", "user_id", "value_lag1", "value_lead1")
+
+    def q_ffill(spark, sf_dir):
+        ev = _events(spark, sf_dir).withColumn(
+            "v", F.when(F.col("event_type") == "click", F.col("value"))
+        )
+        return temporal.with_ffill(
+            ev.select("event_id", "user_id", "ts", "v"),
+            ["v"], partition_by="user_id", order_by=["ts", "event_id"],
+        ).select("event_id", "user_id", "v", "v_ffill")
+
+    def q_sessionize(spark, sf_dir):
+        ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+        return temporal.with_session_id(
+            ev, ts="ts", partition_by="user_id", gap_seconds=1800,
+            order_tiebreak=["event_id"],
+        ).select("event_id", "user_id", "session_seq")
+
+    def q_session_agg(spark, sf_dir):
+        ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+        s = temporal.with_session_id(
+            ev, ts="ts", partition_by="user_id", gap_seconds=1800,
+            order_tiebreak=["event_id"],
+        )
+        return s.groupBy("user_id", "session_seq").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+        )
+
+    def q_trailing_agg(spark, sf_dir):
+        ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+        out = temporal.with_trailing_agg(
+            ev, "value", ts="ts", partition_by="user_id",
+            window_seconds=3600, funcs={"avg": "avg", "count": "count"},
+        )
+        return out.select(
+            "event_id", "user_id",
+            F.round("value_trailing_avg", 6).alias("trail_avg"),
+            F.col("value_trailing_count").alias("trail_cnt"),
+        )
+
+    def q_topk_per_group(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("event_type", "rn", "event_id", "value")
+        )
+
+    # ------------------------- relational core ------------------------
+    def q1_pricing(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    def q3_segment_revenue(spark, sf_dir):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+            )
+        )
+
+    def q_region_revenue(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        r = spark.read.parquet(f"{sf_dir}/region.parquet")
+        return (
+            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    def q_rollup_orders(spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return o.rollup("o_orderstatus", "o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+
+    def q_anti_join(spark, sf_dir):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+    def q_semi_join(spark, sf_dir):
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_quantity") > 49)
+        return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_brand")
+
+    # ------------------- documents: dedup / text ----------------------
+    def q_dedup_exact(spark, sf_dir):
+        return dedup.exact_dedup_groups(_docs(spark, sf_dir), key="doc_id", text_col="text")
+
+    def q_text_stats(spark, sf_dir):
+        out = text.with_text_stats(_docs(spark, sf_dir))
+        return out.select(
+            "doc_id", "n_words",
+            F.round("avg_word_len", 6).alias("avg_word_len"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            "is_short",
+        )
+
+    def q_lang_guess(spark, sf_dir):
+        return text.with_lang_guess(_docs(spark, sf_dir)).select("doc_id", "lang_guess")
+
+    def q_token_counts(spark, sf_dir):
+        return text.with_token_counts(_docs(spark, sf_dir)).select(
+            "doc_id", "n_ws_tokens", "n_bpe_est"
+        )
+
+    def q_fingerprint(spark, sf_dir):
+        return text.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+    def q_minhash_sig(spark, sf_dir):
+        out = dedup.with_minhash_signature(_docs(spark, sf_dir), num_perm=4, shingle_n=3)
+        return out.select(
+            "doc_id",
+            *[F.col("minhash")[j].alias(f"mh{j}") for j in range(4)],
+        )
+
+    def q_minhash_pairs(spark, sf_dir):
+        return dedup.minhash_candidate_pairs(
+            _docs(spark, sf_dir), key="doc_id", num_perm=8, bands=4, shingle_n=3
+        )
+
+    def q_ngram_jaccard(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        pairs = docs.select(F.col("doc_id").alias("a")).join(
+            docs.select(F.col("doc_id").alias("b")), F.col("a") + 1 == F.col("b")
+        )
+        return dedup.ngram_jaccard_pairs(docs, pairs, key="doc_id", shingle_n=2)
+
+    def q_simhash(spark, sf_dir):  # rows-only (bit kernel tested in pytest)
+        return dedup.with_simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+    def q_simhash_near_dups(spark, sf_dir):  # rows-only
+        return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+
+    # ----------------------- embeddings / ANN -------------------------
+    def _query_vec(spark, sf_dir):
+        row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").first()
+        return [float(x) for x in row["embedding"]]
+
+    def q_cosine_topk(spark, sf_dir):
+        return similarity.cosine_topk(
+            _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=5
+        )
+
+    def q_ivf_assign(spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        cents = similarity.centroids_from_rows(e, list(range(8)))
+        return similarity.ivf_assign(e, cents).select(
+            "vec_id", "cell", F.round("cell_cosine", 6).alias("cell_cosine")
+        )
+
+    def q_embedding_near_dups(spark, sf_dir):
+        return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.5)
+
+    def q_ivf_topk(spark, sf_dir):  # rows-only (two-stage ANN)
+        e = _emb(spark, sf_dir)
+        cents = similarity.centroids_from_rows(e, list(range(8)))
+        return similarity.ivf_topk(e, cents, _query_vec(spark, sf_dir), k=5, n_probe=2)
+
+    # --------------- sequences (tokens) — reference ops ----------------
+    def q_gbdhash_docs(spark, sf_dir):
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        return extract.with_gbdhash(seqs).select("doc_id", "gbdhash")
+
+    def q_normalize_docs(spark, sf_dir):
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        return extract.normalize(seqs).select("doc_id", "n_vars", "n_clauses")
+
+    def q_base_counts_docs(spark, sf_dir):
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        out = extract.with_base_features(seqs)
+        return out.select(
+            "doc_id",
+            F.col("features.clauses").alias("clauses"),
+            F.col("features.variables").alias("variables"),
+            F.col("features.cls2").alias("cls2"),
+            F.col("features.cls4").alias("cls4"),
+        )
+
+    def q_base_features_docs(spark, sf_dir):  # rows-only: full 58-feature row
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        return extract.with_base_features(seqs).select("doc_id", "features.*")
+
+    def q_isohash_docs(spark, sf_dir):  # rows-only (pytest-oracled)
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        return extract.with_isohash(seqs).select("doc_id", "isohash")
+
+    def q_sanitize_docs(spark, sf_dir):  # rows-only (token-array invariant in pytest)
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        return extract.check_sanitized(extract.sanitize(seqs, out="tokens_sane")).select(
+            "doc_id", "tokens_sane", "is_sanitized"
+        )
+
+    def q_cnf2kis_docs(spark, sf_dir):  # rows-only (pytest-oracled)
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        return extract.with_cnf2kis_counts(seqs).select("doc_id", "kis.*")
+
+    def q_wcnf_features_synth(spark, sf_dir):  # rows-only (pytest-oracled)
+        from gbdc_spark.sources.synth import gen_wcnf_pdf
+
+        df = spark.createDataFrame(gen_wcnf_pdf(200))
+        out = extract.with_wcnf_hashes(extract.with_wcnf_base_features(df))
+        return out.select("doc_id", "wcnfhash", "wcnfisohash", "features.*")
+
+    def q_opb_features_synth(spark, sf_dir):  # rows-only (pytest-oracled)
+        from gbdc_spark.sources.synth import gen_opb_pdf
+
+        df = spark.createDataFrame(gen_opb_pdf(200))
+        out = extract.with_opb_hash(extract.with_opb_base_features(df))
+        return out.select("doc_id", "opbhash", "features.*")
+
+    def q_flagship_pipeline(spark, sf_dir):  # rows-only (E2E as-of+window)
+        from gbdc_spark.plans.flagship import run_flagship
+
+        return run_flagship(spark, sf_dir)
+
+    return {
+        "asof_join": q_asof_join,
+        "lag_lead": q_lag_lead,
+        "ffill": q_ffill,
+        "sessionize": q_sessionize,
+        "session_agg": q_session_agg,
+        "trailing_agg": q_trailing_agg,
+        "topk_per_group": q_topk_per_group,
+        "q1_pricing": q1_pricing,
+        "q3_segment_revenue": q3_segment_revenue,
+        "region_revenue": q_region_revenue,
+        "rollup_orders": q_rollup_orders,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_guess": q_lang_guess,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "minhash_sig": q_minhash_sig,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
+        "cosine_topk": q_cosine_topk,
+        "ivf_assign": q_ivf_assign,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ivf_topk": q_ivf_topk,
+        "gbdhash_docs": q_gbdhash_docs,
+        "normalize_docs": q_normalize_docs,
+        "base_counts_docs": q_base_counts_docs,
+        "base_features_docs": q_base_features_docs,
+        "isohash_docs": q_isohash_docs,
+        "sanitize_docs": q_sanitize_docs,
+        "cnf2kis_docs": q_cnf2kis_docs,
+        "wcnf_features_synth": q_wcnf_features_synth,
+        "opb_features_synth": q_opb_features_synth,
+        "flagship_pipeline": q_flagship_pipeline,
+    }
 
 
+# ---------------------------------------------------------------- oracles
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "asof_join": """
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   c.ts AS click_ts, c.event_id AS click_id, c.value AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts < p.ts
+            QUALIFY row_number() OVER (
+                PARTITION BY p.event_id
+                ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) = 1
+        """,
+        "lag_lead": """
+            SELECT event_id, user_id,
+                   lag(value)  OVER w AS value_lag1,
+                   lead(value) OVER w AS value_lead1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "ffill": """
+            SELECT event_id, user_id, v,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN event_type = 'click' THEN value END AS v
+                  FROM events)
+        """,
+        "sessionize": """
+            SELECT event_id, user_id,
+                   sum(new_flag) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                     PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                            THEN 1 ELSE 0 END AS new_flag
+                FROM events)
+        """,
+        "session_agg": """
+            WITH s AS (
+                SELECT user_id, ts, value,
+                       sum(new_flag) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                FROM (
+                    SELECT event_id, user_id, ts, value,
+                           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                         PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                                THEN 1 ELSE 0 END AS new_flag
+                    FROM events))
+            SELECT user_id, session_seq,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   min(ts) AS t_start, max(ts) AS t_end
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "trailing_agg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER w, 6) AS trail_avg,
+                   count(value) OVER w AS trail_cnt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "topk_per_group": """
+            SELECT event_type, rn, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events)
+            WHERE rn <= 3
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_segment_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "semi_join": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, count(*) AS n_dups,
+                   min(doc_id) AS keeper
+            FROM documents GROUP BY md5(text)
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   len(words) AS n_words,
+                   round(list_sum(list_transform(words, w -> length(w)))
+                         / len(words), 6) AS avg_word_len,
+                   round(list_sum(list_transform(words, w ->
+                         CASE WHEN w IN {_STOPWORDS_SQL} THEN 1 ELSE 0 END))
+                         / len(words), 6) AS stopword_ratio,
+                   CASE WHEN len(words) < 10 THEN 1 ELSE 0 END AS is_short
+            FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
+        """,
+        "lang_guess": f"""
+            SELECT doc_id,
+                   CASE WHEN list_sum(list_transform(words, w ->
+                             CASE WHEN w IN {_STOPWORDS_SQL} THEN 1 ELSE 0 END))
+                             / len(words) > 0.08
+                        THEN 'en' ELSE 'unk' END AS lang_guess
+            FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(str_split(text, ' ')) AS n_ws_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+            FROM documents
+        """,
+        "fingerprint": r"""
+            SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "minhash_sig": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(len(words) - 2, 1) + 1),
+                           i -> array_to_string(list_slice(words, i, i + 2), ' ')) AS shingles
+                FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents))
+            SELECT doc_id,
+                   list_min(list_transform(shingles, s -> md5(concat('0:', s)))) AS mh0,
+                   list_min(list_transform(shingles, s -> md5(concat('1:', s)))) AS mh1,
+                   list_min(list_transform(shingles, s -> md5(concat('2:', s)))) AS mh2,
+                   list_min(list_transform(shingles, s -> md5(concat('3:', s)))) AS mh3
+            FROM sh
+        """,
+        "minhash_pairs": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(len(words) - 2, 1) + 1),
+                           i -> array_to_string(list_slice(words, i, i + 2), ' ')) AS shingles
+                FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 8), j ->
+                           list_min(list_transform(shingles,
+                               s -> md5(concat(CAST(j AS VARCHAR), ':', s))))) AS mh
+                FROM sh),
+            banded AS (
+                SELECT doc_id, b.band,
+                       concat(mh[b.band * 2 + 1], '|', mh[b.band * 2 + 2]) AS bkey
+                FROM sig, (SELECT unnest(range(0, 4)) AS band) b)
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(words) - 1, 1) + 1),
+                           i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS s
+                FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents))
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id LIMIT 5
+        """,
+        "ivf_assign": """
+            WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
+                       FROM embeddings WHERE vec_id < 8)
+            SELECT vec_id, cell, round(cosine, 6) AS cell_cosine FROM (
+                SELECT e.vec_id, c.cell,
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(c.centroid, c.centroid))) AS cosine,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                                                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                                            CAST(e.embedding AS DOUBLE[])))
+                                                      * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+                                                   c.cell) AS rn
+                FROM embeddings e, c) WHERE rn = 1
+        """,
+        "embedding_near_dups": """
+            WITH b AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       concat(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,
+                              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END,
+                              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END,
+                              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
+                FROM embeddings)
+            SELECT a, b, cosine FROM (
+                SELECT l.vec_id AS a, r.vec_id AS b,
+                       round(list_dot_product(l.v, r.v)
+                             / (sqrt(list_dot_product(l.v, l.v))
+                                * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+                FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+            WHERE cosine >= 0.5
+        """,
+        "gbdhash_docs": f"""
+            SELECT {_DOC_KEY} AS doc_id,
+                   md5(array_to_string({_DUCK_TOKENS_FLAT}, ' ')) AS gbdhash
+            FROM documents
+        """,
+        "normalize_docs": f"""
+            SELECT {_DOC_KEY} AS doc_id,
+                   list_max(list_transform({_DUCK_TOKENS_FLAT}, t -> abs(t))) AS n_vars,
+                   len(list_filter({_DUCK_TOKENS_FLAT}, t -> t = 0)) AS n_clauses
+            FROM documents
+        """,
+        "base_counts_docs": f"""
+            WITH t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks,
+                              str_split(text, ' ') AS words
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(list_filter(toks, x -> x = 0)) AS DOUBLE) AS clauses,
+                   CAST(list_max(list_transform(toks, x -> abs(x))) AS DOUBLE) AS variables,
+                   CAST(CASE WHEN len(words) % 4 = 2 THEN 1 ELSE 0 END AS DOUBLE) AS cls2,
+                   CAST(len(words) // 4 AS DOUBLE) AS cls4
+            FROM t
+        """,
+    }

@@ -1,0 +1,199 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup — first-class components of a 100 TB
+training-data pipeline.
+
+Scale notes:
+* exact dedup = one hash-shuffle on the content hash (map-side partial
+  aggregation free via groupBy);
+* MinHash signatures are computed in ONE pass with JVM-side expressions
+  (md5-as-permutation, string-min over shingles) — no Python, no explode;
+  candidate pairs come from a self-equi-join on LSH band keys, which
+  Catalyst executes as a shuffled hash join on the band key — the only
+  quadratic work happens inside buckets;
+* SimHash packs 64 md5-derived bits per word into an int64 via a
+  vectorized pandas UDF; near-dups = hamming distance on bucket-joined
+  prefixes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "exact_dedup_groups",
+    "with_minhash_signature",
+    "minhash_candidate_pairs",
+    "with_simhash",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+    "embedding_near_dups",
+]
+
+
+def exact_dedup_groups(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical content: (content_hash, n_dups, keeper) with the
+    smallest key kept — the survivorship rule most pipelines use."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(key))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(key).alias("keeper"))
+    )
+
+
+def _shingles(text_col: str, n: int) -> Column:
+    """n-word shingles via transform+slice (no explode)."""
+    words = F.split(F.col(text_col), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str = "text", num_perm: int = 8, shingle_n: int = 3,
+    out: str = "minhash",
+) -> DataFrame:
+    """MinHash signature: permutation j = min over shingles of
+    md5(j:shingle) (string order) — deterministic and reproducible in any
+    engine with md5, which is what the DuckDB oracles exploit."""
+    sh = _shingles(text_col, shingle_n)
+
+    def perm(j: int):
+        # NOTE: the lambda must be unary — a 2-arg lambda would make
+        # F.transform bind the element INDEX to the second parameter
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    sig = F.array(*[F.array_min(F.transform(sh, perm(j))) for j in range(num_perm)])
+    return df.withColumn(out, sig)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    num_perm: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair (a < b).  Equi-join on the band key — shuffle is on
+    band hashes, never a cross join."""
+    rows_per_band = num_perm // bands
+    sig = with_minhash_signature(df, text_col, num_perm, shingle_n).select(key, "minhash")
+    banded = sig.select(
+        F.col(key),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)],
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(key, "bk.band", "bk.bkey")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
+        .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"))
+        .distinct()
+    )
+
+
+@pandas_udf(T.LongType())
+def _simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over word md5s, vectorized with numpy bit unpacking."""
+    import hashlib
+
+    def sh(s: str) -> int:
+        words = s.split()
+        if not words:
+            return 0
+        digests = np.frombuffer(
+            b"".join(hashlib.md5(w.encode()).digest()[:8] for w in words), dtype=np.uint8
+        ).reshape(len(words), 8)
+        bits = np.unpackbits(digests, axis=1)  # (n_words, 64)
+        votes = bits.sum(axis=0) * 2 - len(words)  # +1/-1 vote per bit
+        out = np.uint64(0)
+        for b in (votes > 0).astype(np.uint64):
+            out = np.uint64(out << np.uint64(1)) | b
+        return int(out.astype(np.int64))  # reinterpret as signed for Spark
+
+    return text.map(sh).astype("int64")
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    return df.withColumn(out, _simhash_udf(F.col(text_col)))
+
+
+def simhash_near_dups(df: DataFrame, key: str = "doc_id", text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the high 16 bits (near-dups
+    almost always share the prefix), verify hamming distance inside
+    buckets via bit_count(xor)."""
+    h = with_simhash(df, text_col).select(key, "simhash").withColumn(
+        "bucket", F.shiftrightunsigned(F.col("simhash"), 48)
+    )
+    l, r = h.alias("l"), h.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{key}") < F.col(f"r.{key}")))
+        .withColumn("hamming", F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"), "hamming")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
+                        text_col: str = "text", shingle_n: int = 2) -> DataFrame:
+    """Jaccard similarity on word-shingle sets for given candidate pairs
+    (a, b) — the verify stage after LSH candidate generation."""
+    sh = df.select(
+        F.col(key), F.array_distinct(_shingles(text_col, shingle_n)).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(key, "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed(key, "b").withColumnRenamed("sh", "sh_b"), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "a", "b", F.round(inter / union, 6).cast("double").alias("jaccard")
+    )
+
+
+def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embedding",
+                        threshold: float = 0.95, buckets: int = 16) -> DataFrame:
+    """Embedding-cosine near-dup: bucket by the argmax dimension-of-8
+    prefix sign pattern (cheap LSH), verify cosine inside buckets."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = F.concat_ws(
+        "", *[F.when(F.element_at(v, i + 1) > 0, "1").otherwise("0") for i in range(4)]
+    )
+    base = df.select(F.col(key), v.alias("v"), sig.alias("bucket"))
+    l, r = base.alias("l"), base.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (norm(F.col("l.v")) * norm(F.col("r.v")))
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{key}") < F.col(f"r.{key}")))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"), "cosine")
+    )

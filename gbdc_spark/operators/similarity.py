@@ -1,0 +1,89 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — brute-force cosine top-k against a query vector,
+  expressed with JVM-side zip_with/aggregate (whole-stage codegen,
+  no Python).  This is the exactness baseline: one scan, one
+  global top-k (TakeOrderedAndProject — no full sort, no shuffle of the
+  data, only of k candidates per partition).
+* ``ivf_assign`` / ``ivf_topk`` — the scale path: IVF coarse quantizer.
+  Centroids are a tiny broadcast table; assignment is a broadcast
+  nested-loop argmin, i.e. a map-only stage.  At 100 TB the probe stage
+  scans only the rows in the query's nearest cells (partition pruning on
+  the cell column once the table is written partitioned by cell).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_topk", "ivf_assign", "ivf_topk", "centroids_from_rows"]
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column, decimals: int = 6) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 5,
+                key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine to a constant query vector; deterministic
+    tie-break on the key."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _to_double(F.col(vec_col))
+    scored = df.select(F.col(key), cosine_similarity(v, q).alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.col(key)).limit(k)
+
+
+def centroids_from_rows(df: DataFrame, ids: list[int], key: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse 'centroids': the embeddings of fixed row ids
+    (a seeded k-means would go here on a real corpus; the IVF plumbing is
+    identical and this keeps the oracle reproducible in SQL)."""
+    return (
+        df.filter(F.col(key).isin(ids))
+        .select(F.col(key).alias("cell"), _to_double(F.col(vec_col)).alias("centroid"))
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, key: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its max-cosine centroid cell.  The centroid
+    table is broadcast; ties break to the smallest cell id."""
+    v = _to_double(F.col(vec_col))
+    joined = df.select(F.col(key), v.alias("v")).crossJoin(F.broadcast(centroids))
+    scored = joined.withColumn("cosine", cosine_similarity(F.col("v"), F.col("centroid")))
+    w = Window.partitionBy(key).orderBy(F.desc("cosine"), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(key), F.col("cell"), F.col("cosine").alias("cell_cosine"))
+    )
+
+
+def ivf_topk(df: DataFrame, centroids: DataFrame, query: list[float], k: int = 5,
+             n_probe: int = 2, key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN search: score the query against centroids, scan only the
+    n_probe nearest cells, brute-force within them."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    probe_cells = [
+        r["cell"]
+        for r in centroids.withColumn("c", cosine_similarity(F.col("centroid"), q))
+        .orderBy(F.desc("c"), F.col("cell"))
+        .limit(n_probe)
+        .collect()
+    ]
+    assigned = ivf_assign(df, centroids, key, vec_col)
+    cand = df.join(assigned.filter(F.col("cell").isin(probe_cells)).select(key), key)
+    return cosine_topk(cand, query, k, key, vec_col)

@@ -42,6 +42,7 @@ def asof_join(
     allow_exact_matches: bool = False,
     buckets: int | None = None,
     tolerance: pd.Timedelta | None = None,
+    right_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Left as-of join: each left row gets the latest right row with
     ``right_ts < left_ts`` (strictly prior by default ⇒ zero temporal
@@ -73,7 +74,12 @@ def asof_join(
             for c in right_cols:
                 out[c] = None
             return out
-        rpdf = rpdf.sort_values([right_ts, by], kind="mergesort").reset_index(drop=True)
+        # among equal right timestamps merge_asof picks the LAST row, so
+        # sorting by (ts, tiebreak) makes the max-tiebreak row win —
+        # deterministic regardless of shuffle order
+        rpdf = rpdf.sort_values(
+            [right_ts] + (right_tiebreak or [by]), kind="mergesort"
+        ).reset_index(drop=True)
         merged = pd.merge_asof(
             lpdf,
             rpdf,
@@ -142,9 +148,10 @@ def with_session_id(
     w = Window.partitionBy(*pb).orderBy(*ob)
     prev = F.lag(F.col(ts)).over(w)
     gap_us = int(gap_seconds * 1_000_000)
+    # cast handles TIMESTAMP_NTZ parquet columns (session TZ is UTC)
+    epoch = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     new_flag = F.when(
-        prev.isNull()
-        | ((F.unix_micros(F.col(ts)) - F.unix_micros(prev)) > F.lit(gap_us)),
+        prev.isNull() | ((epoch(F.col(ts)) - epoch(prev)) > F.lit(gap_us)),
         1,
     ).otherwise(0)
     running = Window.partitionBy(*pb).orderBy(*ob).rowsBetween(
@@ -165,7 +172,7 @@ def with_trailing_agg(
     current row included — no future rows, so leakage-free."""
     pb = [partition_by] if isinstance(partition_by, str) else partition_by
     funcs = funcs or {"avg": "avg", "count": "count"}
-    epoch = F.unix_micros(F.col(ts))
+    epoch = F.unix_micros(F.col(ts).cast("timestamp"))
     span = int(window_seconds * 1_000_000)
     w = Window.partitionBy(*pb).orderBy(epoch).rangeBetween(-span, 0)
     for name, fn in funcs.items():

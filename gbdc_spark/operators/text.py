@@ -1,0 +1,104 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All hot-path expressions are JVM-side pyspark.sql.functions (whole-stage
+codegen, Catalyst-prunable); only the rolling-hash fingerprint drops to a
+vectorized pandas UDF.  Operates on the driver `documents` table shape
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "STOPWORDS",
+    "with_text_stats",
+    "with_lang_guess",
+    "with_token_counts",
+    "with_fingerprint",
+    "with_rolling_fingerprint",
+]
+
+# fixed marker set for the n-gram/stopword language heuristic
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: word count, average word length,
+    stopword ratio, short-doc flag."""
+    w = _words(text_col)
+    n_words = F.size(w)
+    total_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    stop_hits = F.aggregate(
+        w,
+        F.lit(0),
+        lambda acc, x: acc + F.when(x.isin(*STOPWORDS), 1).otherwise(0),
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("avg_word_len", (total_len / n_words).cast("double"))
+        .withColumn("stopword_ratio", (stop_hits / n_words).cast("double"))
+        .withColumn("is_short", (n_words < F.lit(10)).cast("int"))
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text",
+                    threshold: float = 0.08, out: str = "lang_guess") -> DataFrame:
+    """Marker-word language heuristic: stopword density above threshold
+    → 'en', else 'unk'.  (A real system swaps in per-language marker
+    tables; the Spark plumbing — one pass, no shuffle — is the point.)"""
+    w = _words(text_col)
+    stop_hits = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.when(x.isin(*STOPWORDS), 1).otherwise(0)
+    )
+    ratio = stop_hits / F.size(w)
+    return df.withColumn(out, F.when(ratio > threshold, "en").otherwise("unk"))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish estimate
+    (≈ chars/4, the standard subword heuristic)."""
+    w = _words(text_col)
+    return (
+        df.withColumn("n_ws_tokens", F.size(w).cast("long"))
+        .withColumn(
+            "n_bpe_est", F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("long")
+        )
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed
+    text — the document analogue of CNF::gbdhash content addressing."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn(out, F.md5(norm))
+
+
+@pandas_udf(T.LongType())
+def _rolling_hash_udf(text: pd.Series) -> pd.Series:
+    """Polynomial rolling hash mod 2^61-1 (vectorized per doc)."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def h(s: str) -> int:
+        acc = 0
+        for b in s.encode("utf-8", "ignore"):
+            acc = (acc * BASE + b) % MOD
+        return acc
+
+    return text.map(h).astype("int64")
+
+
+def with_rolling_fingerprint(df: DataFrame, text_col: str = "text",
+                             out: str = "rolling_fp") -> DataFrame:
+    return df.withColumn(out, _rolling_hash_udf(F.col(text_col)))
