@@ -1,0 +1,165 @@
+"""Checkpoint / resume with per-partition lineage and row-count/hash
+metrics (BASELINE.json north_rule).
+
+Iceberg-snapshot semantics on plain Parquet: each ``commit`` appends an
+immutable snapshot directory ``data/snapshot=<k>`` plus one manifest row
+(snapshot id, row count, order-independent content hash) and a
+per-partition metrics table.  The runtime here has no Iceberg catalog
+jars; on a real cluster ``commit`` maps 1:1 onto
+``df.writeTo(tbl).append()`` with the manifest carried by Iceberg's own
+snapshot log — the contract (monotonic snapshot ids, resumability,
+drift-detectable metrics) is identical.
+
+Resume = left-anti join of the input against already-committed keys, so a
+re-run after a crash appends exactly the missing rows.  The anti join
+shuffles only the key columns of the committed side; with Iceberg this
+becomes a metadata-only ``doc_id`` bloom/partition prune.
+
+All hashes are ``xxhash64`` folded with XOR — commutative, so the content
+hash is independent of partitioning and row order: the same logical table
+hashes identically at local[8] and local[32] (the determinism evidence the
+bench protocol requires).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "row_hash",
+    "content_hash",
+    "partition_metrics",
+    "commit",
+    "committed_keys",
+    "resume_filter",
+    "read_table",
+    "manifest",
+]
+
+
+def row_hash(df: DataFrame, cols: list[str] | None = None) -> F.Column:
+    """Order-insensitive 64-bit row fingerprint over ``cols`` (default:
+    every column, name-sorted so schema reordering doesn't change it)."""
+    cols = sorted(cols or df.columns)
+    # cast to string first: xxhash64 of a double column differs between
+    # float32/float64 physical encodings; the string form is stable
+    return F.xxhash64(*[F.col(c).cast("string") for c in cols])
+
+
+def content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
+    """XOR-fold of row hashes — partitioning/order independent."""
+    out = df.select(row_hash(df, cols).alias("h")).agg(
+        F.coalesce(F.bit_xor("h"), F.lit(0)).alias("fold")
+    )
+    return int(out.first()["fold"])
+
+
+def partition_metrics(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-partition lineage metrics: (partition_id, n_rows, hash_fold).
+
+    The per-partition rows are parallelism-dependent (that is the point —
+    they localize drift to a partition); the XOR of ``hash_fold`` across
+    partitions equals ``content_hash`` and is parallelism-invariant.
+    """
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_h", row_hash(df, cols))
+        .groupBy("_pid")
+        .agg(F.count("*").alias("n_rows"), F.bit_xor("_h").alias("hash_fold"))
+        .withColumnRenamed("_pid", "partition_id")
+    )
+
+
+# ------------------------------------------------------------------ store
+def _manifest_dir(base: str) -> str:
+    return os.path.join(base, "_manifest")
+
+
+def manifest(spark: SparkSession, base: str) -> list[dict]:
+    """All committed snapshots, ascending by id."""
+    mdir = _manifest_dir(base)
+    if not os.path.isdir(mdir):
+        return []
+    entries = []
+    for fn in sorted(os.listdir(mdir)):
+        if fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                entries.append(json.load(f))
+    return sorted(entries, key=lambda e: e["snapshot_id"])
+
+
+def commit(
+    df: DataFrame,
+    base: str,
+    keys: list[str],
+    hash_cols: list[str] | None = None,
+) -> dict:
+    """Append ``df`` as the next snapshot; returns the manifest entry.
+
+    Writes, in order: data files → per-partition metrics → manifest row.
+    The manifest row is last, so a crash mid-commit leaves an orphan
+    directory that the next resume simply ignores (never a torn snapshot
+    visible to readers) — the same commit-protocol shape as Iceberg.
+    """
+    spark = df.sparkSession
+    prior = manifest(spark, base)
+    sid = (prior[-1]["snapshot_id"] + 1) if prior else 1
+    data_dir = os.path.join(base, "data", f"snapshot={sid}")
+
+    df.write.mode("errorifexists").parquet(data_dir)
+
+    written = spark.read.parquet(data_dir)
+    pm = partition_metrics(written, hash_cols)
+    pm.write.mode("overwrite").parquet(os.path.join(base, "_metrics", f"snapshot={sid}"))
+    agg = pm.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"),
+        F.coalesce(F.bit_xor("hash_fold"), F.lit(0)).alias("fold"),
+        F.count("*").alias("parts"),
+    ).first()
+
+    entry = {
+        "snapshot_id": sid,
+        "committed_at": time.time(),
+        "n_rows": int(agg["n"]),
+        "n_partitions": int(agg["parts"]),
+        "content_hash": int(agg["fold"]),
+        "keys": keys,
+        "data_dir": data_dir,
+    }
+    os.makedirs(_manifest_dir(base), exist_ok=True)
+    tmp = os.path.join(_manifest_dir(base), f".{sid:012d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    os.replace(tmp, os.path.join(_manifest_dir(base), f"{sid:012d}.json"))
+    return entry
+
+
+def committed_keys(spark: SparkSession, base: str, keys: list[str]) -> DataFrame | None:
+    """Distinct key tuples across all committed snapshots (None if no
+    snapshot exists)."""
+    entries = manifest(spark, base)
+    if not entries:
+        return None
+    dirs = [e["data_dir"] for e in entries]
+    return spark.read.parquet(*dirs).select(*keys).distinct()
+
+
+def resume_filter(df: DataFrame, base: str, keys: list[str]) -> DataFrame:
+    """Drop rows whose key tuple is already committed (idempotent resume)."""
+    done = committed_keys(df.sparkSession, base, keys)
+    if done is None:
+        return df
+    return df.join(done, on=keys, how="left_anti")
+
+
+def read_table(spark: SparkSession, base: str) -> DataFrame | None:
+    """Current table state = union of all committed snapshots."""
+    entries = manifest(spark, base)
+    if not entries:
+        return None
+    return spark.read.parquet(*[e["data_dir"] for e in entries])

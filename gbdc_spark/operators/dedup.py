@@ -45,14 +45,21 @@ def exact_dedup_groups(df: DataFrame, key: str = "doc_id", text_col: str = "text
     )
 
 
+from ..functions import bind_once as _bind
+from ..functions import ensure_parallelism
+
+
 def _shingles(text_col: str, n: int) -> Column:
     """n-word shingles via transform+slice (no explode)."""
-    words = F.split(F.col(text_col), " ")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+
+    def body(words: Column) -> Column:
+        k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+
+    return _bind(F.split(F.col(text_col), " "), body)
 
 
 def with_minhash_signature(
@@ -62,14 +69,17 @@ def with_minhash_signature(
     """MinHash signature: permutation j = min over shingles of
     md5(j:shingle) (string order) — deterministic and reproducible in any
     engine with md5, which is what the DuckDB oracles exploit."""
-    sh = _shingles(text_col, shingle_n)
-
     def perm(j: int):
         # NOTE: the lambda must be unary — a 2-arg lambda would make
         # F.transform bind the element INDEX to the second parameter
         return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
 
-    sig = F.array(*[F.array_min(F.transform(sh, perm(j))) for j in range(num_perm)])
+    # bind the shingle array once; the num_perm passes then scan a
+    # materialized value instead of recomputing split+slice each time
+    sig = _bind(
+        _shingles(text_col, shingle_n),
+        lambda sh: F.array(*[F.array_min(F.transform(sh, perm(j))) for j in range(num_perm)]),
+    )
     return df.withColumn(out, sig)
 
 
@@ -81,24 +91,30 @@ def minhash_candidate_pairs(
     candidate pair (a < b).  Equi-join on the band key — shuffle is on
     band hashes, never a cross join."""
     rows_per_band = num_perm // bands
-    sig = with_minhash_signature(df, text_col, num_perm, shingle_n).select(key, "minhash")
-    banded = sig.select(
-        F.col(key),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)],
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(key, "bk.band", "bk.bkey")
+    sig = with_minhash_signature(
+        ensure_parallelism(df), text_col, num_perm, shingle_n
+    ).select(key, "minhash")
+    # build the band structs inside a bound lambda: referencing the
+    # `minhash` column directly 2×bands times would make project-collapse
+    # inline (and re-evaluate) the whole signature expression per reference
+    band_arr = _bind(
+        F.col("minhash"),
+        lambda mh: F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|",
+                        *[mh[b * rows_per_band + r] for r in range(rows_per_band)],
+                    ).alias("bkey"),
+                )
+                for b in range(bands)
+            ]
+        ),
+    )
+    banded = sig.select(F.col(key), F.explode(band_arr).alias("bk")).select(
+        key, "bk.band", "bk.bkey"
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -54,7 +54,13 @@ def asof_join(
     if buckets is None:
         buckets = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     lb = left.withColumn("_b", F.pmod(F.xxhash64(F.col(by)), F.lit(buckets)))
-    rb = right.withColumn("_b", F.pmod(F.xxhash64(F.col(by)), F.lit(buckets)))
+    # When left and right derive from the same scan (self-as-of-join), the
+    # by-column is the SAME Catalyst attribute on both sides and the
+    # cogroup plan dedups it away from the right batch — rename it to a
+    # private name so the right side always carries its own copy.
+    rb = right.withColumnRenamed(by, "_r_by").withColumn(
+        "_b", F.pmod(F.xxhash64(F.col("_r_by")), F.lit(buckets))
+    )
 
     right_cols = [f.name for f in right.schema.fields if f.name not in (by,)]
     out_fields = list(left.schema.fields) + [
@@ -65,7 +71,7 @@ def asof_join(
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf.drop(columns=["_b"])
-        rpdf = rpdf.drop(columns=["_b"])
+        rpdf = rpdf.drop(columns=["_b"]).rename(columns={"_r_by": by})
         if lpdf.empty:
             return pd.DataFrame(columns=left_names + right_cols)
         lpdf = lpdf.sort_values([left_ts, by], kind="mergesort").reset_index(drop=True)

@@ -65,6 +65,8 @@ def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship over the driver's documents table (tokenized JVM-side)
     with deterministic synthetic snapshots as the as-of right side."""
     seqs = tables.documents_as_sequences(spark, sf_dir)
-    n_docs = seqs.count()
+    # size the snapshot side from the raw parquet (metadata-only count) —
+    # counting the tokenized view would run the whole tokenizer twice
+    n_docs = tables.load(spark, sf_dir, "documents").count()
     snaps = tables.synth_snapshots_df(spark, n_docs)
     return flagship_aggregate(feature_pipeline(seqs, snaps))

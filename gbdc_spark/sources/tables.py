@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import bind_once, ensure_parallelism
 from ..schemas import SEQUENCES_SCHEMA
 from . import synth
 
@@ -59,7 +60,7 @@ def documents_as_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles): literal = (length(word) % 9 + 1), negative when the length
     is even; a 0 terminator after every 4th word and at the end.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
 
     def lit_of(w):
@@ -70,8 +71,13 @@ def documents_as_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         words,
         lambda w, i: F.when((i % 4) == 3, F.array(lit_of(w), F.lit(0))).otherwise(F.array(lit_of(w))),
     )
-    tokens = F.flatten(parts)
-    tokens = F.when(F.element_at(tokens, -1) != 0, F.concat(tokens, F.array(F.lit(0)))).otherwise(tokens)
+    # bind each intermediate once: the raw flatten() expression would be
+    # re-evaluated at every reference below (terminator check + both
+    # output columns), multiplying the tokenize cost ~5x per row
+    tokens = bind_once(
+        F.flatten(parts),
+        lambda t: F.when(F.element_at(t, -1) != 0, F.concat(t, F.array(F.lit(0)))).otherwise(t),
+    )
     return docs.select(
         F.concat(F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("doc_id"),
         tokens.cast("array<int>").alias("tokens"),
