@@ -81,10 +81,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("event_id").alias("click_id"),
             F.col("value").alias("click_value"),
         )
-        return temporal.asof_join(
+        out = temporal.asof_join(
             left, right, by="user_id", left_ts="ts", right_ts="click_ts",
             allow_exact_matches=False, right_tiebreak=["click_id"],
-        ).select("event_id", "user_id", "ts", "value", "click_ts", "click_id", "click_value")
+        )
+        # timestamps as epoch micros: pandas renders Spark ts as ns and
+        # DuckDB ts as us — BIGINT compares identically everywhere
+        return out.select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+            F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+            "click_id", "click_value",
+        )
 
     def q_lag_lead(spark, sf_dir):
         ev = _events(spark, sf_dir)
@@ -118,8 +127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.groupBy("user_id", "session_seq").agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.min("ts").alias("t_start"),
-            F.max("ts").alias("t_end"),
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("t_start_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("t_end_us"),
         )
 
     def q_trailing_agg(spark, sf_dir):
@@ -133,6 +142,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("value_trailing_avg", 6).alias("trail_avg"),
             F.col("value_trailing_count").alias("trail_cnt"),
         )
+
+    # scalable (two-phase chunked, skew-proof) window variants — same
+    # semantics as the plain versions, so they share the DuckDB oracles
+    def q_sessionize_scalable(spark, sf_dir):
+        ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+        return temporal.with_session_id_scalable(
+            ev, ts="ts", partition_by="user_id", gap_seconds=1800,
+            order_tiebreak=["event_id"], chunk_seconds=3600.0,
+        ).select("event_id", "user_id", "session_seq")
+
+    def q_ffill_scalable(spark, sf_dir):
+        ev = _events(spark, sf_dir).withColumn(
+            "v", F.when(F.col("event_type") == "click", F.col("value"))
+        )
+        return temporal.with_ffill_scalable(
+            ev.select("event_id", "user_id", "ts", "v"),
+            ["v"], ts="ts", partition_by="user_id",
+            order_tiebreak=["event_id"], chunk_seconds=3600.0,
+        ).select("event_id", "user_id", "v", "v_ffill")
+
+    def q_lag_lead_scalable(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        return temporal.with_lag_lead_scalable(
+            ev.select("event_id", "user_id", "ts", "value"),
+            ["value"], ts="ts", partition_by="user_id",
+            order_tiebreak=["event_id"], chunk_seconds=3600.0,
+        ).select("event_id", "user_id", "value_lag1", "value_lead1")
 
     def q_topk_per_group(spark, sf_dir):
         ev = _events(spark, sf_dir)
@@ -331,6 +367,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = extract.with_opb_hash(extract.with_opb_base_features(df))
         return out.select("doc_id", "opbhash", "features.*")
 
+    def q_gate_features_docs(spark, sf_dir):  # rows-only (pytest-oracled)
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        return extract.with_gate_features(seqs).select("doc_id", "gate_features.*")
+
+    # ------------------- multimodal (fake-codec stages) ----------------
+    def q_media_image_features(spark, sf_dir):  # rows-only
+        from gbdc_spark.operators import multimodal as mm
+
+        return mm.image_features(mm.synth_media_df(spark, 120, seed=3))
+
+    def q_media_audio_features(spark, sf_dir):  # rows-only
+        from gbdc_spark.operators import multimodal as mm
+
+        return mm.audio_features(mm.synth_media_df(spark, 120, seed=3))
+
+    def q_media_frame_sample(spark, sf_dir):  # rows-only
+        from gbdc_spark.operators import multimodal as mm
+
+        return mm.video_frame_sample(mm.synth_media_df(spark, 120, seed=3), every_n=4)
+
     def q_flagship_pipeline(spark, sf_dir):  # rows-only (E2E as-of+window)
         from gbdc_spark.plans.flagship import run_flagship
 
@@ -341,6 +397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "ffill": q_ffill,
         "sessionize": q_sessionize,
+        "sessionize_scalable": q_sessionize_scalable,
+        "ffill_scalable": q_ffill_scalable,
+        "lag_lead_scalable": q_lag_lead_scalable,
         "session_agg": q_session_agg,
         "trailing_agg": q_trailing_agg,
         "topk_per_group": q_topk_per_group,
@@ -373,6 +432,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cnf2kis_docs": q_cnf2kis_docs,
         "wcnf_features_synth": q_wcnf_features_synth,
         "opb_features_synth": q_opb_features_synth,
+        "gate_features_docs": q_gate_features_docs,
+        "media_image_features": q_media_image_features,
+        "media_audio_features": q_media_audio_features,
+        "media_frame_sample": q_media_frame_sample,
         "flagship_pipeline": q_flagship_pipeline,
     }
 
@@ -381,8 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_join": """
-            SELECT p.event_id, p.user_id, p.ts, p.value,
-                   c.ts AS click_ts, c.event_id AS click_id, c.value AS click_value
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+                   epoch_us(c.ts) AS click_ts_us, c.event_id AS click_id,
+                   c.value AS click_value
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND c.ts < p.ts
@@ -408,9 +472,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             SELECT event_id, user_id,
-                   sum(new_flag) OVER (
+                   CAST(sum(new_flag) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
             FROM (
                 SELECT event_id, user_id, ts,
                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -419,12 +483,41 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_flag
                 FROM events)
         """,
+        "sessionize_scalable": """
+            SELECT event_id, user_id,
+                   CAST(sum(new_flag) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+            FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                     PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                            THEN 1 ELSE 0 END AS new_flag
+                FROM events)
+        """,
+        "ffill_scalable": """
+            SELECT event_id, user_id, v,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN event_type = 'click' THEN value END AS v
+                  FROM events)
+        """,
+        "lag_lead_scalable": """
+            SELECT event_id, user_id,
+                   lag(value)  OVER w AS value_lag1,
+                   lead(value) OVER w AS value_lead1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         "session_agg": """
             WITH s AS (
                 SELECT user_id, ts, value,
-                       sum(new_flag) OVER (
+                       CAST(sum(new_flag) OVER (
                            PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
                 FROM (
                     SELECT event_id, user_id, ts, value,
                            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -435,7 +528,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq,
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value,
-                   min(ts) AS t_start, max(ts) AS t_end
+                   epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
             FROM s GROUP BY user_id, session_seq
         """,
         "trailing_agg": """
@@ -447,7 +540,7 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         """,
         "topk_per_group": """
-            SELECT event_type, rn, event_id, value FROM (
+            SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id, value FROM (
                 SELECT event_type, event_id, value,
                        row_number() OVER (PARTITION BY event_type
                                           ORDER BY value DESC, event_id) AS rn
@@ -625,8 +718,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "normalize_docs": f"""
             SELECT {_DOC_KEY} AS doc_id,
-                   list_max(list_transform({_DUCK_TOKENS_FLAT}, t -> abs(t))) AS n_vars,
-                   len(list_filter({_DUCK_TOKENS_FLAT}, t -> t = 0)) AS n_clauses
+                   CAST(list_max(list_transform({_DUCK_TOKENS_FLAT}, t -> abs(t))) AS INTEGER) AS n_vars,
+                   CAST(len(list_filter({_DUCK_TOKENS_FLAT}, t -> t = 0)) AS INTEGER) AS n_clauses
             FROM documents
         """,
         "base_counts_docs": f"""

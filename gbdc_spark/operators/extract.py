@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..kernels import cnf, hashes, opb, transforms, wcnf
+from ..kernels import cnf, gates, hashes, opb, transforms, wcnf
 from ..schemas import (
     BASE_FEATURES_NAMES,
     OPB_BASE_FEATURES_NAMES,
@@ -42,6 +42,7 @@ __all__ = [
     "with_opb_hash",
     "with_opb_base_features",
     "with_pqbf_hash",
+    "with_gate_features",
     "sanitize",
     "normalize",
     "relabel_variables",
@@ -93,6 +94,23 @@ def _base_features_udf(tokens: pd.Series) -> pd.DataFrame:
 def with_base_features(df: DataFrame, tokens_col: str = "tokens", out: str = "features") -> DataFrame:
     """CNF::BaseFeatures — 58-field double struct (CNFBaseFeatures.h)."""
     return df.withColumn(out, _base_features_udf(F.col(tokens_col)))
+
+
+@pandas_udf(feature_struct(tuple(gates.GATE_FEATURE_NAMES)))
+def _gate_features_udf(tokens: pd.Series) -> pd.DataFrame:
+    rows = [gates.gate_features(np.asarray(t, dtype=np.int64)) for t in tokens]
+    return pd.DataFrame(np.vstack(rows) if rows else np.zeros((0, 56)),
+                        columns=list(gates.GATE_FEATURE_NAMES))
+
+
+def with_gate_features(df: DataFrame, tokens_col: str = "tokens", out: str = "gate_features") -> DataFrame:
+    """CNFGateFeatures — 56-field double struct (CNFGateFeatures.h:41-160).
+
+    Gate analysis is stateful and sequential per doc (GateAnalyzer.h BFS +
+    occurrence-list mutation); it distributes ACROSS docs.  Giant docs
+    straggle — pair with partitioning.size_bucketed for heavy corpora.
+    """
+    return df.withColumn(out, _gate_features_udf(F.col(tokens_col)))
 
 
 # ------------------------------------------------------------------ WCNF

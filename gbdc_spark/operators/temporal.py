@@ -28,7 +28,11 @@ __all__ = [
     "asof_join",
     "with_lag_lead",
     "with_ffill",
+    "with_ffill_scalable",
+    "with_lag_lead_scalable",
     "with_session_id",
+    "with_session_id_scalable",
+    "with_temporal_bundle_scalable",
     "with_trailing_agg",
 ]
 
@@ -164,6 +168,324 @@ def with_session_id(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(out, F.sum(new_flag).over(running))
+
+
+def _epoch_us(c: Column) -> Column:
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def with_session_id_scalable(
+    df: DataFrame,
+    ts: str = "ingest_ts",
+    partition_by: str | list[str] = "source",
+    gap_seconds: float = 1800.0,
+    order_tiebreak: list[str] | None = None,
+    out: str = "session_seq",
+    chunk_seconds: float = 86400.0,
+    persist: bool = True,
+) -> DataFrame:
+    """Skew-proof gap sessionization (north_rule: explicit skew handling
+    for heavy sources) — two-phase chunked algorithm.
+
+    A plain ``Window.partitionBy(source)`` serializes each key into one
+    task, so one Zipf-heavy source bounds the whole stage's wall-clock.
+    Here:
+
+    1. rows are split into fixed time chunks (``floor(ts / chunk)``) —
+       a heavy key's stream spreads over many (key, chunk) tasks;
+    2. local sessionization runs per (key, chunk) — the usual
+       flag + running-sum pair of windows;
+    3. a tiny per-(key, chunk) summary (first/last ts, #sessions) is
+       reconciled with one lightweight window over chunk sequence:
+       ``offset(c) = Σ_{c'<c} n_sessions(c') − Σ_{c'≤c} merge(c')`` where
+       ``merge(c)=1`` iff chunk c's first event continues the previous
+       chunk's last session (gap ≤ threshold);
+    4. offsets broadcast-join back; global id = local id + offset.
+
+    Output is identical to ``with_session_id`` for any chunk width (tested
+    property); wall-clock is bounded by the heaviest (key, chunk), not the
+    heaviest key.
+    """
+    pb = [partition_by] if isinstance(partition_by, str) else partition_by
+    ob: list[Column | str] = [ts] + (order_tiebreak or [])
+    gap_us = int(gap_seconds * 1_000_000)
+    chunk_us = int(chunk_seconds * 1_000_000)
+
+    d = df.withColumn("_chunk", F.floor(_epoch_us(F.col(ts)) / F.lit(chunk_us)))
+    wl = Window.partitionBy(*pb, "_chunk").orderBy(*ob)
+    prev = F.lag(F.col(ts)).over(wl)
+    new_flag = F.when(
+        prev.isNull() | ((_epoch_us(F.col(ts)) - _epoch_us(prev)) > F.lit(gap_us)), 1
+    ).otherwise(0)
+    run = Window.partitionBy(*pb, "_chunk").orderBy(*ob).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("_local", F.sum(new_flag).over(run))
+
+    if persist:
+        d = d.persist()  # summary + join both read d: avoid upstream recompute
+
+    summary = d.groupBy(*pb, "_chunk").agg(
+        F.min(ts).alias("_first_ts"),
+        F.max(ts).alias("_last_ts"),
+        F.max("_local").alias("_n_sessions"),
+    )
+    ws = Window.partitionBy(*pb).orderBy("_chunk")
+    prev_last = F.lag("_last_ts").over(ws)
+    merge = F.when(
+        prev_last.isNotNull()
+        & ((_epoch_us(F.col("_first_ts")) - _epoch_us(prev_last)) <= F.lit(gap_us)),
+        1,
+    ).otherwise(0)
+    cum_prev_sessions = F.coalesce(
+        F.sum("_n_sessions").over(ws.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    cum_merges = F.sum(merge).over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = summary.select(
+        *pb, "_chunk", (cum_prev_sessions - cum_merges).alias("_offset")
+    )
+
+    joined = d.join(F.broadcast(offsets), on=[*pb, "_chunk"], how="left")
+    return joined.withColumn(out, F.col("_local") + F.col("_offset")).drop(
+        "_chunk", "_local", "_offset"
+    )
+
+
+def with_ffill_scalable(
+    df: DataFrame,
+    cols: list[str],
+    ts: str = "ingest_ts",
+    partition_by: str | list[str] = "source",
+    order_tiebreak: list[str] | None = None,
+    chunk_seconds: float = 86400.0,
+    persist: bool = True,
+) -> DataFrame:
+    """Skew-proof forward-fill — same two-phase chunking as
+    ``with_session_id_scalable``: local ffill per (key, chunk), then the
+    last non-null value of each chunk is carried forward across chunks by
+    one lightweight window over the per-chunk summary and coalesced under
+    null prefixes.  Identical output to ``with_ffill`` (tested property);
+    still leakage-free (carry stops strictly before the current chunk and
+    the local frame ends at the current row)."""
+    pb = [partition_by] if isinstance(partition_by, str) else partition_by
+    ob: list[Column | str] = [ts] + (order_tiebreak or [])
+    chunk_us = int(chunk_seconds * 1_000_000)
+
+    d = df.withColumn("_chunk", F.floor(_epoch_us(F.col(ts)) / F.lit(chunk_us)))
+    wl = Window.partitionBy(*pb, "_chunk").orderBy(*ob).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    order_struct = F.struct(*[F.col(ts)] + [F.col(c) for c in (order_tiebreak or [])])
+    for c in cols:
+        d = d.withColumn(f"{c}_ffill", F.last(c, ignorenulls=True).over(wl))
+
+    if persist:
+        d = d.persist()  # summary + join both read d: avoid upstream recompute
+
+    summary = d.groupBy(*pb, "_chunk").agg(
+        *[F.max_by(f"{c}_ffill", order_struct).alias(f"_chunk_last_{c}") for c in cols]
+    )
+    ws = Window.partitionBy(*pb).orderBy("_chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carries = summary.select(
+        *pb, "_chunk",
+        *[
+            F.last(f"_chunk_last_{c}", ignorenulls=True).over(ws).alias(f"_carry_{c}")
+            for c in cols
+        ],
+    )
+    joined = d.join(F.broadcast(carries), on=[*pb, "_chunk"], how="left")
+    for c in cols:
+        joined = joined.withColumn(
+            f"{c}_ffill", F.coalesce(F.col(f"{c}_ffill"), F.col(f"_carry_{c}"))
+        ).drop(f"_carry_{c}")
+    return joined.drop("_chunk")
+
+
+def with_lag_lead_scalable(
+    df: DataFrame,
+    cols: list[str],
+    ts: str = "ingest_ts",
+    partition_by: str | list[str] = "source",
+    order_tiebreak: list[str] | None = None,
+    chunk_seconds: float = 86400.0,
+    persist: bool = True,
+) -> DataFrame:
+    """Skew-proof lag(1)/lead(1) — chunked with boundary-row exchange.
+
+    Local lag/lead run per (key, chunk); only each chunk's first row needs
+    the previous chunk's last value (and the last row the next chunk's
+    first), which one lightweight window over the per-chunk summary
+    provides.  Identical output to ``with_lag_lead(n=1)``; wall-clock
+    bounded by the heaviest (key, chunk), not the heaviest key.
+    """
+    pb = [partition_by] if isinstance(partition_by, str) else partition_by
+    ob: list[Column | str] = [ts] + (order_tiebreak or [])
+    chunk_us = int(chunk_seconds * 1_000_000)
+    order_struct = F.struct(*[F.col(ts)] + [F.col(c) for c in (order_tiebreak or [])])
+
+    d = df.withColumn("_chunk", F.floor(_epoch_us(F.col(ts)) / F.lit(chunk_us)))
+    wl = Window.partitionBy(*pb, "_chunk").orderBy(*ob)
+    d = d.withColumn("_rn", F.row_number().over(wl)).withColumn(
+        "_cnt", F.count("*").over(Window.partitionBy(*pb, "_chunk"))
+    )
+    for c in cols:
+        d = d.withColumn(f"_lag_{c}", F.lag(c).over(wl)).withColumn(
+            f"_lead_{c}", F.lead(c).over(wl)
+        )
+
+    if persist:
+        d = d.persist()  # summary + join both read d: avoid upstream recompute
+
+    summary = d.groupBy(*pb, "_chunk").agg(
+        *[F.min_by(c, order_struct).alias(f"_first_{c}") for c in cols],
+        *[F.max_by(c, order_struct).alias(f"_last_{c}") for c in cols],
+    )
+    ws = Window.partitionBy(*pb).orderBy("_chunk")
+    boundary = summary.select(
+        *pb, "_chunk",
+        *[F.lag(f"_last_{c}").over(ws).alias(f"_prev_{c}") for c in cols],
+        *[F.lead(f"_first_{c}").over(ws).alias(f"_next_{c}") for c in cols],
+    )
+    d = d.join(F.broadcast(boundary), on=[*pb, "_chunk"], how="left")
+    for c in cols:
+        d = (
+            d.withColumn(
+                f"{c}_lag1",
+                F.when(F.col("_rn") == 1, F.col(f"_prev_{c}")).otherwise(F.col(f"_lag_{c}")),
+            )
+            .withColumn(
+                f"{c}_lead1",
+                F.when(F.col("_rn") == F.col("_cnt"), F.col(f"_next_{c}")).otherwise(
+                    F.col(f"_lead_{c}")
+                ),
+            )
+            .drop(f"_lag_{c}", f"_lead_{c}", f"_prev_{c}", f"_next_{c}")
+        )
+    return d.drop("_chunk", "_rn", "_cnt")
+
+
+def with_temporal_bundle_scalable(
+    df: DataFrame,
+    ts: str = "ingest_ts",
+    partition_by: str | list[str] = "source",
+    ffill_cols: list[str] | None = None,
+    lag_cols: list[str] | None = None,
+    gap_seconds: float | None = None,
+    session_out: str = "session_seq",
+    order_tiebreak: list[str] | None = None,
+    chunk_seconds: float = 86400.0,
+    persist: bool = True,
+) -> DataFrame:
+    """Fused skew-proof ffill + lag/lead(1) + sessionize in ONE pass.
+
+    Running the three chunked operators separately triples the plan: each
+    one's summary branch re-reads (and without caching, RECOMPUTES) the
+    whole upstream — on the flagship that meant the extraction UDF and the
+    as-of cogroup executing once per operator.  This bundle shares:
+
+    * one chunked local-window pass (all specs use the same
+      partition/order, so Catalyst fuses them into a single Window node);
+    * one per-(key, chunk) summary aggregation;
+    * one boundary-reconciliation window over the (tiny) summary;
+    * one broadcast join back.
+
+    ``persist=True`` pins the branch point (local-window output) so the
+    summary branch reads cache instead of recomputing the upstream
+    (MEMORY_AND_DISK — spills, never OOMs, at warehouse scale).
+    """
+    pb = [partition_by] if isinstance(partition_by, str) else partition_by
+    ob: list[Column | str] = [ts] + (order_tiebreak or [])
+    ffill_cols = ffill_cols or []
+    lag_cols = lag_cols or []
+    chunk_us = int(chunk_seconds * 1_000_000)
+    order_struct = F.struct(*[F.col(ts)] + [F.col(c) for c in (order_tiebreak or [])])
+
+    d = df.withColumn("_chunk", F.floor(_epoch_us(F.col(ts)) / F.lit(chunk_us)))
+    wl = Window.partitionBy(*pb, "_chunk").orderBy(*ob)
+    run = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    for c in ffill_cols:
+        d = d.withColumn(f"{c}_ffill", F.last(c, ignorenulls=True).over(run))
+    if lag_cols:
+        d = d.withColumn("_rn", F.row_number().over(wl)).withColumn(
+            "_cnt", F.count("*").over(Window.partitionBy(*pb, "_chunk"))
+        )
+        for c in lag_cols:
+            d = d.withColumn(f"_lag_{c}", F.lag(c).over(wl)).withColumn(
+                f"_lead_{c}", F.lead(c).over(wl)
+            )
+    if gap_seconds is not None:
+        gap_us = int(gap_seconds * 1_000_000)
+        prev = F.lag(F.col(ts)).over(wl)
+        new_flag = F.when(
+            prev.isNull() | ((_epoch_us(F.col(ts)) - _epoch_us(prev)) > F.lit(gap_us)), 1
+        ).otherwise(0)
+        d = d.withColumn("_local", F.sum(new_flag).over(run))
+
+    if persist:
+        d = d.persist()
+
+    aggs = []
+    if gap_seconds is not None:
+        aggs += [
+            F.min(ts).alias("_first_ts"),
+            F.max(ts).alias("_last_ts"),
+            F.max("_local").alias("_n_sessions"),
+        ]
+    aggs += [F.max_by(f"{c}_ffill", order_struct).alias(f"_chunk_last_{c}") for c in ffill_cols]
+    aggs += [F.min_by(c, order_struct).alias(f"_first_{c}") for c in lag_cols]
+    aggs += [F.max_by(c, order_struct).alias(f"_last_{c}") for c in lag_cols]
+    summary = d.groupBy(*pb, "_chunk").agg(*aggs)
+
+    ws = Window.partitionBy(*pb).orderBy("_chunk")
+    before = ws.rowsBetween(Window.unboundedPreceding, -1)
+    upto = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    proj: list[Column | str] = [*pb, "_chunk"]
+    if gap_seconds is not None:
+        gap_us = int(gap_seconds * 1_000_000)
+        prev_last = F.lag("_last_ts").over(ws)
+        merge = F.when(
+            prev_last.isNotNull()
+            & ((_epoch_us(F.col("_first_ts")) - _epoch_us(prev_last)) <= F.lit(gap_us)),
+            1,
+        ).otherwise(0)
+        cum_prev = F.coalesce(F.sum("_n_sessions").over(before), F.lit(0))
+        proj.append((cum_prev - F.sum(merge).over(upto)).alias("_offset"))
+    proj += [
+        F.last(f"_chunk_last_{c}", ignorenulls=True).over(before).alias(f"_carry_{c}")
+        for c in ffill_cols
+    ]
+    proj += [F.lag(f"_last_{c}").over(ws).alias(f"_prev_{c}") for c in lag_cols]
+    proj += [F.lead(f"_first_{c}").over(ws).alias(f"_next_{c}") for c in lag_cols]
+    boundary = summary.select(*proj)
+
+    out = d.join(F.broadcast(boundary), on=[*pb, "_chunk"], how="left")
+    for c in ffill_cols:
+        out = out.withColumn(
+            f"{c}_ffill", F.coalesce(F.col(f"{c}_ffill"), F.col(f"_carry_{c}"))
+        ).drop(f"_carry_{c}")
+    for c in lag_cols:
+        out = (
+            out.withColumn(
+                f"{c}_lag1",
+                F.when(F.col("_rn") == 1, F.col(f"_prev_{c}")).otherwise(F.col(f"_lag_{c}")),
+            )
+            .withColumn(
+                f"{c}_lead1",
+                F.when(F.col("_rn") == F.col("_cnt"), F.col(f"_next_{c}")).otherwise(
+                    F.col(f"_lead_{c}")
+                ),
+            )
+            .drop(f"_lag_{c}", f"_lead_{c}", f"_prev_{c}", f"_next_{c}")
+        )
+    if gap_seconds is not None:
+        out = out.withColumn(session_out, F.col("_local") + F.col("_offset")).drop(
+            "_local", "_offset"
+        )
+    drop = ["_chunk"] + (["_rn", "_cnt"] if lag_cols else [])
+    return out.drop(*drop)
 
 
 def with_trailing_agg(

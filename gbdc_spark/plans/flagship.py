@@ -33,15 +33,19 @@ def feature_pipeline(sequences: DataFrame, snapshots: DataFrame) -> DataFrame:
         right_ts="snapshot_ts",
         allow_exact_matches=False,
     )
-    enriched = temporal.with_ffill(
-        joined, ["prev_score"], partition_by="source", order_by=["ingest_ts", "doc_id"]
-    )
-    enriched = temporal.with_lag_lead(
-        enriched, ["clauses"], partition_by="source", order_by=["ingest_ts", "doc_id"]
-    )
-    return temporal.with_session_id(
-        enriched, ts="ingest_ts", partition_by="source", gap_seconds=120.0,
+    # fused skew-proof window bundle: a Zipf-heavy source would serialize
+    # plain per-source windows into one task each (north_rule: explicit
+    # skew handling); the bundle shares one chunked pass + one summary so
+    # the extraction/as-of upstream executes exactly once
+    return temporal.with_temporal_bundle_scalable(
+        joined,
+        ts="ingest_ts",
+        partition_by="source",
+        ffill_cols=["prev_score"],
+        lag_cols=["clauses"],
+        gap_seconds=120.0,
         order_tiebreak=["doc_id"],
+        chunk_seconds=3600.0,
     )
 
 

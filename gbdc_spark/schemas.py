@@ -6,16 +6,19 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 from .kernels.cnf import BASE_FEATURES_NAMES
+from .kernels.gates import GATE_FEATURE_NAMES
 from .kernels.opb import OPB_BASE_FEATURES_NAMES
 from .kernels.wcnf import WCNF_BASE_FEATURES_NAMES
 
 __all__ = [
     "BASE_FEATURES_NAMES",
+    "GATE_FEATURE_NAMES",
     "WCNF_BASE_FEATURES_NAMES",
     "OPB_BASE_FEATURES_NAMES",
     "SEQUENCES_SCHEMA",
     "feature_struct",
     "base_feature_names",
+    "gate_feature_names",
     "wcnf_base_feature_names",
     "opb_base_feature_names",
 ]
@@ -38,6 +41,10 @@ def feature_struct(names: tuple[str, ...]) -> T.StructType:
 # mirrors the reference's *_feature_names python surface (gbdlib.cc:204-243)
 def base_feature_names() -> list[str]:
     return list(BASE_FEATURES_NAMES)
+
+
+def gate_feature_names() -> list[str]:
+    return list(GATE_FEATURE_NAMES)
 
 
 def wcnf_base_feature_names() -> list[str]:

@@ -1,0 +1,72 @@
+"""Skew-handling helpers: heavy-hitter detection, salt fanout, striping."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbdc_spark.operators import partitioning as pt
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 'hot' holds ~70% of rows, 10 cold keys share the rest
+    hot = spark.range(700).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(300).select(
+        F.concat(F.lit("c"), (F.col("id") % 10).cast("string")).alias("k"),
+        (F.col("id") + 1000).alias("v"),
+    )
+    return hot.union(cold).cache()
+
+
+def test_heavy_hitters(spark, skewed):
+    hh = pt.heavy_hitters(skewed, "k", threshold_frac=0.3)
+    assert hh == ["hot"]
+    assert set(pt.heavy_hitters(skewed, "k", threshold_frac=0.01)) >= {"hot", "c0"}
+
+
+def test_salted_spreads_only_heavy(spark, skewed):
+    s = pt.salted(skewed, "k", salts=8, heavy=["hot"])
+    per_key = {
+        r["k"]: r["n"]
+        for r in s.groupBy("k").agg(F.countDistinct("_salt").alias("n")).collect()
+    }
+    assert per_key["hot"] > 1  # fanned out
+    assert all(v == 1 for k, v in per_key.items() if k != "hot")  # cold untouched
+    # deterministic
+    a = sorted(tuple(r) for r in s.collect())
+    b = sorted(tuple(r) for r in pt.salted(skewed, "k", salts=8, heavy=["hot"]).collect())
+    assert a == b
+
+
+def test_salted_join_equals_plain_join(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"c{i}", float(i)) for i in range(10)], "k string, w double"
+    )
+    plain = skewed.join(dim, "k").select("k", "v", "w")
+    salty = pt.salted_join(skewed, dim, "k", salts=8, heavy=["hot"]).select("k", "v", "w")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salty.collect()))
+
+
+def test_replicate_for_salt_counts(spark):
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, w int")
+    rep = pt.replicate_for_salt(dim, "k", salts=5, heavy=["hot"])
+    counts = {r["k"]: r["n"] for r in rep.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"hot": 5, "cold": 1}
+
+
+def test_size_bucketed_balances_work(spark):
+    # heavy-tailed sizes: 8 giants of 10_000, 992 docs of ~10
+    rows = [(f"d{i}", 10_000 if i < 8 else 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    out = pt.size_bucketed(df, "n_tok", partitions=8)
+    per_part = (
+        out.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(F.sum("n_tok").alias("work"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert sum(r["n"] for r in per_part) == 1000
+    works = [r["work"] for r in per_part]
+    # stratified striping: no partition may hoard the giants
+    assert max(works) < 4 * (sum(works) / len(works))

@@ -126,3 +126,17 @@ def test_distributed_synth_matches_driver_side(spark):
     for a, b in zip(dist["tokens"], drv["tokens"]):
         assert list(a) == list(b)
     assert dist["source"].tolist() == drv["source"].tolist()
+
+
+def test_gate_features_stage_matches_kernel(spark):
+    from gbdc_spark.kernels import gates as gk
+
+    df = tables.synth_sequences_df(spark, 20)
+    rows = extract.with_gate_features(df).orderBy("doc_id").collect()
+    assert len(rows) == 20
+    for r in rows[:8]:
+        idx = int(r["doc_id"][3:])
+        toks = synth.gen_cnf_tokens(seed=42, idx=idx)
+        want = gk.gate_features(toks)
+        got = [r["gate_features"][n] for n in gk.GATE_FEATURE_NAMES]
+        np.testing.assert_allclose(got, want, rtol=1e-7)
