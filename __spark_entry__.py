@@ -367,6 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = extract.with_opb_hash(extract.with_opb_base_features(df))
         return out.select("doc_id", "opbhash", "features.*")
 
+    def q_pqbfhash_synth(spark, sf_dir):  # rows-only (pytest-oracled)
+        from gbdc_spark.sources.synth import gen_pqbf_pdf
+
+        df = spark.createDataFrame(gen_pqbf_pdf(200))
+        return extract.with_pqbf_hash(df).select("doc_id", "pqbfhash")
+
     def q_gate_features_docs(spark, sf_dir):  # rows-only (pytest-oracled)
         seqs = tables.documents_as_sequences(spark, sf_dir)
         return extract.with_gate_features(seqs).select("doc_id", "gate_features.*")
@@ -432,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cnf2kis_docs": q_cnf2kis_docs,
         "wcnf_features_synth": q_wcnf_features_synth,
         "opb_features_synth": q_opb_features_synth,
+        "pqbfhash_synth": q_pqbfhash_synth,
         "gate_features_docs": q_gate_features_docs,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,

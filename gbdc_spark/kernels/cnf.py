@@ -66,48 +66,41 @@ BASE_FEATURES_NAMES: tuple[str, ...] = BASE_FEATURES1_NAMES + BASE_FEATURES2_NAM
 
 
 def connected_components(vars_: np.ndarray, cid: np.ndarray, n_vars: int) -> int:
-    """Union-find component count among variables 1..n_vars.
+    """Component count among variables 1..n_vars; clause members merge,
+    unused (gap) variables stay singletons (mirrors Util.h:140-194).
 
-    Variables of one clause are merged; unused (gap) variables remain
-    singletons and are counted (mirrors Util.h:140-194).
+    Vectorized min-label propagation with pointer jumping instead of a
+    per-literal Python union-find: each round relabels every clause edge
+    (var, clause-min-var) to the smaller component label and collapses
+    label chains; O(E) numpy work per round, O(log n) rounds.  Same count
+    as the reference's union-find — only the algorithm differs, the
+    partition is identical.
     """
     if n_vars == 0:
         return 0
-    parent = np.arange(n_vars + 1, dtype=np.int64)
-
-    def find(v: int) -> int:
-        root = v
-        while parent[root] != root:
-            root = parent[root]
-        while parent[v] != root:  # path compression
-            parent[v], v = root, parent[v]
-        return root
-
-    # iterate clause by clause: union all vars in a clause to the min root
+    if vars_.size == 0:
+        return n_vars
     order = np.argsort(cid, kind="stable")
-    sv = vars_[order]
+    sv = vars_[order].astype(np.int64)
     sc = cid[order]
-    start = 0
-    n = sv.size
-    while start < n:
-        end = start
-        c = sc[start]
-        while end < n and sc[end] == c:
-            end += 1
-        root = find(int(sv[start]))
-        for i in range(start + 1, end):
-            r = find(int(sv[i]))
-            if r != root:
-                if r < root:
-                    parent[root] = r
-                    root = r
-                else:
-                    parent[r] = root
-        start = end
-    roots = 0
-    for v in range(1, n_vars + 1):
-        roots += find(v) == v
-    return int(roots)
+    starts = np.flatnonzero(
+        np.concatenate(([True], sc[1:] != sc[:-1])) if sc.size else np.array([], bool)
+    )
+    mins = np.minimum.reduceat(sv, starts)
+    lens = np.diff(np.append(starts, sv.size))
+    b = np.repeat(mins, lens)  # clause-min partner for every literal
+
+    labels = np.arange(n_vars + 1, dtype=np.int64)
+    while True:
+        m = np.minimum(labels[sv], labels[b])
+        new = labels.copy()
+        np.minimum.at(new, sv, m)
+        np.minimum.at(new, b, m)
+        new = new[new]  # pointer jumping: collapse label chains
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return int(np.unique(labels[1:]).size)
 
 
 def cnf_base_features1(tokens) -> np.ndarray:

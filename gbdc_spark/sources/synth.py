@@ -208,3 +208,37 @@ def gen_opb_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
             "payload": [gen_opb_payload(seed, idx) for idx in range(n_docs)],
         }
     )
+
+
+def gen_pqbf_payload(seed: int, idx: int) -> str:
+    """Random (P)QBF text in QDIMACS shape: comments, ``p cnf`` header,
+    alternating ``e``/``a`` quantifier lines, then clauses."""
+    rng = _rng(seed ^ 0xABF, idx)
+    n_vars = int(rng.integers(3, 20))
+    n_clauses = int(rng.integers(1, 25))
+    lines = ["c synthetic pqbf", f"p cnf {n_vars} {n_clauses}"]
+    blocks = int(rng.integers(1, 4))
+    v = 1
+    for b in range(blocks):
+        if v > n_vars:
+            break
+        width = int(rng.integers(1, max(2, n_vars // blocks + 1)))
+        vs = list(range(v, min(v + width, n_vars + 1)))
+        v += width
+        q = "e" if (b % 2 == 0) == (idx % 2 == 0) else "a"
+        lines.append(f"{q} {' '.join(map(str, vs))} 0")
+    for _ in range(n_clauses):
+        size = int(rng.integers(1, 5))
+        lits = (rng.integers(1, n_vars + 1, size=size) *
+                rng.choice([-1, 1], size=size)).tolist()
+        lines.append(" ".join(map(str, lits)) + " 0")
+    return "\n".join(lines) + "\n"
+
+
+def gen_pqbf_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": [f"qbf{idx:06d}" for idx in range(n_docs)],
+            "payload": [gen_pqbf_payload(seed, idx) for idx in range(n_docs)],
+        }
+    )

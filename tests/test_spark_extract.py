@@ -140,3 +140,14 @@ def test_gate_features_stage_matches_kernel(spark):
         want = gk.gate_features(toks)
         got = [r["gate_features"][n] for n in gk.GATE_FEATURE_NAMES]
         np.testing.assert_allclose(got, want, rtol=1e-7)
+
+
+def test_pqbf_hash_stage_matches_kernel(spark):
+    from gbdc_spark.sources.synth import gen_pqbf_pdf
+
+    pdf = gen_pqbf_pdf(30)
+    rows = extract.with_pqbf_hash(spark.createDataFrame(pdf)).orderBy("doc_id").collect()
+    assert len(rows) == 30
+    for r in rows[:10]:
+        idx = int(r["doc_id"][3:])
+        assert r["pqbfhash"] == hashes.gbdhash_pqbf_text(pdf.iloc[idx]["payload"])
