@@ -53,10 +53,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="stratified striping by n_tok before extraction")
     args = ap.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from .operators import checkpoint as cp
     from .operators import partitioning as pt
     from .plans.flagship import feature_pipeline
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = build_session("gbdc-flagship", args.local_cores)
     seqs = spark.read.parquet(args.input)
     snaps = spark.read.parquet(args.snapshots)
@@ -74,7 +77,8 @@ def main(argv: list[str] | None = None) -> int:
         hash_cols=[c for c in features.columns if c != "runtime_s"],
     )
     print(json.dumps(entry))
-    spark.stop()
+    if owns_session:  # embedded callers (tests, notebooks) keep theirs
+        spark.stop()
     return 0
 
 
