@@ -38,7 +38,15 @@ def scaled_entropy(values: np.ndarray) -> float:
         keys = np.trunc(values).astype(np.int64)
     else:
         keys = values.astype(np.int64)
-    _, counts = np.unique(keys, return_counts=True)
+    # bincount fast path for the common case (small non-negative int keys:
+    # degrees, clause sizes); np.unique's sort otherwise
+    kmin = keys.min()
+    kmax = keys.max()
+    if kmax - kmin < (keys.size << 4) + 1024:
+        counts = np.bincount(keys - kmin)
+        counts = counts[counts > 0]
+    else:
+        _, counts = np.unique(keys, return_counts=True)
     k = counts.size
     if k <= 1:
         return 0.0
@@ -55,13 +63,21 @@ def push_distribution(values: np.ndarray) -> list[float]:
 
     Mirrors /root/reference/src/extract/Util.h:121-134.
     """
-    if values.size == 0:
+    n = values.size
+    if n == 0:
         return [0.0, 0.0, 0.0, 0.0, 0.0]
+    # low-overhead equivalents of np.mean / np.var(ddof=0): same pairwise
+    # add.reduce and the same two-pass formulation, minus the dispatch
+    # machinery — bit-identical results on real input
+    v = values.astype(np.float64, copy=False)
+    mean = np.add.reduce(v) / n
+    d = v - mean
+    var = np.add.reduce(d * d) / n
     return [
-        float(np.mean(values)),
-        float(np.var(values)),
-        float(np.min(values)),
-        float(np.max(values)),
+        float(mean),
+        float(var),
+        float(v.min()),
+        float(v.max()),
         scaled_entropy(values),
     ]
 
