@@ -353,6 +353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seqs = tables.documents_as_sequences(spark, sf_dir)
         return extract.with_cnf2kis_counts(seqs).select("doc_id", "kis.*")
 
+    def q_cnf2kis_edges_docs(spark, sf_dir):  # rows-only (pytest-oracled)
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        return extract.cnf2kis_edges(seqs.limit(50))
+
     def q_wcnf_features_synth(spark, sf_dir):  # rows-only (pytest-oracled)
         from gbdc_spark.sources.synth import gen_wcnf_pdf
 
@@ -436,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isohash_docs": q_isohash_docs,
         "sanitize_docs": q_sanitize_docs,
         "cnf2kis_docs": q_cnf2kis_docs,
+        "cnf2kis_edges_docs": q_cnf2kis_edges_docs,
         "wcnf_features_synth": q_wcnf_features_synth,
         "opb_features_synth": q_opb_features_synth,
         "pqbfhash_synth": q_pqbfhash_synth,

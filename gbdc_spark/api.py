@@ -283,29 +283,12 @@ def cnf2kis(
                 result["hash"] = "fileout"
                 return result
 
-            clauses = _transforms.cnfformula_sanitize(toks)
             lines = [
                 f"c satisfiable iff maximum independent set size is {counts['k']}",
                 "c kis nNodes nEdges k",
                 f"p kis {counts['nodes']} {counts['edges']} {counts['k']}",
             ]
-            # cliques per clause; node ids assigned per literal occurrence
-            lit2nodes: dict[int, list[int]] = {}
-            node_id = 1
-            for cl in clauses:
-                for i, lit in enumerate(cl):
-                    lit2nodes.setdefault(lit, []).append(node_id + i)
-                    for j in range(i + 1, len(cl)):
-                        a, b = node_id + i, node_id + j
-                        lines.append(f"{a} {b} 0")
-                        lines.append(f"{b} {a} 0")
-                node_id += len(cl)
-            n_vars = max((abs(l) for cl in clauses for l in cl), default=0)
-            for v in range(1, n_vars + 1):
-                for n1 in lit2nodes.get(v, []):
-                    for n2 in lit2nodes.get(-v, []):
-                        lines.append(f"{n1} {n2} 0")
-                        lines.append(f"{n2} {n1} 0")
+            lines += [f"{a} {b} 0" for a, b in _transforms.cnf2kis_edges(toks).tolist()]
             payload = "\n".join(lines) + "\n"
             if flim and len(payload) > flim * 1024 * 1024:
                 raise OSError("file size limit")

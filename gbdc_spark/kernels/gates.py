@@ -151,6 +151,13 @@ class GateStructure:
         self.gate_type = np.zeros(n_vars + 1, dtype=np.int8)  # per var
         self.gate_inp: dict[int, list[int]] = {}  # var -> input packed lits
         self.root_lits: list[int] = []  # concat of root clause lits (packed)
+        self.clauses: list[list[int]] = []  # sanitized clauses, packed lits
+        self.root_cids: list[int] = []  # clause ids added as roots
+        self.remainder: list[int] = []  # clause ids outside gate structure
+        self.gate_out: dict[int, int] = {}  # var -> output packed lit
+        self.gate_fwd: dict[int, list[int]] = {}
+        self.gate_bwd: dict[int, list[int]] = {}
+        self.gate_not_mono: dict[int, bool] = {}
 
 
 def analyze_gates(tokens, patterns: bool = True, semantic: bool = True,
@@ -163,6 +170,7 @@ def analyze_gates(tokens, patterns: bool = True, semantic: bool = True,
         max_rounds = n_vars // 3  # CNFGateFeatures.h:74
 
     gf = GateStructure(n_vars)
+    gf.clauses = clauses
     n_lits = 2 * n_vars + 2
     index: list[list[int]] = [[] for _ in range(n_lits)]  # packed lit -> clause ids
     unitc: list[int] = []
@@ -293,7 +301,11 @@ def analyze_gates(tokens, patterns: bool = True, semantic: bool = True,
         var = out >> 1
         gf.gate_type[var] = gtype
         gf.gate_inp[var] = inp
+        gf.gate_out[var] = out
+        gf.gate_fwd[var] = fwd
+        gf.gate_bwd[var] = bwd
         not_mono = not (not inputs[out] or not inputs[out ^ 1])
+        gf.gate_not_mono[var] = not_mono
         for lit in inp:
             inputs[lit] = True
             if not_mono:
@@ -308,6 +320,7 @@ def analyze_gates(tokens, patterns: bool = True, semantic: bool = True,
         candidates: list[int] = []
         for cid in roots:
             gf.n_roots += 1
+            gf.root_cids.append(cid)
             for lit in clauses[cid]:
                 inputs[lit] = True
                 gf.root_lits.append(lit)
@@ -322,6 +335,13 @@ def analyze_gates(tokens, patterns: bool = True, semantic: bool = True,
             candidates = list(frontier)
         roots = estimate_roots()
         rounds += 1
+    # remainder = clauses still indexed anywhere (GateAnalyzer.h:94-97;
+    # the reference uses an unordered_set — we keep first-seen order)
+    seen: dict[int, None] = {}
+    for lst in index:
+        for cid in lst:
+            seen[cid] = None
+    gf.remainder = list(seen)
     return gf
 
 
@@ -358,3 +378,83 @@ def gate_features(tokens, semantic: bool = True) -> np.ndarray:
     for t in (NONE, GENERIC, MONO, AND, OR, TRIV, EQIV, FULL):
         feats += push_distribution(np.asarray(by_type[t], dtype=np.float64))
     return np.asarray(feats, dtype=np.float64)
+
+
+def _dimacs_of(packed: int) -> int:
+    v = packed >> 1
+    return -v if packed & 1 else v
+
+
+def normalize_roots(gf: GateStructure) -> tuple[int, list[list[int]]]:
+    """GateFormula::normalizeRoots (GateFormula.h:185-201): fold all root
+    and remainder clauses into one artificial AND gate over a fresh
+    variable; returns (root_var, its fwd clauses in DIMACS ints).
+
+    Side effects mirror the reference: the fresh gate is recorded, the
+    old roots+remainder are consumed, and the only root becomes the unit
+    clause [root_var].
+    """
+    root_var = gf.n_vars + 1
+    folded = gf.root_cids + gf.remainder
+    fwd_dimacs: list[list[int]] = []
+    inp: dict[int, None] = {}
+    fwd_ids: list[int] = []
+    for cid in folded:
+        for lit in gf.clauses[cid]:
+            inp[lit] = None
+        new_cl = gf.clauses[cid] + [2 * root_var + 1]  # append ~root
+        fwd_ids.append(len(gf.clauses))
+        gf.clauses.append(new_cl)
+        fwd_dimacs.append([_dimacs_of(l) for l in new_cl])
+    gf.gate_type = np.concatenate([gf.gate_type, np.zeros(1, dtype=np.int8)])
+    gf.n_vars = root_var
+    gf.gate_type[root_var] = MONO  # defined, monotonic artificial root
+    gf.gate_out[root_var] = 2 * root_var
+    gf.gate_fwd[root_var] = fwd_ids
+    gf.gate_bwd[root_var] = []
+    gf.gate_not_mono[root_var] = False
+    gf.gate_inp[root_var] = sorted(inp)
+    root_cid = len(gf.clauses)
+    gf.clauses.append([2 * root_var])
+    gf.root_cids = [root_cid]
+    gf.remainder = []
+    gf.root_lits = [2 * root_var]
+    gf.n_roots = 1
+    gf.artificial_root = True
+    return root_var, fwd_dimacs
+
+
+def get_pruned_problem(gf: GateStructure, model) -> list[list[int]]:
+    """GateFormula::getPrunedProblem (GateFormula.h:208-240): the clauses
+    of all satisfied branches of the circuit under ``model``.
+
+    ``model`` is indexable by packed literal (model[lit] truthy iff the
+    literal is satisfied), mirroring the reference's ``model[o]`` lookup.
+
+    Knowing deviation: the reference appends gate clauses with
+    ``std::copy(..., result.end())`` WITHOUT an inserter
+    (GateFormula.h:222-224) — undefined behavior that in practice never
+    grows the vector, so its pruned problem silently lacks the gate
+    clauses.  We implement the evident intent (append).
+    Skips don't-care branches: a gate is descended only if it has a
+    non-monotonic parent or its output literal is satisfied; bwd clauses
+    are included only for non-monotonic gates (blocked-clause
+    elimination).  Returns DIMACS clause lists: roots first, then
+    included gate clauses, then remainder.
+    """
+    result = [list(gf.clauses[cid]) for cid in gf.root_cids]
+    literals: list[int] = sorted({l for cid in gf.root_cids for l in gf.clauses[cid]})
+    visited = np.zeros(gf.n_vars + 2, dtype=bool)
+    while literals:
+        o = literals.pop()
+        var = o >> 1
+        if var > gf.n_vars or gf.gate_type[var] == NONE:
+            continue
+        if not visited[var] and (gf.gate_not_mono[var] or model[o]):
+            result.extend(list(gf.clauses[c]) for c in gf.gate_fwd[var])
+            if gf.gate_not_mono[var]:
+                result.extend(list(gf.clauses[c]) for c in gf.gate_bwd[var])
+            literals.extend(gf.gate_inp[var])
+            visited[var] = True
+    result.extend(list(gf.clauses[cid]) for cid in gf.remainder)
+    return [[_dimacs_of(l) for l in cl] for cl in result]

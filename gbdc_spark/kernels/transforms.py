@@ -155,3 +155,30 @@ def cnf2kis_counts(tokens) -> dict[str, int]:
         n_edges += p * neg_occ.get(v, 0)
     n_edges *= 2
     return {"nodes": n_nodes, "edges": n_edges, "k": len(clauses)}
+
+
+def cnf2kis_edges(tokens) -> np.ndarray:
+    """Edge list (n, 2) of the k-ISP graph, both directions, in the
+    reference's emission order: clause-clique pairs first (i<j then the
+    swap), then opposite-literal pairs per variable ascending
+    (IndependentSet.h:72-113).  One node per literal occurrence of the
+    CNFFormula-sanitized view, ids assigned clause-major."""
+    clauses = cnfformula_sanitize(tokens)
+    lit2nodes: dict[int, list[int]] = {}
+    edges: list[tuple[int, int]] = []
+    node_id = 1
+    for cl in clauses:
+        for i, lit in enumerate(cl):
+            lit2nodes.setdefault(lit, []).append(node_id + i)
+            for j in range(i + 1, len(cl)):
+                a, b = node_id + i, node_id + j
+                edges.append((a, b))
+                edges.append((b, a))
+        node_id += len(cl)
+    n_vars = max((abs(l) for cl in clauses for l in cl), default=0)
+    for v in range(1, n_vars + 1):
+        for n1 in lit2nodes.get(v, []):
+            for n2 in lit2nodes.get(-v, []):
+                edges.append((n1, n2))
+                edges.append((n2, n1))
+    return np.asarray(edges, dtype=np.int64).reshape(-1, 2)

@@ -48,6 +48,7 @@ __all__ = [
     "relabel_variables",
     "check_sanitized",
     "with_cnf2kis_counts",
+    "cnf2kis_edges",
     "extract_all",
     "EXTRACT_ALL_FIELDS",
 ]
@@ -238,6 +239,25 @@ def with_cnf2kis_counts(df: DataFrame, tokens_col: str = "tokens", out: str = "k
     multiplies data size, so it is exposed separately (explode on demand);
     the counts are what gbdlib returns (gbdlib.cc:249-298)."""
     return df.withColumn(out, _cnf2kis_udf(F.col(tokens_col)))
+
+
+def cnf2kis_edges(df: DataFrame, key: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
+    """Exploded k-ISP edge list (key, a, b) — the explode-on-demand side
+    of cnf2kis (IndependentSet.h:72-113): edges multiply data size, so
+    generation happens inside the worker and only when asked for."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for k, t in zip(pdf[key], pdf[tokens_col]):
+                e = transforms.cnf2kis_edges(np.asarray(t, dtype=np.int64))
+                frames.append(pd.DataFrame({key: k, "a": e[:, 0], "b": e[:, 1]}))
+            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                columns=[key, "a", "b"]
+            )
+
+    return df.select(key, tokens_col).mapInPandas(run, schema=f"{key} string, a long, b long")
 
 
 # ----------------------------------------------------- fused hot path

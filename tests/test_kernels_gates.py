@@ -142,3 +142,65 @@ def test_determinism():
 
     t = gen_cnf_tokens(seed=3, idx=5)
     assert np.array_equal(gate_features(t), gate_features(t))
+
+
+def test_normalize_roots_folds_everything():
+    from gbdc_spark.kernels.gates import get_pruned_problem, normalize_roots
+
+    # (1), 1=AND(2,3), plus an unrelated remainder clause over var 4,5
+    t = toks((1,), (-1, 2), (-1, 3), (1, -2, -3), (4, 5), (-4, 5))
+    g = analyze_gates(t)
+    n_rem = len(g.remainder)
+    root_var, fwd = normalize_roots(g)
+    assert root_var == 6  # fresh variable = n_vars + 1
+    assert g.n_roots == 1 and g.remainder == []
+    # every folded clause got ~root appended
+    assert all(cl[-1] == -root_var for cl in fwd)
+    assert len(fwd) == 1 + n_rem  # old root + remainder
+    assert g.gate_type[root_var] == MONO
+
+
+def test_pruned_problem_skips_dont_cares():
+    from gbdc_spark.kernels.gates import get_pruned_problem
+
+    # (1), 1=AND(2,3) [MONO], 2=OR(4,5) [MONO under it]
+    t = toks((1,), (-1, 2), (-1, 3), (1, -2, -3), (-2, 4, 5), (2, -4), (2, -5))
+    g = analyze_gates(t)
+
+    def model_from(true_lits):
+        m = [False] * (2 * g.n_vars + 2)
+        for lit in true_lits:
+            enc = 2 * abs(lit) + (1 if lit < 0 else 0)
+            m[enc] = True
+        return m
+
+    # all outputs true: both gates descended; monotonic -> fwd only
+    pruned = get_pruned_problem(g, model_from([1, 2, 3, 4]))
+    assert [1] in pruned
+    assert [-1, 2] in pruned and [-1, 3] in pruned  # AND fwd
+    assert [-2, 4, 5] in pruned  # OR fwd
+    assert [1, -2, -3] not in pruned  # bwd excluded (monotonic)
+
+    # output 2 false in the model: the OR gate is a don't-care -> skipped
+    pruned2 = get_pruned_problem(g, model_from([1, -2, 3]))
+    assert [-2, 4, 5] not in pruned2
+    assert [-1, 2] in pruned2
+
+
+def test_remainder_collects_unassigned_clauses():
+    # Root estimation runs n_vars//3 rounds (CNFGateFeatures.h:74), each
+    # popping one literal group; the loop's FINAL estimateRoots() also
+    # pops a group that is then never processed (faithful quirk:
+    # GateAnalyzer.h:77-90 fetches roots destructively before checking
+    # the round budget).  With n_vars=13 -> 4 rounds: units, (12,13),
+    # (10,11), (8,9) are consumed; (6,7) is popped-and-lost; the (4,5)
+    # group must land in the remainder.
+    t = toks(
+        (1,), (-1, 2), (-1, 3), (1, -2, -3),
+        (12, 13), (-12, 13), (10, 11), (-10, 11),
+        (8, 9), (-8, 9), (6, 7), (-6, 7), (4, 5), (-4, 5),
+    )
+    g = analyze_gates(t)
+    rem = sorted(tuple(g.clauses[c]) for c in g.remainder)
+    enc = lambda v: 2 * v  # noqa: E731 — positive literal encoding
+    assert rem == sorted([(enc(4), enc(5)), (enc(4) + 1, enc(5))])

@@ -151,3 +151,19 @@ def test_pqbf_hash_stage_matches_kernel(spark):
     for r in rows[:10]:
         idx = int(r["doc_id"][3:])
         assert r["pqbfhash"] == hashes.gbdhash_pqbf_text(pdf.iloc[idx]["payload"])
+
+
+def test_cnf2kis_edges_stage(spark):
+    df = tables.synth_sequences_df(spark, 12)
+    edges = extract.cnf2kis_edges(df).toPandas()
+    counts = extract.with_cnf2kis_counts(df).select("doc_id", "kis.*").toPandas()
+    got = edges.groupby("doc_id").size().to_dict()
+    for _, r in counts.iterrows():
+        assert got.get(r["doc_id"], 0) == r["edges"]
+    # spot-check exact pairs vs the kernel on one doc
+    d0 = sorted(got)[0] if got else None
+    if d0 is not None:
+        t = synth.gen_cnf_tokens(seed=42, idx=int(d0[3:]))
+        want = transforms.cnf2kis_edges(np.asarray(t, dtype=np.int64))
+        sub = edges[edges["doc_id"] == d0][["a", "b"]].to_numpy()
+        assert sorted(map(tuple, sub.tolist())) == sorted(map(tuple, want.tolist()))
