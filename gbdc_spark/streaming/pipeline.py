@@ -88,3 +88,68 @@ def run_file_stream(
         .start()
     )
     return q
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    key_col: str = "gbdhash",
+    bucket_col: str = "_bucket",
+    buckets: int = 64,
+    timeout_minutes: int = 0,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    exact-dedup across micro-batches — the first row per content key ever
+    seen passes through, later duplicates are dropped.
+
+    State design for scale: grouping is on ``pmod(xxhash64(key), buckets)``
+    — NOT the raw key — so state rows stay O(buckets) GroupState entries
+    each holding its bucket's seen-key set; a heavy key cannot create a
+    hot group because identical keys always land in one bucket where the
+    dedup is a set lookup.  ``timeout_minutes`` > 0 expires idle buckets
+    (bounded state for unbounded streams).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream_df.schema
+    cols = [f.name for f in out_schema.fields]
+    state_schema = "seen array<string>"
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            mask = []
+            for k in pdf[key_col]:
+                if k in seen:
+                    mask.append(False)
+                else:
+                    seen.add(k)
+                    mask.append(True)
+            out = pdf[pd.Series(mask, index=pdf.index)]
+            if len(out):
+                yield out[cols]
+        state.update((list(seen),))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    bucketed = stream_df.withColumn(
+        bucket_col, F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        bucketed.groupBy(bucket_col)
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

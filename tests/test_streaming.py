@@ -76,3 +76,48 @@ def test_stream_sessionize_matches_batch_on_closed_sessions(spark, seq_dir, tmp_
     assert len(stream_counts) == len(batch_counts)
     # session_window start == first event ts of the batch session
     assert stream_counts == batch_counts
+
+
+def test_stream_dedup_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState: duplicates are dropped WITHIN a batch and
+    ACROSS micro-batches (state persists via the checkpoint)."""
+    import pandas as pd
+
+    in_dir = str(tmp_path / "dedup_in")
+    out_dir = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    schema = "doc_id string, gbdhash string"
+
+    # batch 1: keys A,B,A (intra-batch dup)
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["d1", "d2", "d3"], "gbdhash": ["A", "B", "A"]})
+    ).write.parquet(in_dir)
+
+    def run_once():
+        src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 100).parquet(in_dir)
+        q = (
+            sp.stream_dedup(src, key_col="gbdhash")
+            .drop("_bucket")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    got1 = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got1["gbdhash"]) == ["A", "B"]
+
+    # batch 2 (new files, restart from checkpoint): A,C — A must be
+    # remembered from batch 1 and dropped
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["d4", "d5"], "gbdhash": ["A", "C"]})
+    ).write.mode("append").parquet(in_dir)
+    run_once()
+    got2 = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got2["gbdhash"]) == ["A", "B", "C"]
+    assert "d4" not in set(got2["doc_id"])  # the duplicate A
