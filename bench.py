@@ -42,6 +42,9 @@ HEADLINE = [
     "minhash_pairs",
     "cosine_topk",
     "text_stats",
+    "sessionize_scalable",
+    "gate_features_docs",
+    "ngram_jaccard",
 ]
 
 
