@@ -397,6 +397,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return mm.video_frame_sample(mm.synth_media_df(spark, 120, seed=3), every_n=4)
 
+    def q_curation_pipeline(spark, sf_dir):  # DuckDB-oracled E2E funnel
+        from gbdc_spark.plans.curation import run_curation
+
+        return run_curation(spark, sf_dir)
+
     def q_flagship_pipeline(spark, sf_dir):  # rows-only (E2E as-of+window)
         from gbdc_spark.plans.flagship import run_flagship
 
@@ -448,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
         "media_frame_sample": q_media_frame_sample,
+        "curation_pipeline": q_curation_pipeline,
         "flagship_pipeline": q_flagship_pipeline,
     }
 
@@ -722,6 +728,58 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
                 FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
             WHERE cosine >= 0.5
+        """,
+        "curation_pipeline": f"""
+            WITH keepers AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            quality AS (
+                SELECT d.doc_id, d.text, len(words) AS n_words,
+                       round(list_sum(list_transform(words, w ->
+                             CASE WHEN w IN {_STOPWORDS_SQL} THEN 1 ELSE 0 END))
+                             / len(words), 6) AS stopword_ratio
+                FROM (SELECT doc_id, text, str_split(text, ' ') AS words
+                      FROM documents) d JOIN keepers USING (doc_id)
+                WHERE len(words) >= 10
+                  AND list_sum(list_transform(words, w ->
+                        CASE WHEN w IN {_STOPWORDS_SQL} THEN 1 ELSE 0 END))
+                      / len(words) <= 0.65),
+            sh AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+                           i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')) AS shingles
+                FROM quality),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 8), j ->
+                           list_min(list_transform(shingles,
+                               s -> md5(concat(CAST(j AS VARCHAR), ':', s))))) AS mh
+                FROM sh),
+            banded AS (
+                SELECT doc_id, b.band,
+                       concat(mh[b.band * 2 + 1], '|', mh[b.band * 2 + 2]) AS bkey
+                FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM banded l JOIN banded r
+                  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+            sh3 AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+                           i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' '))) AS s
+                FROM quality),
+            losers AS (
+                SELECT DISTINCT c.b AS doc_id
+                FROM cand c JOIN sh3 x ON x.doc_id = c.a JOIN sh3 y ON y.doc_id = c.b
+                WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) >= 0.7)
+            SELECT q.doc_id, q.n_words, q.stopword_ratio,
+                   len(str_split(d.text, ' ')) AS n_ws_tokens,
+                   CAST(ceil(length(d.text) / 4.0) AS BIGINT) AS n_bpe_est,
+                   md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS fingerprint
+            FROM quality q JOIN documents d USING (doc_id)
+            WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "gbdhash_docs": f"""
             SELECT {_DOC_KEY} AS doc_id,
