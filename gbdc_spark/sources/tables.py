@@ -19,7 +19,13 @@ from ..functions import bind_once, ensure_parallelism
 from ..schemas import SEQUENCES_SCHEMA
 from . import synth
 
-__all__ = ["load", "synth_sequences_df", "synth_snapshots_df", "documents_as_sequences"]
+__all__ = [
+    "load",
+    "register_views",
+    "synth_sequences_df",
+    "synth_snapshots_df",
+    "documents_as_sequences",
+]
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -28,6 +34,20 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[str]:
+    """Register every testdata table (plus the tokenized ``sequences``
+    view) as temp views so the whole engine is reachable from
+    ``spark.sql`` — the declarative surface Catalyst optimizes like any
+    DataFrame program."""
+    names = []
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(prefix + t)
+        names.append(prefix + t)
+    documents_as_sequences(spark, sf_dir).createOrReplaceTempView(prefix + "sequences")
+    names.append(prefix + "sequences")
+    return names
 
 
 def synth_sequences_df(spark: SparkSession, n_docs: int, seed: int = 42,

@@ -167,3 +167,16 @@ def test_cnf2kis_edges_stage(spark):
         want = transforms.cnf2kis_edges(np.asarray(t, dtype=np.int64))
         sub = edges[edges["doc_id"] == d0][["a", "b"]].to_numpy()
         assert sorted(map(tuple, sub.tolist())) == sorted(map(tuple, want.tolist()))
+
+
+def test_register_views_sql_surface(spark):
+    names = tables.register_views(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "sequences" in names
+    r = spark.sql(
+        "SELECT count(*) AS n, sum(n_tok) AS toks FROM sequences WHERE source IS NOT NULL"
+    ).first()
+    assert r["n"] > 0 and r["toks"] > 0
+    r2 = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    ).count()
+    assert r2 > 0
