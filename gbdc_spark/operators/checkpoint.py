@@ -42,13 +42,21 @@ __all__ = [
 ]
 
 
-def row_hash(df: DataFrame, cols: list[str] | None = None) -> F.Column:
+def row_hash(df: DataFrame, cols: list[str] | None = None,
+             stable_strings: bool = False) -> F.Column:
     """Order-insensitive 64-bit row fingerprint over ``cols`` (default:
-    every column, name-sorted so schema reordering doesn't change it)."""
+    every column, name-sorted so schema reordering doesn't change it).
+
+    Native-type hashing by default (one codegen'd xxhash64 over all
+    columns — ~65 string casts per row would dominate the hash job).
+    ``stable_strings=True`` casts through strings first, which keeps the
+    hash identical across physical float encodings (float32-written vs
+    float64-read tables) at that extra cost.
+    """
     cols = sorted(cols or df.columns)
-    # cast to string first: xxhash64 of a double column differs between
-    # float32/float64 physical encodings; the string form is stable
-    return F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    if stable_strings:
+        return F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    return F.xxhash64(*[F.col(c) for c in cols])
 
 
 def content_hash(df: DataFrame, cols: list[str] | None = None) -> int:

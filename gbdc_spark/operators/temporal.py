@@ -47,6 +47,7 @@ def asof_join(
     buckets: int | None = None,
     tolerance: pd.Timedelta | None = None,
     right_tiebreak: list[str] | None = None,
+    narrow_key: list[str] | None = None,
 ) -> DataFrame:
     """Left as-of join: each left row gets the latest right row with
     ``right_ts < left_ts`` (strictly prior by default ⇒ zero temporal
@@ -54,7 +55,28 @@ def asof_join(
 
     Right-side columns other than (by, right_ts) are carried over and must
     not collide with left column names.
+
+    ``narrow_key``: columns that uniquely key the left rows.  When set,
+    only (by, left_ts, narrow_key) cross the Arrow boundary into the
+    cogrouped merge; the wide payload is re-attached with an equi-join.
+    Trade-off, measured on the flagship: the cogroup shuffles the wide
+    table exactly once either way, so narrowing ADDS a sort+join of the
+    wide side — it only pays off when the Python-side cost (payload much
+    wider than here, or pandas memory pressure) dominates the extra JVM
+    join.  The flagship therefore uses the wide path; the option exists
+    for payload-heavy schemas.
     """
+    if narrow_key:
+        slim_cols = list(dict.fromkeys([by, left_ts, *narrow_key]))
+        core = asof_join(
+            left.select(*slim_cols), right, by=by, left_ts=left_ts,
+            right_ts=right_ts, allow_exact_matches=allow_exact_matches,
+            buckets=buckets, tolerance=tolerance, right_tiebreak=right_tiebreak,
+        )
+        attach_cols = list(dict.fromkeys(narrow_key)) + [
+            f.name for f in right.schema.fields if f.name != by
+        ]
+        return left.join(core.select(*attach_cols), on=list(narrow_key), how="left")
     if buckets is None:
         buckets = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     lb = left.withColumn("_b", F.pmod(F.xxhash64(F.col(by)), F.lit(buckets)))
