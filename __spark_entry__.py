@@ -231,6 +231,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
 
+    def q4_order_priority(spark, sf_dir):
+        # TPC-H Q4 shape: EXISTS correlated subquery as a left-semi join
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_shipdate"
+        )
+        # correlated EXISTS: an item shipped after the order date
+        return (
+            o.join(
+                li,
+                (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+                "left_semi",
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+        )
+
+    def q13_custdist(spark, sf_dir):
+        # TPC-H Q13 shape: outer join, per-customer count, distribution
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        per_cust = (
+            c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+    def q_value_deciles(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+        return ev.select(
+            "event_id", "event_type", F.ntile(10).over(w).alias("decile")
+        )
+
     def q_anti_join(spark, sf_dir):
         c = spark.read.parquet(f"{sf_dir}/customer.parquet")
         o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -422,6 +459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_segment_revenue": q3_segment_revenue,
         "region_revenue": q_region_revenue,
         "rollup_orders": q_rollup_orders,
+        "q4_order_priority": q4_order_priority,
+        "q13_custdist": q13_custdist,
+        "value_deciles": q_value_deciles,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "dedup_exact": q_dedup_exact,
@@ -596,6 +636,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n, round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q13_custdist": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "value_deciles": """
+            SELECT event_id, event_type,
+                   CAST(ntile(10) OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS INTEGER) AS decile
+            FROM events
         """,
         "anti_join": """
             SELECT c_custkey, c_name FROM customer
