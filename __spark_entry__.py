@@ -352,6 +352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = similarity.centroids_from_rows(e, list(range(8)))
         return similarity.ivf_topk(e, cents, _query_vec(spark, sf_dir), k=5, n_probe=2)
 
+    def q_ivf_trained_topk(spark, sf_dir):  # rows-only (k-means IVF)
+        e = _emb(spark, sf_dir)
+        cents = similarity.kmeans_fit(e, k=4, iters=2)
+        return similarity.ivf_topk(e, cents, _query_vec(spark, sf_dir), k=5, n_probe=2)
+
     # --------------- sequences (tokens) — reference ops ----------------
     def q_gbdhash_docs(spark, sf_dir):
         seqs = tables.documents_as_sequences(spark, sf_dir)
@@ -478,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
+        "ivf_trained_topk": q_ivf_trained_topk,
         "gbdhash_docs": q_gbdhash_docs,
         "normalize_docs": q_normalize_docs,
         "base_counts_docs": q_base_counts_docs,

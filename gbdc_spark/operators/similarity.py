@@ -87,3 +87,53 @@ def ivf_topk(df: DataFrame, centroids: DataFrame, query: list[float], k: int = 5
     assigned = ivf_assign(df, centroids, key, vec_col)
     cand = df.join(assigned.filter(F.col("cell").isin(probe_cells)).select(key), key)
     return cosine_topk(cand, query, k, key, vec_col)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained IVF centroids: distributed Lloyd's k-means on the unit
+    sphere (spherical k-means — assignments by cosine, centroids
+    re-normalized each round).
+
+    Scale shape per iteration: one broadcast of the k×d centroid table,
+    one max-cosine assignment (window over k candidates per row), one
+    explode to (cell, dim, value) with MAP-SIDE partial aggregation — the
+    shuffle carries at most k×d rows per upstream partition, never the
+    data.  Deterministic: seeded from the first k rows by key, ties break
+    to the smallest cell id, per-dimension sums are Spark partial-agg
+    (integer counts + double sums whose grouping is exact).
+    """
+    cents = centroids_from_rows(df, list(range(k)), key=key, vec_col=vec_col)
+    dims = F.size(_to_double(F.col(vec_col)))
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, key=key, vec_col=vec_col)
+        joined = df.join(assigned.select(key, "cell"), on=key)
+        exploded = joined.select(
+            "cell", F.posexplode(_to_double(F.col(vec_col))).alias("dim", "val")
+        )
+        sums = exploded.groupBy("cell", "dim").agg(
+            F.sum("val").alias("s"), F.count("*").alias("n")
+        )
+        new_cents = (
+            sums.withColumn("mean", F.col("s") / F.col("n"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
+            .select(
+                "cell",
+                F.transform(F.col("dm"), lambda x: x["mean"]).alias("centroid"),
+            )
+        )
+        # L2-normalize (spherical k-means keeps cosine semantics exact)
+        norm = F.sqrt(
+            F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        cents = new_cents.select(
+            "cell",
+            F.transform(F.col("centroid"), lambda x: x / norm).alias("centroid"),
+        )
+    return cents
