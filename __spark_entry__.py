@@ -385,10 +385,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seqs = tables.documents_as_sequences(spark, sf_dir)
         return extract.with_isohash(seqs).select("doc_id", "isohash")
 
-    def q_sanitize_docs(spark, sf_dir):  # rows-only (token-array invariant in pytest)
+    def q_sanitize_docs(spark, sf_dir):
+        # hashable projection of the sanitized token stream: the driver's
+        # canonicalizer sorts columns and cannot hash raw array cells
+        # (exact token-array equality stays in pytest)
         seqs = tables.documents_as_sequences(spark, sf_dir)
-        return extract.check_sanitized(extract.sanitize(seqs, out="tokens_sane")).select(
-            "doc_id", "tokens_sane", "is_sanitized"
+        out = extract.check_sanitized(extract.sanitize(seqs, out="tokens_sane"))
+        return out.select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.col("tokens_sane"))).alias("sane_hash"),
+            F.size("tokens_sane").alias("n_sane_tok"),
+            F.col("is_sanitized").cast("int").alias("is_sanitized"),
         )
 
     def q_cnf2kis_docs(spark, sf_dir):  # rows-only (pytest-oracled)
@@ -400,9 +407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract.cnf2kis_edges(seqs.limit(50))
 
     def q_wcnf_features_synth(spark, sf_dir):  # rows-only (pytest-oracled)
-        from gbdc_spark.sources.synth import gen_wcnf_pdf
+        from gbdc_spark.sources.synth import WCNF_SCHEMA, gen_wcnf_pdf
 
-        df = spark.createDataFrame(gen_wcnf_pdf(200))
+        df = spark.createDataFrame(gen_wcnf_pdf(200), schema=WCNF_SCHEMA)
         out = extract.with_wcnf_hashes(extract.with_wcnf_base_features(df))
         return out.select("doc_id", "wcnfhash", "wcnfisohash", "features.*")
 

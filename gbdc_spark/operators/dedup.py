@@ -156,19 +156,45 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") ->
 
 
 def simhash_near_dups(df: DataFrame, key: str = "doc_id", text_col: str = "text",
-                      max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the high 16 bits (near-dups
-    almost always share the prefix), verify hamming distance inside
-    buckets via bit_count(xor)."""
-    h = with_simhash(df, text_col).select(key, "simhash").withColumn(
-        "bucket", F.shiftrightunsigned(F.col("simhash"), 48)
+                      max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash with FULL recall for ``max_hamming <
+    bands``: the 64-bit hash splits into ``bands`` equal bit-bands and
+    pairs join on ANY equal band — by pigeonhole, <= max_hamming differing
+    bits cannot touch every one of bands > max_hamming bands, so every
+    qualifying pair shares at least one band key.  Verify =
+    bit_count(xor) inside buckets; duplicates from multi-band matches
+    collapse with one distinct.  (A single prefix bucket — the round-1
+    version — missed any pair whose differing bits hit the prefix.)"""
+    assert max_hamming < bands, "full recall needs bands > max_hamming"
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = with_simhash(df, text_col).select(key, "simhash")
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bkey"),
+            )
+            for b in range(bands)
+        ]
     )
-    l, r = h.alias("l"), h.alias("r")
+    banded = h.select(key, "simhash", F.explode(band_arr).alias("bk")).select(
+        key, "simhash", "bk.band", "bk.bkey"
+    )
+    l, r = banded.alias("l"), banded.alias("r")
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{key}") < F.col(f"r.{key}")))
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
         .withColumn("hamming", F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))))
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"), "hamming")
+        .distinct()
     )
 
 

@@ -159,12 +159,19 @@ def gen_wcnf_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
             {
                 "doc_id": f"wcnf{idx:06d}",
                 "fmt": "old" if old else "new",
-                "top": np.int64(top),
-                "weights": np.asarray(weights, dtype=np.int64),
-                "tokens": np.asarray(toks, dtype=np.int32),
+                "top": int(top),
+                # plain-list cells: spark.createDataFrame can't infer a type
+                # for numpy arrays in object columns without Arrow enabled
+                "weights": [int(w) for w in weights],
+                "tokens": [int(t) for t in toks],
             }
         )
     return pd.DataFrame(rows)
+
+
+WCNF_SCHEMA = (
+    "doc_id string, fmt string, top long, weights array<long>, tokens array<int>"
+)
 
 
 def gen_opb_payload(seed: int, idx: int) -> str:
