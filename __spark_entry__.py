@@ -42,6 +42,60 @@ _DOC_KEY = "concat('doc', lpad(CAST(doc_id AS VARCHAR), 8, '0'))"
 _STOPWORDS_SQL = "('the','and','of','to','a','in','is','it','for','on')"
 
 
+def _duck_clause_cte(doc_src: str = "documents") -> str:
+    """Shared CTE chain: token rows with clause ids, first-occurrence
+    dedup (``kept``) and tautology-free clauses (``good``) — the SQL
+    mirror of kernels/transforms.sanitize_tokens / cnfformula_sanitize
+    (dedup within clause; a clause containing any literal in both
+    polarities is dropped; this derivation rule produces no empty
+    clauses, so clause survival == having kept literals)."""
+    return f"""
+    t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks FROM {doc_src}),
+    u AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+    cl AS (
+        SELECT doc_id, tok, pos,
+               sum(CASE WHEN tok = 0 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - CASE WHEN tok = 0 THEN 1 ELSE 0 END AS cid
+        FROM u),
+    lits AS (
+        SELECT doc_id, cid, pos, tok,
+               row_number() OVER (PARTITION BY doc_id, cid, tok ORDER BY pos) AS rn
+        FROM cl WHERE tok != 0),
+    kept AS (SELECT doc_id, cid, pos, tok FROM lits WHERE rn = 1),
+    taut AS (
+        SELECT DISTINCT k.doc_id, k.cid
+        FROM kept k JOIN kept k2
+          ON k.doc_id = k2.doc_id AND k.cid = k2.cid AND k2.tok = -k.tok),
+    good AS (SELECT * FROM kept ANTI JOIN taut USING (doc_id, cid))
+    """
+
+
+# 64-bit SimHash in SQL: per word, md5 hex digits -> bits (MSB-first per
+# nibble, matching np.unpackbits over the first 8 digest bytes); per bit,
+# majority vote over words; signed int64 assembled with bit 0 of the
+# kernel's loop at position 63 (the -2^63 term keeps everything in range)
+_DUCK_SIMHASH = """
+    w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+    votes AS (
+        SELECT doc_id, len(words) AS n,
+               list_transform(range(0, 64), j ->
+                   list_sum(list_transform(words, wd ->
+                       ((strpos('0123456789abcdef', substr(md5(wd), CAST(j // 4 AS INTEGER) + 1, 1)) - 1)
+                        >> CAST(3 - (j % 4) AS INTEGER)) & 1))) AS ones
+        FROM w),
+    sims AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 64), j ->
+                   CASE WHEN ones[CAST(j AS INTEGER) + 1] * 2 > n THEN
+                       CASE WHEN j = 0 THEN CAST(-9223372036854775808 AS HUGEINT)
+                            ELSE CAST(CAST(1 AS BIGINT) << CAST(63 - j AS INTEGER) AS HUGEINT) END
+                   ELSE CAST(0 AS HUGEINT) END)) AS BIGINT) AS sim
+        FROM votes)
+    """
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -347,12 +401,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_embedding_near_dups(spark, sf_dir):
         return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.5)
 
-    def q_ivf_topk(spark, sf_dir):  # rows-only (two-stage ANN)
+    def q_ivf_topk(spark, sf_dir):
+        # the at-scale shape: materialize the assignment ONCE partitioned
+        # by cell, then probe = partition-pruned scan of n_probe cells
+        import tempfile
+
         e = _emb(spark, sf_dir)
         cents = similarity.centroids_from_rows(e, list(range(8)))
-        return similarity.ivf_topk(e, cents, _query_vec(spark, sf_dir), k=5, n_probe=2)
+        path = tempfile.mkdtemp(prefix="gbdc_ivf_idx_")
+        similarity.ivf_index_write(e, cents, path)
+        return similarity.ivf_probe(
+            spark, path, cents, _query_vec(spark, sf_dir), k=5, n_probe=2
+        )
 
-    def q_ivf_trained_topk(spark, sf_dir):  # rows-only (k-means IVF)
+    def q_ivf_trained_topk(spark, sf_dir):  # k-means IVF (2 Lloyd rounds)
         e = _emb(spark, sf_dir)
         cents = similarity.kmeans_fit(e, k=4, iters=2)
         return similarity.ivf_topk(e, cents, _query_vec(spark, sf_dir), k=5, n_probe=2)
@@ -402,9 +464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seqs = tables.documents_as_sequences(spark, sf_dir)
         return extract.with_cnf2kis_counts(seqs).select("doc_id", "kis.*")
 
-    def q_cnf2kis_edges_docs(spark, sf_dir):  # rows-only (pytest-oracled)
+    def q_cnf2kis_edges_docs(spark, sf_dir):
+        # deterministic 50-doc slice (limit() order is not contractual)
         seqs = tables.documents_as_sequences(spark, sf_dir)
-        return extract.cnf2kis_edges(seqs.limit(50))
+        return extract.cnf2kis_edges(seqs.filter(F.col("doc_id") < "doc00000050"))
 
     def q_wcnf_features_synth(spark, sf_dir):  # rows-only (pytest-oracled)
         from gbdc_spark.sources.synth import WCNF_SCHEMA, gen_wcnf_pdf
@@ -512,6 +575,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+def _duck_cos(a: str, b: str) -> str:
+    """Rounded cosine — mirrors similarity.cosine_similarity (round 6)."""
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+def _duck_ivf_round(cin: str, aout: str, mout: str, cout: str) -> str:
+    """One Lloyd round (mirror of similarity.kmeans_fit's loop body):
+    max-cosine assignment under ``cin``, per-(cell, dim) mean, L2
+    re-normalization into ``cout``."""
+    cos = _duck_cos("CAST(e.embedding AS DOUBLE[])", "c.centroid")
+    return f"""
+    {aout} AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos} DESC, c.cell) AS rn
+            FROM embeddings e, {cin} c) WHERE rn = 1),
+    {mout} AS (
+        SELECT a.cell, d.dim, sum(d.val) / count(*) AS mean
+        FROM {aout} a JOIN (
+            SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS val,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings) d USING (vec_id)
+        GROUP BY a.cell, d.dim),
+    {cout} AS (
+        SELECT cell,
+               list_transform(cm, x -> x / sqrt(list_sum(list_transform(cm, y -> y * y)))) AS centroid
+        FROM (SELECT cell, list(mean ORDER BY dim) AS cm FROM {mout} GROUP BY cell))
+    """
+
+
+def _duck_ivf_topk_tail(cents: str, n_probe: int = 2, k: int = 5) -> str:
+    """Probe-cells + in-cell brute force under centroid CTE ``cents``."""
+    ccos = _duck_cos("c.centroid", "q.qv")
+    ecos = _duck_cos("CAST(e.embedding AS DOUBLE[])", "q.qv")
+    return f"""
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+        SELECT cell FROM {cents} c, q
+        ORDER BY {ccos} DESC, cell LIMIT {n_probe}),
+    fassign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_duck_cos("CAST(e.embedding AS DOUBLE[])", "c.centroid")} DESC,
+                                c.cell) AS rn
+            FROM embeddings e, {cents} c) WHERE rn = 1)
+    SELECT e.vec_id, {ecos} AS cosine
+    FROM embeddings e JOIN fassign a USING (vec_id), q
+    WHERE a.cell IN (SELECT cell FROM probe)
+    ORDER BY cosine DESC, e.vec_id LIMIT {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_join": """
@@ -805,6 +925,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
             WHERE cosine >= 0.5
         """,
+        "ivf_topk": f"""
+            WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
+                       FROM embeddings WHERE vec_id < 8),
+            {_duck_ivf_topk_tail("c")}
+        """,
+        "ivf_trained_topk": f"""
+            WITH c0 AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
+                        FROM embeddings WHERE vec_id < 4),
+            {_duck_ivf_round("c0", "a1", "m1", "c1")},
+            {_duck_ivf_round("c1", "a2", "m2", "c2")},
+            {_duck_ivf_topk_tail("c2")}
+        """,
         "curation_pipeline": f"""
             WITH keepers AS (
                 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -867,6 +999,92 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_max(list_transform({_DUCK_TOKENS_FLAT}, t -> abs(t))) AS INTEGER) AS n_vars,
                    CAST(len(list_filter({_DUCK_TOKENS_FLAT}, t -> t = 0)) AS INTEGER) AS n_clauses
             FROM documents
+        """,
+        "sanitize_docs": f"""
+            WITH {_duck_clause_cte()},
+            cstr AS (
+                SELECT doc_id, cid,
+                       string_agg(tok, ' ' ORDER BY pos) || ' 0' AS s,
+                       min(pos) AS p0, count(*) AS n_lits
+                FROM good GROUP BY doc_id, cid),
+            dstr AS (
+                SELECT doc_id, string_agg(s, ' ' ORDER BY p0) AS body,
+                       CAST(sum(n_lits) + count(*) AS INTEGER) AS n_sane_tok
+                FROM cstr GROUP BY doc_id),
+            bad AS (
+                SELECT DISTINCT doc_id FROM lits WHERE rn > 1
+                UNION SELECT doc_id FROM taut)
+            SELECT t.doc_id,
+                   md5(coalesce(d.body, '')) AS sane_hash,
+                   coalesce(d.n_sane_tok, 0) AS n_sane_tok,
+                   CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END AS is_sanitized
+            FROM t LEFT JOIN dstr d USING (doc_id) LEFT JOIN bad b USING (doc_id)
+        """,
+        "isohash_docs": f"""
+            WITH t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                       FROM documents),
+            u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            deg AS (
+                SELECT doc_id, abs(tok) AS v,
+                       sum(CASE WHEN tok > 0 THEN 1 ELSE 0 END) AS p,
+                       sum(CASE WHEN tok < 0 THEN 1 ELSE 0 END) AS n
+                FROM u WHERE tok != 0 GROUP BY doc_id, abs(tok)),
+            pairs AS (
+                SELECT doc_id, least(p, n) AS lo, greatest(p, n) AS hi
+                FROM deg WHERE greatest(p, n) > 0),
+            buf AS (
+                SELECT doc_id,
+                       string_agg(concat(lo, ' ', hi, ' '), '' ORDER BY lo, hi) AS b
+                FROM pairs GROUP BY doc_id)
+            SELECT t.doc_id, md5(coalesce(b.b, '')) AS isohash
+            FROM t LEFT JOIN buf b USING (doc_id)
+        """,
+        "cnf2kis_docs": f"""
+            WITH {_duck_clause_cte()},
+            sizes AS (SELECT doc_id, cid, count(*) AS s FROM good GROUP BY doc_id, cid),
+            clique AS (
+                SELECT doc_id, sum(s) AS nodes, sum(s * (s - 1) // 2) AS e1,
+                       count(*) AS k
+                FROM sizes GROUP BY doc_id),
+            occ AS (
+                SELECT doc_id, abs(tok) AS v,
+                       sum(CASE WHEN tok > 0 THEN 1 ELSE 0 END) AS p,
+                       sum(CASE WHEN tok < 0 THEN 1 ELSE 0 END) AS n
+                FROM good GROUP BY doc_id, abs(tok)),
+            crosse AS (SELECT doc_id, sum(p * n) AS e2 FROM occ GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(c.nodes, 0) AS BIGINT) AS nodes,
+                   CAST(2 * (coalesce(c.e1, 0) + coalesce(x.e2, 0)) AS BIGINT) AS edges,
+                   CAST(coalesce(c.k, 0) AS BIGINT) AS k
+            FROM t LEFT JOIN clique c USING (doc_id) LEFT JOIN crosse x USING (doc_id)
+        """,
+        "cnf2kis_edges_docs": f"""
+            WITH {_duck_clause_cte("(SELECT * FROM documents WHERE doc_id < 50)")},
+            nodes AS (
+                SELECT doc_id, cid, tok,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY cid, abs(tok),
+                                    CASE WHEN tok < 0 THEN 1 ELSE 0 END) AS nid
+                FROM good)
+            SELECT a.doc_id, CAST(a.nid AS BIGINT) AS a, CAST(b.nid AS BIGINT) AS b
+            FROM nodes a JOIN nodes b
+              ON a.doc_id = b.doc_id AND a.cid = b.cid AND a.nid != b.nid
+            UNION ALL
+            SELECT p.doc_id, CAST(p.nid AS BIGINT) AS a, CAST(n.nid AS BIGINT) AS b
+            FROM nodes p JOIN nodes n
+              ON p.doc_id = n.doc_id AND n.tok = -p.tok
+        """,
+        "simhash": f"""
+            WITH {_DUCK_SIMHASH}
+            SELECT doc_id, sim AS simhash FROM sims
+        """,
+        "simhash_near_dups": f"""
+            WITH {_DUCK_SIMHASH}
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
+            FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.sim, r.sim)) <= 3
         """,
         "base_counts_docs": f"""
             WITH t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks,

@@ -142,7 +142,9 @@ def _simhash_udf(text: pd.Series) -> pd.Series:
             b"".join(hashlib.md5(w.encode()).digest()[:8] for w in words), dtype=np.uint8
         ).reshape(len(words), 8)
         bits = np.unpackbits(digests, axis=1)  # (n_words, 64)
-        votes = bits.sum(axis=0) * 2 - len(words)  # +1/-1 vote per bit
+        # signed accumulator: the uint8 bit-sum would underflow on the
+        # subtraction and turn every minority bit into a (wrong) +1 vote
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(words)
         out = np.uint64(0)
         for b in (votes > 0).astype(np.uint64):
             out = np.uint64(out << np.uint64(1)) | b

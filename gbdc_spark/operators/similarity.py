@@ -14,10 +14,18 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "ivf_assign", "ivf_topk", "centroids_from_rows"]
+__all__ = [
+    "cosine_topk",
+    "ivf_assign",
+    "ivf_topk",
+    "ivf_index_write",
+    "ivf_probe",
+    "centroids_from_rows",
+    "kmeans_fit",
+]
 
 
 def _to_double(col: Column) -> Column:
@@ -72,20 +80,64 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, key: str = "vec_id",
     )
 
 
-def ivf_topk(df: DataFrame, centroids: DataFrame, query: list[float], k: int = 5,
-             n_probe: int = 2, key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """ANN search: score the query against centroids, scan only the
-    n_probe nearest cells, brute-force within them."""
+def _probe_cells(centroids: DataFrame, query: list[float], n_probe: int) -> list:
+    """The n_probe nearest centroid cells to the query (tiny collect —
+    the centroid table is k rows)."""
     q = F.array(*[F.lit(float(x)) for x in query])
-    probe_cells = [
+    return [
         r["cell"]
         for r in centroids.withColumn("c", cosine_similarity(F.col("centroid"), q))
         .orderBy(F.desc("c"), F.col("cell"))
         .limit(n_probe)
         .collect()
     ]
-    assigned = ivf_assign(df, centroids, key, vec_col)
+
+
+def ivf_topk(df: DataFrame, centroids: DataFrame, query: list[float], k: int = 5,
+             n_probe: int = 2, key: str = "vec_id", vec_col: str = "embedding",
+             assigned: DataFrame | None = None) -> DataFrame:
+    """ANN search: score the query against centroids, scan only the
+    n_probe nearest cells, brute-force within them.
+
+    Pass ``assigned`` (the output of :func:`ivf_assign`, ideally persisted
+    or read back from storage) when running MANY queries — recomputing the
+    assignment is a full-table job and must happen once, not per query.
+    For the true at-scale path use :func:`ivf_index_write` +
+    :func:`ivf_probe`: the probe is then a partition-pruned scan of
+    ``n_probe`` cell directories, never a full scan.
+    """
+    probe_cells = _probe_cells(centroids, query, n_probe)
+    if assigned is None:
+        assigned = ivf_assign(df, centroids, key, vec_col)
     cand = df.join(assigned.filter(F.col("cell").isin(probe_cells)).select(key), key)
+    return cosine_topk(cand, query, k, key, vec_col)
+
+
+def ivf_index_write(df: DataFrame, centroids: DataFrame, path: str,
+                    key: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Materialize the IVF index ONCE: vectors + their cell assignment,
+    written partitioned by ``cell``.  Amortizes the one full scan over
+    every subsequent probe; at 100 TB this is the only full-table job in
+    the ANN path, and each ``cell=<id>`` directory is independently
+    scannable (partition pruning)."""
+    assigned = ivf_assign(df, centroids, key, vec_col)
+    (
+        df.join(assigned.select(key, "cell"), key)
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_probe(spark: SparkSession, path: str, centroids: DataFrame,
+              query: list[float], k: int = 5, n_probe: int = 2,
+              key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Partition-pruned ANN probe against a written IVF index: reads ONLY
+    the ``n_probe`` nearest cell partitions (the cell filter hits the
+    partitioning column, so PartitionFilters prunes every other directory
+    at planning time — verify with .explain())."""
+    cells = _probe_cells(centroids, query, n_probe)
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     return cosine_topk(cand, query, k, key, vec_col)
 
 

