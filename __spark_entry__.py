@@ -356,6 +356,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprint(spark, sf_dir):
         return text.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
+    def q_winnow_fingerprint(spark, sf_dir):
+        # hashable projection of the winnowing fingerprint set
+        out = text.with_winnow_fingerprints(_docs(spark, sf_dir), k=8, window=4)
+        return out.select(
+            "doc_id",
+            F.size("winnow_fp").alias("n_fps"),
+            F.md5(F.concat_ws("", F.col("winnow_fp"))).alias("fp_hash"),
+        )
+
     def q_minhash_sig(spark, sf_dir):
         out = dedup.with_minhash_signature(_docs(spark, sf_dir), num_perm=4, shingle_n=3)
         return out.select(
@@ -544,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": q_lang_guess,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "minhash_sig": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -834,6 +844,23 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": r"""
             SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "winnow_fingerprint": """
+            WITH h AS (
+                SELECT doc_id,
+                       list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                                      i -> md5(substr(text, CAST(i AS INTEGER), 8))) AS hs
+                FROM documents),
+            w AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(
+                           list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                          j -> list_min(list_slice(hs, CAST(j AS INTEGER),
+                                                                   CAST(j AS INTEGER) + 3))))) AS fps
+                FROM h)
+            SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+                   md5(array_to_string(fps, '')) AS fp_hash
+            FROM w
         """,
         "minhash_sig": """
             WITH sh AS (

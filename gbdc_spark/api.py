@@ -292,7 +292,14 @@ def cnf2kis(
             payload = "\n".join(lines) + "\n"
             if flim and len(payload) > flim * 1024 * 1024:
                 raise OSError("file size limit")
-            with open(output, "w") as f:
+            # compressed sink parity (StreamCompressor.h:48-105): the
+            # reference xz-compresses with the uncompressed size known
+            # up front; lzma's one-shot write is the stdlib equivalent
+            # (roundtrip mirrored from tests_streamcompressor.cc:11-61)
+            ext = os.path.splitext(output)[1].lower()
+            openers = {".xz": lzma.open, ".lzma": lzma.open,
+                       ".bz2": bz2.open, ".gz": gzip.open}
+            with openers.get(ext, open)(output, "wt") as f:  # type: ignore[arg-type]
                 f.write(payload)
             result["hash"] = _hashes.gbdhash_cnf_text(payload)
             result["local"] = output

@@ -88,15 +88,47 @@ class _IncrementalDPLL:
             self._pending.append(dimacs_lit)
 
     def solve(self, assumptions: list[int]) -> bool:
-        """True = SAT (or budget exhausted), False = UNSAT."""
-        self._budget = self.max_decisions
+        """True = SAT (or budget exhausted), False = UNSAT.
+
+        Iterative chronological backtracking (explicit trail of
+        alternative branches) — the recursive version dict-copied per
+        frame and could hit RecursionError on deep formulas; decision
+        order, branch polarity, and budget semantics are identical.
+        """
+        budget = self.max_decisions
         assign: dict[int, bool] = {}
         for a in assumptions:
             v, val = abs(a), a > 0
             if assign.get(v, val) != val:
                 return False
             assign[v] = val
-        return self._dpll(assign)
+        stack: list[tuple[dict[int, bool], int, bool]] = []
+        while True:
+            if self._propagate(assign):
+                lit = self._pick(assign)
+                if lit is None:
+                    return True  # all clauses satisfied / fully assigned
+                if budget <= 0:
+                    return True  # budget out -> treat as SAT
+                budget -= 1
+                # first branch satisfies the literal; record the flip
+                stack.append((dict(assign), abs(lit), lit <= 0))
+                assign[abs(lit)] = lit > 0
+            else:
+                if not stack:
+                    return False
+                assign, var, val = stack.pop()
+                assign[var] = val
+
+    def _pick(self, assign: dict[int, bool]) -> int | None:
+        """First unassigned literal in clause order (matches the
+        reference-replicating decision order of the recursive version,
+        which scanned all clauses, satisfied or not)."""
+        for cl in self.clauses:
+            for lit in cl:
+                if abs(lit) not in assign:
+                    return lit
+        return None
 
     def _propagate(self, assign: dict[int, bool]) -> bool:
         changed = True
@@ -125,21 +157,45 @@ class _IncrementalDPLL:
                     changed = True
         return True
 
-    def _dpll(self, assign: dict[int, bool]) -> bool:
-        assign = dict(assign)
-        if not self._propagate(assign):
-            return False
-        for cl in self.clauses:
-            for lit in cl:
-                if abs(lit) not in assign:
-                    if self._budget <= 0:
-                        return True  # budget out -> treat as SAT
-                    self._budget -= 1
-                    for val in (lit > 0, lit <= 0):
-                        if self._dpll({**assign, abs(lit): val}):
-                            return True
-                    return False
-        return True  # all clauses satisfied / fully assigned
+class _PysatIncremental:
+    """IPASIR-shaped wrapper over python-sat's incremental MiniSat, used
+    when the optional ``python-sat`` package is importable and selected
+    (GBDC_SAT_BACKEND=pysat, or =auto with pysat present).  Exact — no
+    decision budget — so ``n_generic`` cannot undercount on docs where
+    the DPLL budget would exhaust (ref GateAnalyzer.h:226-246 uses
+    CaDiCaL the same way).  The unterminated-clause quirk lives in the
+    shared ``add`` buffering, so both backends replicate it."""
+
+    def __init__(self) -> None:
+        from pysat.solvers import Minisat22  # noqa: PLC0415
+
+        self._solver = Minisat22()
+        self._pending: list[int] = []
+
+    def add(self, dimacs_lit: int) -> None:
+        if dimacs_lit == 0:
+            self._solver.add_clause(self._pending)
+            self._pending = []
+        else:
+            self._pending.append(dimacs_lit)
+
+    def solve(self, assumptions: list[int]) -> bool:
+        return bool(self._solver.solve(assumptions=assumptions))
+
+
+def _make_sat_solver():
+    """Backend selection: GBDC_SAT_BACKEND = dpll | pysat | auto
+    (default auto: pysat when importable, else the budgeted DPLL)."""
+    import os  # noqa: PLC0415
+
+    backend = os.environ.get("GBDC_SAT_BACKEND", "auto")
+    if backend in ("pysat", "auto"):
+        try:
+            return _PysatIncremental()
+        except ImportError:
+            if backend == "pysat":
+                raise
+    return _IncrementalDPLL()
 
 
 class GateStructure:
@@ -182,7 +238,7 @@ def analyze_gates(tokens, patterns: bool = True, semantic: bool = True,
                 index[lit].append(cid)
 
     inputs = np.zeros(n_lits, dtype=bool)  # GateFormula.inputs
-    solver = _IncrementalDPLL() if semantic else None
+    solver = _make_sat_solver() if semantic else None
     max_literal = 2 * n_vars + 1  # Lit(nVars, true), OccurrenceList.h:57
 
     def remove_clauses(cids: list[int]) -> None:

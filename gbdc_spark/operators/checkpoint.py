@@ -15,10 +15,13 @@ re-run after a crash appends exactly the missing rows.  The anti join
 shuffles only the key columns of the committed side; with Iceberg this
 becomes a metadata-only ``doc_id`` bloom/partition prune.
 
-All hashes are ``xxhash64`` folded with XOR — commutative, so the content
-hash is independent of partitioning and row order: the same logical table
-hashes identically at local[8] and local[32] (the determinism evidence the
-bench protocol requires).
+All hashes are ``xxhash64`` folded with an exact SUM (decimal
+accumulator, reduced mod 2^64) — commutative and associative, so the
+content hash is independent of partitioning and row order: the same
+logical table hashes identically at local[8] and local[32] (the
+determinism evidence the bench protocol requires).  Unlike an XOR fold,
+the sum also catches every-row-duplicated drift (XOR cancels rows that
+appear an even number of times).
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +43,7 @@ __all__ = [
     "resume_filter",
     "read_table",
     "manifest",
+    "clean_orphans",
 ]
 
 
@@ -59,26 +64,32 @@ def row_hash(df: DataFrame, cols: list[str] | None = None,
     return F.xxhash64(*[F.col(c) for c in cols])
 
 
+_FOLD_MOD = 1 << 64
+
+
 def content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
-    """XOR-fold of row hashes — partitioning/order independent."""
-    out = df.select(row_hash(df, cols).alias("h")).agg(
-        F.coalesce(F.bit_xor("h"), F.lit(0)).alias("fold")
+    """Sum-fold of row hashes mod 2^64 — partitioning/order independent,
+    duplicate-sensitive (an XOR fold is blind to even multiplicities)."""
+    out = df.select(row_hash(df, cols).cast("decimal(38,0)").alias("h")).agg(
+        F.coalesce(F.sum("h"), F.lit(0).cast("decimal(38,0)")).alias("fold")
     )
-    return int(out.first()["fold"])
+    return int(out.first()["fold"]) % _FOLD_MOD
 
 
 def partition_metrics(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Per-partition lineage metrics: (partition_id, n_rows, hash_fold).
 
     The per-partition rows are parallelism-dependent (that is the point —
-    they localize drift to a partition); the XOR of ``hash_fold`` across
-    partitions equals ``content_hash`` and is parallelism-invariant.
+    they localize drift to a partition); the SUM of ``hash_fold`` across
+    partitions, mod 2^64, equals ``content_hash`` and is
+    parallelism-invariant (decimal sums are exact, so the two-level
+    reduction loses nothing).
     """
     return (
         df.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_h", row_hash(df, cols))
+        .withColumn("_h", row_hash(df, cols).cast("decimal(38,0)"))
         .groupBy("_pid")
-        .agg(F.count("*").alias("n_rows"), F.bit_xor("_h").alias("hash_fold"))
+        .agg(F.count("*").alias("n_rows"), F.sum("_h").alias("hash_fold"))
         .withColumnRenamed("_pid", "partition_id")
     )
 
@@ -113,11 +124,15 @@ def commit(
     The manifest row is last, so a crash mid-commit leaves an orphan
     directory that the next resume simply ignores (never a torn snapshot
     visible to readers) — the same commit-protocol shape as Iceberg.
+    The data directory name carries a unique suffix, so a re-commit
+    after a crash that orphaned ``snapshot=<sid>-...`` can never collide
+    with the orphan (readers only follow manifest ``data_dir`` entries;
+    ``clean_orphans`` reclaims the space).
     """
     spark = df.sparkSession
     prior = manifest(spark, base)
     sid = (prior[-1]["snapshot_id"] + 1) if prior else 1
-    data_dir = os.path.join(base, "data", f"snapshot={sid}")
+    data_dir = os.path.join(base, "data", f"snapshot={sid}-{uuid.uuid4().hex[:12]}")
 
     df.write.mode("errorifexists").parquet(data_dir)
 
@@ -126,7 +141,7 @@ def commit(
     pm.write.mode("overwrite").parquet(os.path.join(base, "_metrics", f"snapshot={sid}"))
     agg = pm.agg(
         F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"),
-        F.coalesce(F.bit_xor("hash_fold"), F.lit(0)).alias("fold"),
+        F.coalesce(F.sum("hash_fold"), F.lit(0).cast("decimal(38,0)")).alias("fold"),
         F.count("*").alias("parts"),
     ).first()
 
@@ -135,7 +150,7 @@ def commit(
         "committed_at": time.time(),
         "n_rows": int(agg["n"]),
         "n_partitions": int(agg["parts"]),
-        "content_hash": int(agg["fold"]),
+        "content_hash": int(agg["fold"]) % _FOLD_MOD,
         "keys": keys,
         "data_dir": data_dir,
     }
@@ -163,6 +178,24 @@ def resume_filter(df: DataFrame, base: str, keys: list[str]) -> DataFrame:
     if done is None:
         return df
     return df.join(done, on=keys, how="left_anti")
+
+
+def clean_orphans(spark: SparkSession, base: str) -> list[str]:
+    """Delete data directories no manifest row references (debris of
+    commits that crashed between the data write and the manifest write).
+    Safe at any time: readers and resume only follow manifest entries."""
+    import shutil
+
+    live = {e["data_dir"] for e in manifest(spark, base)}
+    ddir = os.path.join(base, "data")
+    removed = []
+    if os.path.isdir(ddir):
+        for d in sorted(os.listdir(ddir)):
+            full = os.path.join(ddir, d)
+            if full not in live:
+                shutil.rmtree(full)
+                removed.append(full)
+    return removed
 
 
 def read_table(spark: SparkSession, base: str) -> DataFrame | None:

@@ -87,9 +87,16 @@ def with_pqbf_hash(df: DataFrame, payload_col: str = "payload", out: str = "pqbf
 # --------------------------------------------------------- base features
 @pandas_udf(feature_struct(BASE_FEATURES_NAMES))
 def _base_features_udf(tokens: pd.Series) -> pd.DataFrame:
-    rows = [cnf.cnf_base_features(np.asarray(t, dtype=np.int64)) for t in tokens]
-    return pd.DataFrame(np.vstack(rows) if rows else np.zeros((0, 58)),
-                        columns=list(BASE_FEATURES_NAMES))
+    from ..kernels.cnf_batch import cnf_base_features_batch
+
+    arrs = [np.asarray(t, dtype=np.int64) for t in tokens]
+    try:
+        # segmented whole-batch kernel (~2x the per-doc loop)
+        feats = cnf_base_features_batch(arrs)
+    except Exception:  # per-doc fallback isolates a pathological doc
+        rows = [cnf.cnf_base_features(a) for a in arrs]
+        feats = np.vstack(rows) if rows else np.zeros((0, 58))
+    return pd.DataFrame(feats, columns=list(BASE_FEATURES_NAMES))
 
 
 def with_base_features(df: DataFrame, tokens_col: str = "tokens", out: str = "features") -> DataFrame:
@@ -99,7 +106,12 @@ def with_base_features(df: DataFrame, tokens_col: str = "tokens", out: str = "fe
 
 @pandas_udf(feature_struct(tuple(gates.GATE_FEATURE_NAMES)))
 def _gate_features_udf(tokens: pd.Series) -> pd.DataFrame:
-    rows = [gates.gate_features(np.asarray(t, dtype=np.int64)) for t in tokens]
+    rows = []
+    for t in tokens:
+        try:
+            rows.append(gates.gate_features(np.asarray(t, dtype=np.int64)))
+        except Exception:  # one pathological doc -> NaN row, not task death
+            rows.append(np.full(len(gates.GATE_FEATURE_NAMES), np.nan))
     return pd.DataFrame(np.vstack(rows) if rows else np.zeros((0, 56)),
                         columns=list(gates.GATE_FEATURE_NAMES))
 

@@ -132,4 +132,13 @@ def size_bucketed(
     for i, c in enumerate(cuts):
         stratum = F.when(F.col(size_col) > F.lit(c), F.lit(i + 1)).otherwise(stratum)
     stripe = F.pmod(stratum + F.xxhash64(F.col(key)), F.lit(partitions))
-    return df.repartition(partitions, stripe)
+    # range-partition on stripe + fractional jitter: every stratum's rows
+    # are uniform over [0, partitions), so each equal-count range draws a
+    # proportional mix of all strata, and the dense key keeps the sampled
+    # range boundaries from collapsing adjacent integer stripes.  A plain
+    # hash repartition(n, stripe) — the round-1 version — re-hashed the
+    # stripe and left ~1/e of the partitions empty.
+    frac = F.pmod(F.xxhash64(F.col(key), F.lit(1)), F.lit(1 << 20)) / F.lit(
+        float(1 << 20)
+    )
+    return df.repartitionByRange(partitions, stripe + frac)

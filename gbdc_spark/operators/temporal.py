@@ -37,6 +37,29 @@ __all__ = [
 ]
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (0 if unavailable)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are best-effort
+        return 0
+
+
+def _auto_buckets(left: DataFrame, right: DataFrame, default: int,
+                  target_bucket_bytes: int) -> int:
+    """Bucket count scaled to the input size estimate: each cogroup
+    bucket materializes its full left+right slice in ONE pandas frame,
+    so the count must grow with the data (~target_bucket_bytes per
+    bucket) or the merge OOMs at 100x — never below the session's
+    shuffle parallelism, capped so tiny estimates can't explode the
+    task count.  Falls back to ``default`` when Catalyst has no usable
+    estimate (0, or the sentinel huge default for unknown sources)."""
+    est = _plan_size_bytes(left) + _plan_size_bytes(right)
+    if 0 < est < (1 << 50):
+        return max(default, min(1 << 15, -(-est // target_bucket_bytes)))
+    return default
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -48,6 +71,7 @@ def asof_join(
     tolerance: pd.Timedelta | None = None,
     right_tiebreak: list[str] | None = None,
     narrow_key: list[str] | None = None,
+    target_bucket_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Left as-of join: each left row gets the latest right row with
     ``right_ts < left_ts`` (strictly prior by default ⇒ zero temporal
@@ -78,7 +102,8 @@ def asof_join(
         ]
         return left.join(core.select(*attach_cols), on=list(narrow_key), how="left")
     if buckets is None:
-        buckets = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        default = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        buckets = _auto_buckets(left, right, default, target_bucket_bytes)
     lb = left.withColumn("_b", F.pmod(F.xxhash64(F.col(by)), F.lit(buckets)))
     # When left and right derive from the same scan (self-as-of-join), the
     # by-column is the SAME Catalyst attribute on both sides and the

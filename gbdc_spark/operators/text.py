@@ -1,20 +1,15 @@
 """Text-analysis operators for large-scale training-data pipelines:
 language-ID heuristic, quality scoring, token counting, fingerprinting.
 
-All hot-path expressions are JVM-side pyspark.sql.functions (whole-stage
-codegen, Catalyst-prunable); only the rolling-hash fingerprint drops to a
-vectorized pandas UDF.  Operates on the driver `documents` table shape
-(doc_id, text, lang, source, n_chars).
+All expressions are JVM-side pyspark.sql.functions (whole-stage
+codegen, Catalyst-prunable) — no Python in any path.  Operates on the
+driver `documents` table shape (doc_id, text, lang, source, n_chars).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "STOPWORDS",
@@ -22,7 +17,7 @@ __all__ = [
     "with_lang_guess",
     "with_token_counts",
     "with_fingerprint",
-    "with_rolling_fingerprint",
+    "with_winnow_fingerprints",
 ]
 
 # fixed marker set for the n-gram/stopword language heuristic
@@ -84,21 +79,34 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     return df.withColumn(out, F.md5(norm))
 
 
-@pandas_udf(T.LongType())
-def _rolling_hash_udf(text: pd.Series) -> pd.Series:
-    """Polynomial rolling hash mod 2^61-1 (vectorized per doc)."""
-    MOD = (1 << 61) - 1
-    BASE = 257
+def with_winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                             k: int = 8, window: int = 4,
+                             out: str = "winnow_fp") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every character k-gram, keep the
+    minimum hash of each sliding window of ``window`` k-grams, emit the
+    distinct sorted set.  Guarantees every exact match of length
+    >= k + window - 1 shares a fingerprint.
 
-    def h(s: str) -> int:
-        acc = 0
-        for b in s.encode("utf-8", "ignore"):
-            acc = (acc * BASE + b) % MOD
-        return acc
+    Entirely JVM-side (md5 over substrings + array ops inside
+    whole-stage codegen) — this replaced a per-row-per-byte Python UDF.
+    """
+    from ..functions import bind_once as _bind
 
-    return text.map(h).astype("int64")
-
-
-def with_rolling_fingerprint(df: DataFrame, text_col: str = "text",
-                             out: str = "rolling_fp") -> DataFrame:
-    return df.withColumn(out, _rolling_hash_udf(F.col(text_col)))
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.md5(F.substring(t, i, k))
+    )
+    fps = _bind(
+        hashes,
+        lambda h: F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(h) - F.lit(window - 1), F.lit(1))),
+                    lambda j: F.array_min(F.slice(h, j, window)),
+                )
+            )
+        ),
+    )
+    return df.withColumn(out, fps)

@@ -98,6 +98,20 @@ def test_sanitize_prints_and_cnf2kis_roundtrip(files, tmp_path, capsys):
     )
 
 
+def test_cnf2kis_xz_sink_roundtrip(files, tmp_path):
+    """Compressed output sink (StreamCompressor.h:48-105): writing to a
+    .xz target produces an lzma stream whose decompressed payload is
+    byte-identical to the plain-text sink and re-ingestable by
+    read_text (mirrors tests_streamcompressor.cc:11-61)."""
+    plain, xz = str(tmp_path / "p.kis"), str(tmp_path / "c.kis.xz")
+    res_p = api.cnf2kis(files["a.cnf"], plain)
+    res_x = api.cnf2kis(files["a.cnf"], xz)
+    body = open(plain).read()
+    assert lzma.open(xz, "rt").read() == body
+    assert api.read_text(xz) == body
+    assert res_x["hash"] == res_p["hash"] == hashes.gbdhash_cnf_text(body)
+
+
 def test_cnf2kis_fileout_sentinel(files, tmp_path):
     res = api.cnf2kis(files["a.cnf"], str(tmp_path / "x.kis"), max_edges=1)
     assert res["hash"] == "fileout"

@@ -61,26 +61,41 @@ def test_partition_metrics_reconcile(spark, base):
     pm = spark.read.parquet(os.path.join(base, "_metrics", "snapshot=1"))
     rows = pm.collect()
     assert sum(r["n_rows"] for r in rows) == 200 == entry["n_rows"]
-    fold = 0
-    for r in rows:
-        fold ^= r["hash_fold"]
-    # XOR of per-partition folds == manifest content hash == direct hash
+    fold = sum(int(r["hash_fold"]) for r in rows) % (1 << 64)
+    # sum of per-partition folds == manifest content hash == direct hash
     assert fold == entry["content_hash"] == cp.content_hash(_mkdf(spark, 0, 200))
 
 
-def test_torn_commit_is_invisible(spark, base):
+def test_torn_commit_is_invisible_and_never_blocks(spark, base):
     cp.commit(_mkdf(spark, 0, 50), base, keys=["doc_id"])
-    # simulate a crash after data write but before manifest append
-    orphan = os.path.join(base, "data", "snapshot=99")
-    _mkdf(spark, 50, 80).write.parquet(orphan)
+    # crash after the data write but before the manifest append, for the
+    # EXACT snapshot id the next commit will claim (the round-1 layout
+    # deadlocked here: errorifexists hit the orphan directory)
+    for orphan_name in ("snapshot=2", "snapshot=2-deadbeefcafe"):
+        _mkdf(spark, 50, 80).write.parquet(os.path.join(base, "data", orphan_name))
 
     assert cp.read_table(spark, base).count() == 50
     # resume re-selects the orphaned rows (they were never committed)
     assert cp.resume_filter(_mkdf(spark, 0, 80), base, keys=["doc_id"]).count() == 30
-    # next commit id continues from the last *manifested* snapshot
+    # next commit id continues from the last *manifested* snapshot and
+    # must succeed despite both orphans sitting in data/
     e = cp.commit(_mkdf(spark, 80, 90), base, keys=["doc_id"])
     assert e["snapshot_id"] == 2
-    shutil.rmtree(orphan)
+    assert cp.read_table(spark, base).count() == 60
+
+    # orphan cleanup removes exactly the unreferenced directories
+    removed = cp.clean_orphans(spark, base)
+    assert {os.path.basename(r) for r in removed} == {
+        "snapshot=2", "snapshot=2-deadbeefcafe"
+    }
+    assert cp.read_table(spark, base).count() == 60
+
+
+def test_sum_fold_catches_even_duplication(spark, base):
+    """The XOR fold this replaced was blind to every-row-doubled drift."""
+    df = _mkdf(spark, 0, 100)
+    doubled = df.union(df)
+    assert cp.content_hash(df) != cp.content_hash(doubled)
 
 
 def test_hash_detects_value_drift(spark, base):

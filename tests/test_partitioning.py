@@ -70,3 +70,18 @@ def test_size_bucketed_balances_work(spark):
     works = [r["work"] for r in per_part]
     # stratified striping: no partition may hoard the giants
     assert max(works) < 4 * (sum(works) / len(works))
+
+
+def test_size_bucketed_fills_all_partitions(spark):
+    """repartitionByRange maps the uniform stripe ~1:1 onto partitions;
+    the old hash-repartition left ~1/e of them empty (stripe collisions)."""
+    rows = [(f"d{i}", 10 + (i % 37)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    out = pt.size_bucketed(df, "n_tok", partitions=8)
+    per_part = (
+        out.withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    assert len(per_part) == 8          # no empty partitions
+    counts = [r["count"] for r in per_part]
+    assert max(counts) < 2 * min(counts)

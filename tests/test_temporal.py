@@ -191,3 +191,36 @@ def test_asof_join_narrow_key_equals_wide(spark):
     a = sorted(tuple(r) for r in wide.select(*cols).collect())
     b = sorted(tuple(r) for r in narrow.select(*cols).collect())
     assert a == b
+
+
+def test_asof_buckets_autoscale_with_input_size(spark):
+    """Bucket count must grow with the input size estimate (each bucket's
+    left+right is one pandas frame at merge time) and never drop below
+    the session's shuffle parallelism."""
+    from gbdc_spark.operators.temporal import _auto_buckets
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # big target -> floor at the default parallelism
+    assert _auto_buckets(ev, ev, default, 64 << 20) == default
+    # tiny per-bucket target -> scales up with the estimate
+    scaled = _auto_buckets(ev, ev, default, 1024)
+    assert scaled > default
+    # and is capped
+    assert _auto_buckets(ev, ev, default, 1) <= 1 << 15
+
+
+def test_asof_join_same_result_any_bucket_count(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"))
+    kw = dict(by="user_id", left_ts="ts", right_ts="r_ts",
+              right_tiebreak=["r_id"])
+    a = temporal.asof_join(left, right, buckets=2, **kw)
+    b = temporal.asof_join(left, right, buckets=97, **kw)
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb

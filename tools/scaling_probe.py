@@ -10,7 +10,7 @@ Prints one JSON line per run:
 
     {"cores": 8, "docs": N, "sec": T, "rows_per_sec": R, "content_hash": H}
 
-``content_hash`` is the XOR-fold of per-row xxhash64 over the full feature
+``content_hash`` is the sum-fold (mod 2^64) of per-row xxhash64 over the full feature
 table: identical hashes at both levels prove bit-identical output under
 4x parallelism (float reductions are all per-doc, hence deterministic).
 
