@@ -448,9 +448,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("features.cls4").alias("cls4"),
         )
 
-    def q_base_features_docs(spark, sf_dir):  # rows-only: full 58-feature row
+    def q_base_features_docs(spark, sf_dir):
+        # full 58-feature row, rounded to 6 decimals on both sides (the
+        # float tolerance contract: numpy pairwise sums vs DuckDB
+        # aggregate order differ below that)
+        from gbdc_spark.schemas import BASE_FEATURES_NAMES
+
         seqs = tables.documents_as_sequences(spark, sf_dir)
-        return extract.with_base_features(seqs).select("doc_id", "features.*")
+        out = extract.with_base_features(seqs)
+        return out.select(
+            "doc_id",
+            *[
+                F.round(F.col(f"features.{n}"), 6).alias(n)
+                for n in BASE_FEATURES_NAMES
+            ],
+        )
 
     def q_isohash_docs(spark, sf_dir):  # rows-only (pytest-oracled)
         seqs = tables.documents_as_sequences(spark, sf_dir)
@@ -478,6 +490,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seqs = tables.documents_as_sequences(spark, sf_dir)
         return extract.cnf2kis_edges(seqs.filter(F.col("doc_id") < "doc00000050"))
 
+    def q_wcnf_hashes_docs(spark, sf_dir):
+        # doc-derived WCNF: deterministic per-clause weights so the
+        # WCNF::gbdhash notfirst quirk and the isohash weight+1 quirk are
+        # value-checked by the driver (GBDHash.h:147-206, ISOHash.h:79-163)
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        dnum = F.substring("doc_id", 4, 8).cast("long")
+        n_clauses = F.aggregate(
+            F.col("tokens"), F.lit(0),
+            lambda a, x: a + F.when(x == 0, 1).otherwise(0),
+        )
+        is_old = (dnum % 2) == 0
+        weights = F.transform(
+            F.sequence(F.lit(0), n_clauses - 1),
+            lambda i: F.when(
+                is_old, (dnum + i) % 8
+            ).otherwise(
+                F.when((dnum + i) % 3 == 0, F.lit(-1)).otherwise((dnum + i) % 5)
+            ).cast("long"),
+        )
+        df = seqs.select(
+            "doc_id", "tokens",
+            weights.alias("weights"),
+            F.when(is_old, F.lit(5)).otherwise(F.lit(0)).cast("long").alias("top"),
+        )
+        return extract.with_wcnf_hashes(df).select("doc_id", "wcnfhash", "wcnfisohash")
+
+    def q_opbhash_docs(spark, sf_dir):
+        # doc-derived OPB payload (coeff ±1 per literal, >= 1 bound) built
+        # JVM-side, hashed through the raw-text canonicalization scanner
+        # (GBDHash.h:83-143) — oracle rebuilds the canonical form in SQL
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        payload = F.aggregate(
+            F.col("tokens"),
+            F.lit("* derived from documents\n"),
+            lambda acc, x: F.when(
+                x == 0, F.concat(acc, F.lit(">= 1;\n"))
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.when(x < 0, F.lit("-1 x")).otherwise(F.lit("1 x")),
+                    F.abs(x).cast("string"),
+                    F.lit(" "),
+                )
+            ),
+        )
+        return extract.with_opb_hash(
+            seqs.select("doc_id", payload.alias("payload"))
+        ).select("doc_id", "opbhash")
+
+    def q_pqbfhash_docs(spark, sf_dir):
+        # doc-derived QDIMACS payload: header + one 'e' quantifier line
+        # over all variables + the clause stream; hashed through the
+        # scanner (GBDHash.h:54-79)
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        n_vars = F.array_max(F.transform(F.col("tokens"), F.abs))
+        n_clauses = F.aggregate(
+            F.col("tokens"), F.lit(0),
+            lambda a, x: a + F.when(x == 0, 1).otherwise(0),
+        )
+        payload = F.concat(
+            F.lit("c derived\np cnf "), n_vars.cast("string"),
+            F.lit(" "), n_clauses.cast("string"), F.lit("\ne "),
+            F.concat_ws(" ", F.transform(F.sequence(F.lit(1), n_vars),
+                                         lambda v: v.cast("string"))),
+            F.lit(" 0\n"),
+            F.concat_ws(" ", F.transform(F.col("tokens"),
+                                         lambda x: x.cast("string"))),
+        )
+        return extract.with_pqbf_hash(
+            seqs.select("doc_id", payload.alias("payload"))
+        ).select("doc_id", "pqbfhash")
+
     def q_wcnf_features_synth(spark, sf_dir):  # rows-only (pytest-oracled)
         from gbdc_spark.sources.synth import WCNF_SCHEMA, gen_wcnf_pdf
 
@@ -503,20 +587,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract.with_gate_features(seqs).select("doc_id", "gate_features.*")
 
     # ------------------- multimodal (fake-codec stages) ----------------
-    def q_media_image_features(spark, sf_dir):  # rows-only
+    # payloads are packed from the documents' text bytes (docs_as_media),
+    # so the full pack -> binary wire format -> decode -> feature path is
+    # DuckDB-oracle-checkable; synth_media_df (RNG payloads) stays the
+    # pytest fixture
+    def q_media_image_features(spark, sf_dir):
         from gbdc_spark.operators import multimodal as mm
 
-        return mm.image_features(mm.synth_media_df(spark, 120, seed=3))
+        out = mm.image_features(mm.docs_as_media(spark, sf_dir))
+        return out.select(
+            "media_id", "width", "height",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+            F.round("std_pixel", 6).alias("std_pixel"),
+        )
 
-    def q_media_audio_features(spark, sf_dir):  # rows-only
+    def q_media_audio_features(spark, sf_dir):
         from gbdc_spark.operators import multimodal as mm
 
-        return mm.audio_features(mm.synth_media_df(spark, 120, seed=3))
+        out = mm.audio_features(mm.docs_as_media(spark, sf_dir))
+        return out.select(
+            "media_id", "sample_rate",
+            F.round("duration_s", 6).alias("duration_s"),
+            F.round("rms", 6).alias("rms"),
+            "zero_crossings",
+        )
 
-    def q_media_frame_sample(spark, sf_dir):  # rows-only
+    def q_media_frame_sample(spark, sf_dir):
         from gbdc_spark.operators import multimodal as mm
 
-        return mm.video_frame_sample(mm.synth_media_df(spark, 120, seed=3), every_n=4)
+        out = mm.video_frame_sample(mm.docs_as_media(spark, sf_dir), every_n=4)
+        return out.select(
+            "media_id", "frame_idx", F.round("frame_mean", 6).alias("frame_mean")
+        )
 
     def q_curation_pipeline(spark, sf_dir):  # DuckDB-oracled E2E funnel
         from gbdc_spark.plans.curation import run_curation
@@ -572,6 +674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sanitize_docs": q_sanitize_docs,
         "cnf2kis_docs": q_cnf2kis_docs,
         "cnf2kis_edges_docs": q_cnf2kis_edges_docs,
+        "wcnf_hashes_docs": q_wcnf_hashes_docs,
+        "opbhash_docs": q_opbhash_docs,
+        "pqbfhash_docs": q_pqbfhash_docs,
         "wcnf_features_synth": q_wcnf_features_synth,
         "opb_features_synth": q_opb_features_synth,
         "pqbfhash_synth": q_pqbfhash_synth,
@@ -639,6 +744,171 @@ def _duck_ivf_topk_tail(cents: str, n_probe: int = 2, k: int = 5) -> str:
     FROM embeddings e JOIN fassign a USING (vec_id), q
     WHERE a.cell IN (SELECT cell FROM probe)
     ORDER BY cosine DESC, e.vec_id LIMIT {k}
+    """
+
+
+_BF_FAMS = [
+    "hornvars", "invhornvars", "balancecls", "balancevars",
+    "vcg_vdegree", "vcg_cdegree", "vg_degree", "cg_degree",
+]
+_BF_STATS = ["mean", "variance", "min", "max", "entropy"]
+
+
+def _duck_base_features_sql() -> str:
+    """All 58 CNF base features in DuckDB SQL (mirror of
+    kernels/cnf.cnf_base_features + kernels/dist.push_distribution):
+    raw clause view (no sanitize), per-variable vectors over slots
+    0..n_vars including gaps, max-var exclusion in balancevars, the
+    32-bit bytes wraparound, union-find ccs via a recursive closure,
+    and scaled entropy keyed on trunc(value).  Values rounded to 6."""
+    dist_cols = ",\n".join(
+        f"""            coalesce(max(CASE WHEN fam = '{f}' THEN {s} END), 0) AS {f}_{s}"""
+        for f in _BF_FAMS
+        for s in ("mean", "variance", "mn", "mx", "entropy")
+    )
+    # rename mn/mx on the way out
+    out_cols = ",\n".join(
+        f"""                   round(d.{f}_{s if s not in ('min', 'max') else {'min': 'mn', 'max': 'mx'}[s]}, 6) AS {f}_{s}"""
+        for f in _BF_FAMS
+        for s in _BF_STATS
+    )
+    cls_cols = ",\n".join(
+        f"""                   CAST(coalesce(h.cls{i}, 0) AS DOUBLE) AS cls{i}"""
+        for i in list(range(1, 10))
+    )
+    cls_hist = ",\n".join(
+        f"""                sum(CASE WHEN least(s, 10) = {i} THEN 1 ELSE 0 END) AS cls{i}"""
+        for i in range(1, 10)
+    )
+    return f"""
+    WITH RECURSIVE
+    {_duck_clause_cte().strip().rstrip()},
+    L AS (SELECT doc_id, cid, pos, tok, abs(tok) AS v,
+                 CASE WHEN tok < 0 THEN 1 ELSE 0 END AS neg
+          FROM cl WHERE tok != 0),
+    meta AS (
+        SELECT t.doc_id, coalesce(mx.n_vars, 0) AS n_vars,
+               coalesce(z.n_clauses, 0) AS n_clauses
+        FROM t
+        LEFT JOIN (SELECT doc_id, max(v) AS n_vars FROM L GROUP BY doc_id) mx USING (doc_id)
+        LEFT JOIN (SELECT doc_id, count(*) AS n_clauses FROM cl WHERE tok = 0
+                   GROUP BY doc_id) z USING (doc_id)),
+    csz AS (
+        SELECT doc_id, cid, count(*) AS s, sum(neg) AS n_neg,
+               count(*) - sum(neg) AS n_pos
+        FROM L GROUP BY doc_id, cid),
+    lb AS (
+        SELECT doc_id,
+               sum(neg) + sum(ceil(log10(CAST(v AS DOUBLE)))) + count(*) AS lit_bytes
+        FROM L GROUP BY doc_id),
+    hist AS (
+        SELECT doc_id,
+{cls_hist},
+                sum(CASE WHEN s >= 10 THEN 1 ELSE 0 END) AS cls10p,
+                sum(CASE WHEN n_neg <= 1 THEN 1 ELSE 0 END) AS horn,
+                sum(CASE WHEN n_pos <= 1 THEN 1 ELSE 0 END) AS invhorn,
+                sum(CASE WHEN n_neg = 0 THEN 1 ELSE 0 END) AS positive,
+                sum(CASE WHEN n_pos = 0 THEN 1 ELSE 0 END) AS negative
+        FROM csz GROUP BY doc_id),
+    -- connected components among used variables (clause co-occurrence
+    -- closure); gap variables 1..n_vars re-enter as singletons below
+    vcp AS (SELECT DISTINCT doc_id, cid, v FROM L),
+    nbr AS (SELECT DISTINCT a.doc_id, a.v, b.v AS w
+            FROM vcp a JOIN vcp b USING (doc_id, cid)),
+    reach AS (
+        SELECT doc_id, v, w FROM nbr
+        UNION
+        SELECT r.doc_id, r.v, n.w
+        FROM reach r JOIN nbr n ON r.doc_id = n.doc_id AND r.w = n.v),
+    comp AS (SELECT doc_id, v, min(w) AS lbl FROM reach GROUP BY doc_id, v),
+    ccsq AS (
+        SELECT c.doc_id,
+               count(DISTINCT c.lbl) + any_value(m.n_vars) - count(DISTINCT c.v) AS ccs
+        FROM comp c JOIN meta m USING (doc_id) GROUP BY c.doc_id),
+    -- per-variable occurrence tables
+    occ AS (
+        SELECT doc_id, v, count(*) AS deg,
+               count(*) - sum(neg) AS p_occ, sum(neg) AS n_occ
+        FROM L GROUP BY doc_id, v),
+    hornocc AS (
+        SELECT l.doc_id, l.v,
+               sum(CASE WHEN c.n_neg <= 1 THEN 1 ELSE 0 END) AS h,
+               sum(CASE WHEN c.n_pos <= 1 THEN 1 ELSE 0 END) AS ih
+        FROM L l JOIN csz c USING (doc_id, cid) GROUP BY l.doc_id, l.v),
+    vg AS (
+        SELECT l.doc_id, l.v, sum(c.s) AS w
+        FROM L l JOIN csz c USING (doc_id, cid) GROUP BY l.doc_id, l.v),
+    cg AS (
+        SELECT l.doc_id, l.cid, sum(o.deg) AS w
+        FROM L l JOIN occ o USING (doc_id, v) GROUP BY l.doc_id, l.cid),
+    slots AS (SELECT doc_id, unnest(range(0, n_vars + 1)) AS v FROM meta),
+    dvals AS (
+        SELECT s.doc_id, 'hornvars' AS fam, CAST(coalesce(h.h, 0) AS DOUBLE) AS val
+        FROM slots s LEFT JOIN hornocc h USING (doc_id, v)
+        UNION ALL
+        SELECT s.doc_id, 'invhornvars', CAST(coalesce(h.ih, 0) AS DOUBLE)
+        FROM slots s LEFT JOIN hornocc h USING (doc_id, v)
+        UNION ALL
+        SELECT s.doc_id, 'vcg_vdegree', CAST(coalesce(o.deg, 0) AS DOUBLE)
+        FROM slots s LEFT JOIN occ o USING (doc_id, v)
+        UNION ALL
+        SELECT s.doc_id, 'vg_degree', CAST(coalesce(g.w, 0) AS DOUBLE)
+        FROM slots s LEFT JOIN vg g USING (doc_id, v)
+        UNION ALL
+        SELECT doc_id, 'vcg_cdegree', CAST(s AS DOUBLE) FROM csz
+        UNION ALL
+        SELECT doc_id, 'cg_degree', CAST(w AS DOUBLE) FROM cg
+        UNION ALL
+        SELECT doc_id, 'balancecls',
+               CAST(least(n_pos, n_neg) AS DOUBLE) / greatest(n_pos, n_neg)
+        FROM csz WHERE s > 0
+        UNION ALL
+        -- v in [0, n_vars): the max variable is EXCLUDED (ref quirk)
+        SELECT s.doc_id, 'balancevars',
+               CAST(least(o.p_occ, o.n_occ) AS DOUBLE) / greatest(o.p_occ, o.n_occ)
+        FROM slots s JOIN meta m USING (doc_id)
+        LEFT JOIN occ o USING (doc_id, v)
+        WHERE s.v < m.n_vars AND greatest(o.p_occ, o.n_occ) > 0),
+    dstat AS (
+        SELECT doc_id, fam, avg(val) AS mean,
+               coalesce(var_pop(val), 0) AS variance,
+               min(val) AS mn, max(val) AS mx
+        FROM dvals GROUP BY doc_id, fam),
+    dkey AS (
+        SELECT doc_id, fam, CAST(trunc(val) AS BIGINT) AS key, count(*) AS c
+        FROM dvals GROUP BY doc_id, fam, CAST(trunc(val) AS BIGINT)),
+    dent AS (
+        SELECT doc_id, fam,
+               CASE WHEN count(*) <= 1 THEN 0.0
+                    ELSE -sum((CAST(c AS DOUBLE) / total) * log2(CAST(c AS DOUBLE) / total))
+                         / log2(count(*)) END AS entropy
+        FROM (SELECT doc_id, fam, key, c,
+                     sum(c) OVER (PARTITION BY doc_id, fam) AS total
+              FROM dkey)
+        GROUP BY doc_id, fam),
+    dpiv AS (
+        SELECT s.doc_id,
+{dist_cols.replace("THEN mean", "THEN s.mean").replace("THEN variance", "THEN s.variance").replace("THEN mn", "THEN s.mn").replace("THEN mx", "THEN s.mx").replace("THEN entropy", "THEN e.entropy").replace("fam =", "s.fam =")}
+        FROM dstat s JOIN dent e USING (doc_id, fam)
+        GROUP BY s.doc_id)
+    SELECT m.doc_id,
+           CAST(m.n_clauses AS DOUBLE) AS clauses,
+           CAST(m.n_vars AS DOUBLE) AS variables,
+           CAST((coalesce(b.lit_bytes, 0) + 2 * m.n_clauses - 1 + 4294967296)
+                % 4294967296 AS DOUBLE) AS bytes,
+           CAST(coalesce(c.ccs, m.n_vars) AS DOUBLE) AS ccs,
+{cls_cols},
+           CAST(coalesce(h.cls10p, 0) AS DOUBLE) AS cls10p,
+           CAST(coalesce(h.horn, 0) AS DOUBLE) AS horn,
+           CAST(coalesce(h.invhorn, 0) AS DOUBLE) AS invhorn,
+           CAST(coalesce(h.positive, 0) AS DOUBLE) AS positive,
+           CAST(coalesce(h.negative, 0) AS DOUBLE) AS negative,
+{out_cols}
+    FROM meta m
+    LEFT JOIN lb b USING (doc_id)
+    LEFT JOIN ccsq c USING (doc_id)
+    LEFT JOIN hist h USING (doc_id)
+    LEFT JOIN dpiv d USING (doc_id)
     """
 
 
@@ -952,6 +1222,58 @@ def oracle_sql() -> dict[str, str]:
                 FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
             WHERE cosine >= 0.5
         """,
+        "media_image_features": """
+            WITH c AS (
+                SELECT doc_id, length(text) AS n,
+                       list_transform(range(1, length(text) + 1),
+                                      i -> ord(substr(text, CAST(i AS INTEGER), 1))) AS codes
+                FROM documents),
+            m AS (
+                SELECT doc_id, n, codes,
+                       16 * CAST(ceil(n / 16.0) AS BIGINT) AS total,
+                       CAST(list_sum(codes) AS DOUBLE) AS s
+                FROM c),
+            m2 AS (SELECT *, s / total AS mu FROM m)
+            SELECT concat('img', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS media_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(total // 16 AS INTEGER) AS height,
+                   round(mu, 6) AS mean_pixel,
+                   round(sqrt((list_sum(list_transform(codes, x -> (x - mu) * (x - mu)))
+                               + (total - n) * mu * mu) / total), 6) AS std_pixel
+            FROM m2
+        """,
+        "media_audio_features": """
+            WITH c AS (
+                SELECT doc_id, length(text) AS n,
+                       list_transform(range(1, length(text) + 1),
+                                      i -> ord(substr(text, CAST(i AS INTEGER), 1))) AS codes
+                FROM documents)
+            SELECT concat('aud', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS media_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   round(n / 8000.0, 6) AS duration_s,
+                   round(sqrt(list_sum(list_transform(codes,
+                         x -> CAST((x - 100) * (x - 100) AS DOUBLE))) / n), 6) AS rms,
+                   CAST(list_sum(list_transform(range(2, n + 1), i ->
+                        CASE WHEN (codes[CAST(i AS INTEGER) - 1] < 100)
+                                  != (codes[CAST(i AS INTEGER)] < 100)
+                             THEN 1 ELSE 0 END)) AS INTEGER) AS zero_crossings
+            FROM c
+        """,
+        "media_frame_sample": """
+            WITH c AS (
+                SELECT doc_id, length(text) AS n,
+                       list_transform(range(1, length(text) + 1),
+                                      i -> ord(substr(text, CAST(i AS INTEGER), 1))) AS codes
+                FROM documents),
+            v AS (SELECT doc_id, codes, n // 16 AS nf FROM c WHERE n // 16 >= 1),
+            fr AS (SELECT doc_id, codes, unnest(range(0, nf, 4)) AS i FROM v)
+            SELECT concat('vid', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS media_id,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   round(CAST(list_sum(list_slice(codes, CAST(i * 16 + 1 AS INTEGER),
+                                                  CAST(i * 16 + 16 AS INTEGER))) AS DOUBLE)
+                         / 16, 6) AS frame_mean
+            FROM fr
+        """,
         "ivf_topk": f"""
             WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
                        FROM embeddings WHERE vec_id < 8),
@@ -1026,6 +1348,89 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_max(list_transform({_DUCK_TOKENS_FLAT}, t -> abs(t))) AS INTEGER) AS n_vars,
                    CAST(len(list_filter({_DUCK_TOKENS_FLAT}, t -> t = 0)) AS INTEGER) AS n_clauses
             FROM documents
+        """,
+        "base_features_docs": _duck_base_features_sql(),
+        "wcnf_hashes_docs": f"""
+            WITH {_duck_clause_cte()},
+            cb AS (
+                SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY pos) AS body
+                FROM cl GROUP BY doc_id, cid),
+            wpart AS (
+                SELECT d.doc_id AS dn, c.doc_id, c.cid, c.body,
+                       CASE WHEN d.doc_id % 2 = 0 THEN (d.doc_id + c.cid) % 8
+                            WHEN (d.doc_id + c.cid) % 3 = 0 THEN -1
+                            ELSE (d.doc_id + c.cid) % 5 END AS w
+                FROM cb c JOIN (SELECT doc_id, {_DOC_KEY} AS k FROM documents) d
+                  ON c.doc_id = d.k),
+            parts AS (
+                SELECT doc_id, cid, w, dn,
+                       CASE WHEN w = -1 OR (dn % 2 = 0 AND w >= 5)
+                            THEN 'h ' || body
+                            ELSE CAST(w AS VARCHAR) || ' ' || body END AS part,
+                       CASE WHEN w = -1 THEN 0 ELSE 1 END AS sets,
+                       CASE WHEN w = -1 OR (dn % 2 = 0 AND w >= 5) THEN 1 ELSE 0 END AS hard
+                FROM wpart),
+            withsep AS (
+                SELECT doc_id, cid,
+                       CASE WHEN coalesce(sum(sets) OVER (
+                                PARTITION BY doc_id ORDER BY cid
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) > 0
+                            THEN ' ' || part ELSE part END AS piece
+                FROM parts),
+            gh AS (
+                SELECT doc_id, md5(string_agg(piece, '' ORDER BY cid)) AS wcnfhash
+                FROM withsep GROUP BY doc_id),
+            iso1 AS (
+                SELECT l.doc_id, abs(l.tok) AS v,
+                       CASE WHEN l.tok < 0 THEN 1 ELSE 0 END AS neg,
+                       p.w, p.hard
+                FROM cl l JOIN parts p USING (doc_id, cid) WHERE l.tok != 0),
+            isod AS (
+                SELECT doc_id, v,
+                       sum(CASE WHEN hard = 1 AND neg = 0 THEN 1 ELSE 0 END) AS hp,
+                       sum(CASE WHEN hard = 1 AND neg = 1 THEN 1 ELSE 0 END) AS hn,
+                       sum(CASE WHEN hard = 0 AND neg = 0 THEN w + 1 ELSE 0 END) AS sp0,
+                       sum(CASE WHEN hard = 0 AND neg = 1 THEN w + 1 ELSE 0 END) AS sn0
+                FROM iso1 GROUP BY doc_id, v),
+            hbuf AS (
+                SELECT doc_id, string_agg(concat(least(hp, hn), ' ', greatest(hp, hn), ' '),
+                                          '' ORDER BY least(hp, hn), greatest(hp, hn)) AS b
+                FROM isod WHERE greatest(hp, hn) > 0 GROUP BY doc_id),
+            sbuf AS (
+                SELECT doc_id,
+                       string_agg(concat(least(sp0 + hp, sn0 + hn), ' ',
+                                         greatest(sp0 + hp, sn0 + hn), ' '),
+                                  '' ORDER BY least(sp0 + hp, sn0 + hn),
+                                           greatest(sp0 + hp, sn0 + hn)) AS b
+                FROM isod WHERE greatest(sp0 + hp, sn0 + hn) > 0 GROUP BY doc_id)
+            SELECT t.doc_id, g.wcnfhash,
+                   md5(coalesce(h.b, '') || 'softs ' || coalesce(s.b, '')) AS wcnfisohash
+            FROM t JOIN gh g USING (doc_id)
+            LEFT JOIN hbuf h USING (doc_id) LEFT JOIN sbuf s USING (doc_id)
+        """,
+        "opbhash_docs": f"""
+            WITH {_duck_clause_cte()},
+            lines AS (
+                SELECT doc_id, cid,
+                       string_agg(CASE WHEN tok < 0 THEN '-1 x' ELSE '1 x' END
+                                  || abs(tok), ' ' ORDER BY pos)
+                       || ' >= 1;' AS line
+                FROM cl WHERE tok != 0 GROUP BY doc_id, cid)
+            SELECT doc_id, md5(string_agg(line, '' ORDER BY cid)) AS opbhash
+            FROM lines GROUP BY doc_id
+        """,
+        "pqbfhash_docs": f"""
+            WITH t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                       FROM documents),
+            m AS (SELECT doc_id, toks,
+                         list_max(list_transform(toks, x -> abs(x))) AS nv
+                  FROM t)
+            SELECT doc_id,
+                   md5(concat('e ',
+                              array_to_string(range(1, nv + 1), ' '),
+                              ' 0 ',
+                              array_to_string(toks, ' '))) AS pqbfhash
+            FROM m
         """,
         "sanitize_docs": f"""
             WITH {_duck_clause_cte()},

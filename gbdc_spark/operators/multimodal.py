@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_SCHEMA",
     "synth_media_df",
+    "docs_as_media",
     "image_features",
     "resize_images",
     "audio_features",
@@ -109,6 +110,60 @@ def synth_media_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from the documents TEXT BYTES —
+    unlike ``synth_media_df`` (RNG payloads), every decoded feature is a
+    pure arithmetic function of the text, so the driver's DuckDB oracle
+    can verify the full pack→decode→feature path end to end.
+
+    Per doc: one image (16 x ceil(n/16) grid of ASCII codes, zero-padded),
+    one audio clip (8 kHz, samples = code-100 as int16), one video
+    (4x4-pixel frames over consecutive 16-char blocks, remainder dropped).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+                h = -(-b.size // 16)
+                px = np.zeros(16 * h, np.uint8)
+                px[: b.size] = b
+                rows.append({
+                    "media_id": f"img{did:08d}", "media_type": "image",
+                    "payload": _MAGIC + np.asarray([16, h, 0, 0], "<i4").tobytes()
+                    + px.tobytes(),
+                    "n_bytes": 20 + px.size,
+                    "meta": {"width": 16, "height": h,
+                             "sample_rate": None, "n_frames": None},
+                })
+                pcm = b.astype(np.int16) - 100
+                rows.append({
+                    "media_id": f"aud{did:08d}", "media_type": "audio",
+                    "payload": _MAGIC
+                    + np.asarray([0, 0, 8000, b.size], "<i4").tobytes()
+                    + pcm.tobytes(),
+                    "n_bytes": 20 + 2 * b.size,
+                    "meta": {"width": None, "height": None,
+                             "sample_rate": 8000, "n_frames": None},
+                })
+                nf = b.size // 16
+                if nf:
+                    rows.append({
+                        "media_id": f"vid{did:08d}", "media_type": "video",
+                        "payload": _MAGIC
+                        + np.asarray([4, 4, 0, nf], "<i4").tobytes()
+                        + b[: nf * 16].tobytes(),
+                        "n_bytes": 20 + nf * 16,
+                        "meta": {"width": 4, "height": 4,
+                                 "sample_rate": None, "n_frames": nf},
+                    })
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def _split_payload(payload: bytes) -> tuple[np.ndarray, bytes]:
