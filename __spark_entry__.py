@@ -377,6 +377,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), key="doc_id", num_perm=8, bands=4, shingle_n=3
         )
 
+    def q_dedup_clusters(spark, sf_dir):
+        # candidate pairs -> connected components -> (doc_id, keeper)
+        pairs = dedup.minhash_candidate_pairs(
+            _docs(spark, sf_dir), key="doc_id", num_perm=8, bands=4, shingle_n=3
+        )
+        return dedup.dup_clusters(pairs)
+
     def q_ngram_jaccard(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         pairs = docs.select(F.col("doc_id").alias("a")).join(
@@ -658,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "minhash_sig": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
@@ -752,6 +760,30 @@ _BF_FAMS = [
     "vcg_vdegree", "vcg_cdegree", "vg_degree", "cg_degree",
 ]
 _BF_STATS = ["mean", "variance", "min", "max", "entropy"]
+
+
+_DUCK_MINHASH_CAND = """
+    sh AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(words) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(words, i, i + 2), ' ')) AS shingles
+        FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)),
+    sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 8), j ->
+                   list_min(list_transform(shingles,
+                       s -> md5(concat(CAST(j AS VARCHAR), ':', s))))) AS mh
+        FROM sh),
+    banded AS (
+        SELECT doc_id, b.band,
+               concat(mh[b.band * 2 + 1], '|', mh[b.band * 2 + 2]) AS bkey
+        FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+    """
 
 
 def _duck_base_features_sql() -> str:
@@ -1146,26 +1178,20 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(shingles, s -> md5(concat('3:', s)))) AS mh3
             FROM sh
         """,
-        "minhash_pairs": """
-            WITH sh AS (
-                SELECT doc_id,
-                       list_transform(
-                           range(1, greatest(len(words) - 2, 1) + 1),
-                           i -> array_to_string(list_slice(words, i, i + 2), ' ')) AS shingles
-                FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)),
-            sig AS (
-                SELECT doc_id,
-                       list_transform(range(0, 8), j ->
-                           list_min(list_transform(shingles,
-                               s -> md5(concat(CAST(j AS VARCHAR), ':', s))))) AS mh
-                FROM sh),
-            banded AS (
-                SELECT doc_id, b.band,
-                       concat(mh[b.band * 2 + 1], '|', mh[b.band * 2 + 2]) AS bkey
-                FROM sig, (SELECT unnest(range(0, 4)) AS band) b)
-            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-            FROM banded l JOIN banded r
-              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+        "minhash_pairs": f"""
+            WITH {_DUCK_MINHASH_CAND}
+            SELECT a, b FROM cand
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_DUCK_MINHASH_CAND},
+            edges AS (SELECT a AS src, b AS dst FROM cand
+                      UNION SELECT b, a FROM cand),
+            reach AS (
+                SELECT src AS v, dst AS w FROM edges
+                UNION
+                SELECT r.v, e.dst FROM reach r JOIN edges e ON r.w = e.src),
+            comp AS (SELECT v, least(v, min(w)) AS keeper FROM reach GROUP BY v)
+            SELECT v AS doc_id, keeper FROM comp
         """,
         "ngram_jaccard": """
             WITH sh AS (

@@ -32,6 +32,7 @@ __all__ = [
     "simhash_near_dups",
     "ngram_jaccard_pairs",
     "embedding_near_dups",
+    "dup_clusters",
 ]
 
 
@@ -198,6 +199,57 @@ def simhash_near_dups(df: DataFrame, key: str = "doc_id", text_col: str = "text"
         .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"), "hamming")
         .distinct()
     )
+
+
+def dup_clusters(pairs: DataFrame, a: str = "a", b: str = "b",
+                 max_iter: int = 20) -> DataFrame:
+    """Resolve near-dup candidate pairs into duplicate CLUSTERS:
+    connected components over the pair graph, labeled by the smallest
+    member — the keeper under the min-key survivorship rule.  Returns
+    (doc_id, keeper) for every node that appears in a pair.
+
+    Distributed iterative min-label propagation: each round joins the
+    symmetric edge list against current labels and takes the per-node
+    minimum, converging in O(graph diameter) rounds — near-dup clusters
+    are cliquish (diameter ~1-2), so 2-3 rounds typically suffice; the
+    loop stops at the first fixpoint (one count() action per round) and
+    persists each generation so lineage doesn't stack.  At extreme
+    scale, swap the propagation loop for the large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce");
+    the (node, keeper) contract is identical.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node"), F.col("src").alias("lbl")).distinct()
+    labels = labels.persist()
+    try:
+        for _ in range(max_iter):
+            # candidate label via each neighbor, then per-node minimum
+            prop = (
+                edges.join(labels, edges.dst == labels.node)
+                .select(F.col("src").alias("node"), F.col("lbl"))
+                .union(labels)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .persist()
+            )
+            changed = (
+                prop.join(labels.withColumnRenamed("lbl", "old"), "node")
+                .filter(F.col("lbl") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = prop
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("keeper"))
+    finally:
+        edges.unpersist()
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",

@@ -70,3 +70,20 @@ def test_simhash_bands_cover_all_64_bits(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = dedup.simhash_near_dups(df, max_hamming=0).collect()
     assert [(r["a"], r["b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+
+
+def test_dup_clusters_resolves_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long"
+    )
+    out = {r["doc_id"]: r["keeper"] for r in dedup.dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_dup_clusters_chain_needs_multiple_rounds(spark):
+    # path graph of diameter 5: min label must propagate hop by hop
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "a long, b long"
+    )
+    out = {r["doc_id"]: r["keeper"] for r in dedup.dup_clusters(pairs).collect()}
+    assert out == {i: 1 for i in range(1, 8)}

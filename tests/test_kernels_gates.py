@@ -204,3 +204,39 @@ def test_remainder_collects_unassigned_clauses():
     rem = sorted(tuple(g.clauses[c]) for c in g.remainder)
     enc = lambda v: 2 * v  # noqa: E731 — positive literal encoding
     assert rem == sorted([(enc(4), enc(5)), (enc(4) + 1, enc(5))])
+
+
+def test_sat_backend_parity_when_pysat_available(monkeypatch):
+    """GBDC_SAT_BACKEND=pysat must type gates identically to the DPLL on
+    circuits where the DPLL budget is not exhausted (exactness parity).
+    Skipped in containers without python-sat; the dispatch fallback path
+    (auto -> DPLL when pysat is missing) is asserted either way."""
+    import gbdc_spark.kernels.gates as gm
+    from gbdc_spark.sources.synth import gen_cnf_tokens
+
+    monkeypatch.setenv("GBDC_SAT_BACKEND", "auto")
+    assert gm._make_sat_solver() is not None  # never raises under auto
+
+    try:
+        import pysat  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        monkeypatch.setenv("GBDC_SAT_BACKEND", "dpll")
+        assert isinstance(gm._make_sat_solver(), gm._IncrementalDPLL)
+        _pytest.skip("python-sat not installed in this container")
+
+    ite = [(-2, -4, 5), (-2, 4, 6), (2, -4, -5), (2, 4, -6)]
+    t = toks(*EQ_ROOT, *ite)
+    monkeypatch.setenv("GBDC_SAT_BACKEND", "dpll")
+    a = gate_features(t)
+    monkeypatch.setenv("GBDC_SAT_BACKEND", "pysat")
+    b = gate_features(t)
+    assert np.array_equal(a, b)
+    for idx in range(20):
+        doc = gen_cnf_tokens(seed=11, idx=idx)
+        monkeypatch.setenv("GBDC_SAT_BACKEND", "dpll")
+        a = gate_features(doc)
+        monkeypatch.setenv("GBDC_SAT_BACKEND", "pysat")
+        b = gate_features(doc)
+        assert np.array_equal(a, b)

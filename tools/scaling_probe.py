@@ -42,10 +42,17 @@ def main() -> None:
     from gbdc_spark.session import get_spark
     from gbdc_spark.sources import tables
 
+    # partitions scale WITH the cluster (4x cores, the standard sizing
+    # rule): both levels then run the same ~4 task waves per stage, so
+    # single-task jitter is absorbed symmetrically.  The round-1 fixed
+    # partition count gave the small level 4 waves but the big level
+    # only 1 — any host jitter on one core stalled a whole stage at 4N
+    # while averaging out at N, systematically deflating measured
+    # efficiency.  (Output hash is partitioning-invariant — verified.)
     spark = get_spark(
         app_name=f"scaling-{args.cores}",
         cores=args.cores,
-        shuffle_partitions=max(args.cores, 8),
+        shuffle_partitions=max(4 * args.cores, 8),
         extra={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
