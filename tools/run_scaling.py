@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Calm-window scaling campaign (north_rule evidence collection).
+
+The shared host applies multi-minute ~2x slowdowns at random (identical
+back-to-back probe legs have differed 2.5x).  This wrapper runs the
+interleaved local[2]/local[8] probe pairs ONLY inside calm windows:
+
+* a ~0.5 s single-thread busy-loop score gates entry (>= 93% of the
+  session-best score), and is re-checked after the pair — pairs whose
+  window went noisy mid-flight are printed but not counted;
+* pairs are the unit (ratio evidence), never lone runs.
+
+Usage: python tools/run_scaling.py [docs] [target_pairs] [max_attempts]
+Prints one JSON line per pair and a final summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+REPO = __file__.rsplit("/", 2)[0]
+
+
+def cpu_score() -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(8_000_000):
+        x += i * i
+    return 8_000_000 / (time.perf_counter() - t0)
+
+
+def probe(cores: int, docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, f"{REPO}/tools/scaling_probe.py",
+         "--cores", str(cores), "--docs", str(docs)],
+        capture_output=True, text=True, timeout=900, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    docs = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+    target = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    max_attempts = int(sys.argv[3]) if len(sys.argv) > 3 else 14
+
+    best = 0.0
+    pairs: list[dict] = []
+    attempts = 0
+    while len(pairs) < target and attempts < max_attempts:
+        s = cpu_score()
+        best = max(best, s)
+        if s < 0.93 * best:
+            print(f"# host busy ({s / best:.2f} of best) — waiting", flush=True)
+            time.sleep(20)
+            continue
+        attempts += 1
+        a = probe(2, docs)
+        b = probe(8, docs)
+        calm_after = cpu_score() >= 0.93 * best
+        eff = b["rows_per_sec"] / a["rows_per_sec"] / 4
+        rec = {
+            "pair_attempt": attempts,
+            "local2_rows_per_sec": a["rows_per_sec"],
+            "local8_rows_per_sec": b["rows_per_sec"],
+            "efficiency": round(eff, 3),
+            "hash_match": a["content_hash"] == b["content_hash"],
+            "calm_after": calm_after,
+        }
+        print(json.dumps(rec), flush=True)
+        if calm_after:
+            pairs.append(rec)
+        else:
+            print("# window went noisy mid-pair — not counted", flush=True)
+    effs = sorted(p["efficiency"] for p in pairs)
+    summary = {
+        "docs": docs,
+        "counted_pairs": len(pairs),
+        "median_efficiency": effs[len(effs) // 2] if effs else None,
+        "efficiencies": effs,
+        "all_hashes_match": all(p["hash_match"] for p in pairs) if pairs else None,
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
