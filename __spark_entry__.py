@@ -523,6 +523,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return extract.with_wcnf_hashes(df).select("doc_id", "wcnfhash", "wcnfisohash")
 
+    def q_wcnf_features_docs(spark, sf_dir):
+        # same doc-derived weights as q_wcnf_hashes_docs, full 73-feature
+        # WCNF row (WCNFBaseFeatures.h incl. the weight-0-is-hard Base1
+        # quirk and both Base2 pass quirks), rounded to 6 on both sides
+        from gbdc_spark.schemas import WCNF_BASE_FEATURES_NAMES
+
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        dnum = F.substring("doc_id", 4, 8).cast("long")
+        n_clauses = F.aggregate(
+            F.col("tokens"), F.lit(0),
+            lambda a, x: a + F.when(x == 0, 1).otherwise(0),
+        )
+        is_old = (dnum % 2) == 0
+        weights = F.transform(
+            F.sequence(F.lit(0), n_clauses - 1),
+            lambda i: F.when(
+                is_old, (dnum + i) % 8
+            ).otherwise(
+                F.when((dnum + i) % 3 == 0, F.lit(-1)).otherwise((dnum + i) % 5)
+            ).cast("long"),
+        )
+        df = seqs.select(
+            "doc_id", "tokens",
+            weights.alias("weights"),
+            F.when(is_old, F.lit(5)).otherwise(F.lit(0)).cast("long").alias("top"),
+        )
+        out = extract.with_wcnf_base_features(df)
+        return out.select(
+            "doc_id",
+            *[
+                F.round(F.col(f"features.{n}"), 6).alias(n)
+                for n in WCNF_BASE_FEATURES_NAMES
+            ],
+        )
+
     def q_opbhash_docs(spark, sf_dir):
         # doc-derived OPB payload (coeff ±1 per literal, >= 1 bound) built
         # JVM-side, hashed through the raw-text canonicalization scanner
@@ -545,6 +580,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract.with_opb_hash(
             seqs.select("doc_id", payload.alias("payload"))
         ).select("doc_id", "opbhash")
+
+    def q_opb_features_docs(spark, sf_dir):
+        # doc-derived OPB instance exercising every classifier branch of
+        # the 17-feature kernel (OPBBaseFeatures.h): coefficient pattern
+        # (1 + litpos % 3) * sign, per-clause bound (cid % 4) - 1, '='
+        # relation every 5th clause, first clause doubles as objective
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+
+        def step(acc, x):
+            coeff = (
+                F.when(x < 0, -(F.lit(1) + F.pmod(acc.pos, F.lit(3))))
+                .otherwise(F.lit(1) + F.pmod(acc.pos, F.lit(3)))
+            )
+            bound = F.pmod(acc.cid, F.lit(4)) - 1
+            tail = F.when(
+                F.pmod(acc.cid, F.lit(5)) == 0,
+                F.concat(F.lit("= "), bound.cast("string"), F.lit(";\n")),
+            ).otherwise(
+                F.concat(F.lit(">= "), bound.cast("string"), F.lit(";\n"))
+            )
+            return F.struct(
+                F.when(x == 0, F.concat(acc.s, tail))
+                .otherwise(
+                    F.concat(
+                        acc.s, coeff.cast("string"), F.lit(" x"),
+                        F.abs(x).cast("string"), F.lit(" "),
+                    )
+                )
+                .alias("s"),
+                F.when(x == 0, acc.cid + 1).otherwise(acc.cid).alias("cid"),
+                F.when(x == 0, acc.pos).otherwise(acc.pos + 1).alias("pos"),
+            )
+
+        body = F.aggregate(
+            F.col("tokens"),
+            F.struct(
+                F.lit("* derived\n").alias("s"),
+                F.lit(0).alias("cid"), F.lit(0).alias("pos"),
+            ),
+            step,
+            lambda acc: acc.s,
+        )
+        first_clause = F.slice(
+            F.col("tokens"), 1, F.array_position(F.col("tokens"), 0) - 1
+        )
+        obj = F.concat(
+            F.lit("min: "),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    first_clause,
+                    lambda x, i: F.concat(
+                        F.when(
+                            x < 0, -(F.lit(1) + F.pmod(i, F.lit(3)))
+                        ).otherwise(F.lit(1) + F.pmod(i, F.lit(3))).cast("string"),
+                        F.lit(" x"), F.abs(x).cast("string"),
+                    ),
+                ),
+            ),
+            F.lit(" ;\n"),
+        )
+        payload = F.concat(obj, body)
+        out = extract.with_opb_base_features(
+            seqs.select("doc_id", payload.alias("payload"))
+        )
+        from gbdc_spark.schemas import OPB_BASE_FEATURES_NAMES
+
+        return out.select(
+            "doc_id",
+            *[
+                F.round(F.col(f"features.{n}"), 6).alias(n)
+                for n in OPB_BASE_FEATURES_NAMES
+            ],
+        )
 
     def q_pqbfhash_docs(spark, sf_dir):
         # doc-derived QDIMACS payload: header + one 'e' quantifier line
@@ -683,7 +792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cnf2kis_docs": q_cnf2kis_docs,
         "cnf2kis_edges_docs": q_cnf2kis_edges_docs,
         "wcnf_hashes_docs": q_wcnf_hashes_docs,
+        "wcnf_features_docs": q_wcnf_features_docs,
         "opbhash_docs": q_opbhash_docs,
+        "opb_features_docs": q_opb_features_docs,
         "pqbfhash_docs": q_pqbfhash_docs,
         "wcnf_features_synth": q_wcnf_features_synth,
         "opb_features_synth": q_opb_features_synth,
@@ -939,6 +1050,181 @@ def _duck_base_features_sql() -> str:
     FROM meta m
     LEFT JOIN lb b USING (doc_id)
     LEFT JOIN ccsq c USING (doc_id)
+    LEFT JOIN hist h USING (doc_id)
+    LEFT JOIN dpiv d USING (doc_id)
+    """
+
+
+_WCNF_FAMS = [
+    "h_hornvars", "h_invhornvars", "h_balancecls", "h_balancevars",
+    "s_weight", "h_vcg_vdegree", "h_vcg_cdegree", "h_vg_degree", "h_cg_degree",
+]
+
+
+def _duck_wcnf_features_sql() -> str:
+    """All 73 WCNF base features in DuckDB SQL over the doc-derived
+    weights of wcnf_hashes_docs (mirror of kernels/wcnf.wcnf_base_features
+    incl. the weight-0-is-hard Base1 quirk and both Base2 pass quirks)."""
+    dist_cols = ",\n".join(
+        f"            coalesce(max(CASE WHEN s.fam = '{f}' THEN s.{c} END), 0) AS {f}_{c}"
+        for f in _WCNF_FAMS
+        for c in ("mean", "variance", "mn", "mx")
+    ) + ",\n" + ",\n".join(
+        f"            coalesce(max(CASE WHEN s.fam = '{f}' THEN e.entropy END), 0) AS {f}_entropy"
+        for f in _WCNF_FAMS
+    )
+    out_cols = ",\n".join(
+        "                   round(coalesce(d.{f}_{a}, 0), 6) AS {f}_{s}".format(
+            f=f, s=s, a={"min": "mn", "max": "mx"}.get(s, s)
+        )
+        for f in _WCNF_FAMS
+        for s in ("mean", "variance", "min", "max", "entropy")
+    )
+    h_hist = ",\n".join(
+        f"                sum(CASE WHEN hard = 1 AND least(s, 10) = {i} THEN 1 ELSE 0 END) AS h_cls{i}"
+        for i in range(1, 10)
+    )
+    s_hist = ",\n".join(
+        f"                sum(CASE WHEN hard = 0 AND least(s, 10) = {i} THEN 1 ELSE 0 END) AS s_cls{i}"
+        for i in range(1, 10)
+    )
+    h_out = ",\n".join(
+        f"                   CAST(coalesce(h.h_cls{i}, 0) AS DOUBLE) AS h_cls{i}"
+        for i in range(1, 10)
+    )
+    s_out = ",\n".join(
+        f"                   CAST(coalesce(h.s_cls{i}, 0) AS DOUBLE) AS s_cls{i}"
+        for i in range(1, 10)
+    )
+    return f"""
+    WITH {_duck_clause_cte()},
+    L AS (SELECT doc_id, cid, pos, tok, abs(tok) AS v,
+                 CASE WHEN tok < 0 THEN 1 ELSE 0 END AS neg
+          FROM cl WHERE tok != 0),
+    meta AS (
+        SELECT t.doc_id, coalesce(mx.n_vars, 0) AS n_vars
+        FROM t LEFT JOIN (SELECT doc_id, max(v) AS n_vars FROM L GROUP BY doc_id) mx
+        USING (doc_id)),
+    wts AS (
+        SELECT c.doc_id, c.cid,
+               CASE WHEN d.doc_id % 2 = 0 THEN (d.doc_id + c.cid) % 8
+                    WHEN (d.doc_id + c.cid) % 3 = 0 THEN -1
+                    ELSE (d.doc_id + c.cid) % 5 END AS w,
+               CASE WHEN d.doc_id % 2 = 0 THEN 5 ELSE 0 END AS top
+        FROM (SELECT DISTINCT doc_id, cid FROM cl) c
+        JOIN (SELECT doc_id, {_DOC_KEY} AS k FROM documents) d ON c.doc_id = d.k),
+    wf AS (
+        SELECT doc_id, cid, w, top,
+               CASE WHEN w = -1 OR (top > 0 AND w >= top) THEN 0 ELSE w END AS w1,
+               CASE WHEN w = -1 THEN 0 ELSE w END AS wraw
+        FROM wts),
+    hf AS (
+        SELECT doc_id, cid, w, top, w1,
+               CASE WHEN w1 = 0 THEN 1 ELSE 0 END AS hard,
+               CASE WHEN (top = 0 AND wraw = 0) OR wraw >= top THEN 1 ELSE 0 END AS counted,
+               CASE WHEN w = -1 OR (top > 0 AND w >= top) THEN 1 ELSE 0 END AS pass2
+        FROM wf),
+    csz AS (
+        SELECT l.doc_id, l.cid, count(*) AS s, sum(l.neg) AS n_neg,
+               count(*) - sum(l.neg) AS n_pos,
+               any_value(h.hard) AS hard, any_value(h.counted) AS counted,
+               any_value(h.pass2) AS pass2, any_value(h.w1) AS w1
+        FROM L l JOIN hf h USING (doc_id, cid) GROUP BY l.doc_id, l.cid),
+    hist AS (
+        SELECT doc_id,
+{h_hist},
+                sum(CASE WHEN hard = 1 AND s >= 10 THEN 1 ELSE 0 END) AS h_cls10p,
+{s_hist},
+                sum(CASE WHEN hard = 0 AND s >= 10 THEN 1 ELSE 0 END) AS s_cls10p,
+                sum(hard) AS h_clauses,
+                sum(1 - hard) AS s_clauses,
+                sum(CASE WHEN hard = 0 THEN w1 ELSE 0 END) AS s_weight_sum,
+                sum(CASE WHEN hard = 1 AND n_neg <= 1 THEN 1 ELSE 0 END) AS h_horn,
+                sum(CASE WHEN hard = 1 AND n_pos <= 1 THEN 1 ELSE 0 END) AS h_invhorn,
+                sum(CASE WHEN hard = 1 AND n_neg = 0 THEN 1 ELSE 0 END) AS h_positive,
+                sum(CASE WHEN hard = 1 AND n_pos = 0 THEN 1 ELSE 0 END) AS h_negative
+        FROM csz GROUP BY doc_id),
+    occ AS (
+        SELECT l.doc_id, l.v,
+               sum(CASE WHEN c.hard = 1 THEN 1 - l.neg ELSE 0 END) AS hp,
+               sum(CASE WHEN c.hard = 1 THEN l.neg ELSE 0 END) AS hn,
+               sum(CASE WHEN c.hard = 1 AND c.n_neg <= 1 THEN 1 ELSE 0 END) AS horn_occ,
+               sum(CASE WHEN c.hard = 1 AND c.n_pos <= 1 THEN 1 ELSE 0 END) AS invhorn_occ,
+               sum(c.counted) AS vdeg,
+               sum(CASE WHEN c.counted = 1 THEN c.s ELSE 0 END) AS vg
+        FROM L l JOIN csz c USING (doc_id, cid) GROUP BY l.doc_id, l.v),
+    cg AS (
+        SELECT l.doc_id, l.cid, sum(o.vdeg) AS val
+        FROM L l JOIN csz c USING (doc_id, cid)
+        JOIN occ o USING (doc_id, v)
+        WHERE c.pass2 = 1 GROUP BY l.doc_id, l.cid),
+    slots AS (SELECT doc_id, unnest(range(0, n_vars + 1)) AS v FROM meta),
+    dvals AS (
+        SELECT s.doc_id, 'h_hornvars' AS fam,
+               CAST(coalesce(o.horn_occ, 0) AS DOUBLE) AS val
+        FROM slots s LEFT JOIN occ o USING (doc_id, v)
+        UNION ALL
+        SELECT s.doc_id, 'h_invhornvars', CAST(coalesce(o.invhorn_occ, 0) AS DOUBLE)
+        FROM slots s LEFT JOIN occ o USING (doc_id, v)
+        UNION ALL
+        SELECT s.doc_id, 'h_vcg_vdegree', CAST(coalesce(o.vdeg, 0) AS DOUBLE)
+        FROM slots s LEFT JOIN occ o USING (doc_id, v)
+        UNION ALL
+        SELECT s.doc_id, 'h_vg_degree', CAST(coalesce(o.vg, 0) AS DOUBLE)
+        FROM slots s LEFT JOIN occ o USING (doc_id, v)
+        UNION ALL
+        SELECT doc_id, 'h_vcg_cdegree', CAST(s AS DOUBLE) FROM csz
+        UNION ALL
+        SELECT doc_id, 'h_cg_degree', CAST(val AS DOUBLE) FROM cg
+        UNION ALL
+        SELECT doc_id, 'h_balancecls',
+               CAST(least(n_pos, n_neg) AS DOUBLE) / greatest(n_pos, n_neg)
+        FROM csz WHERE hard = 1 AND s > 0
+        UNION ALL
+        SELECT doc_id, 's_weight', CAST(w1 AS DOUBLE) FROM csz WHERE hard = 0
+        UNION ALL
+        SELECT s.doc_id, 'h_balancevars',
+               CAST(least(o.hp, o.hn) AS DOUBLE) / greatest(o.hp, o.hn)
+        FROM slots s JOIN meta m USING (doc_id)
+        LEFT JOIN occ o USING (doc_id, v)
+        WHERE s.v < m.n_vars AND greatest(o.hp, o.hn) > 0),
+    dstat AS (
+        SELECT doc_id, fam, avg(val) AS mean,
+               coalesce(var_pop(val), 0) AS variance,
+               min(val) AS mn, max(val) AS mx
+        FROM dvals GROUP BY doc_id, fam),
+    dkey AS (
+        SELECT doc_id, fam, CAST(trunc(val) AS BIGINT) AS key, count(*) AS c
+        FROM dvals GROUP BY doc_id, fam, CAST(trunc(val) AS BIGINT)),
+    dent AS (
+        SELECT doc_id, fam,
+               CASE WHEN count(*) <= 1 THEN 0.0
+                    ELSE -sum((CAST(c AS DOUBLE) / total) * log2(CAST(c AS DOUBLE) / total))
+                         / log2(count(*)) END AS entropy
+        FROM (SELECT doc_id, fam, key, c,
+                     sum(c) OVER (PARTITION BY doc_id, fam) AS total
+              FROM dkey)
+        GROUP BY doc_id, fam),
+    dpiv AS (
+        SELECT s.doc_id,
+{dist_cols}
+        FROM dstat s JOIN dent e USING (doc_id, fam)
+        GROUP BY s.doc_id)
+    SELECT m.doc_id,
+           CAST(coalesce(h.h_clauses, 0) AS DOUBLE) AS h_clauses,
+           CAST(m.n_vars AS DOUBLE) AS variables,
+           CAST(coalesce(h.s_clauses, 0) AS DOUBLE) AS s_clauses,
+           CAST(coalesce(h.s_weight_sum, 0) AS DOUBLE) AS s_weight_sum,
+{h_out},
+           CAST(coalesce(h.h_cls10p, 0) AS DOUBLE) AS h_cls10p,
+{s_out},
+           CAST(coalesce(h.s_cls10p, 0) AS DOUBLE) AS s_cls10p,
+           CAST(coalesce(h.h_horn, 0) AS DOUBLE) AS h_horn,
+           CAST(coalesce(h.h_invhorn, 0) AS DOUBLE) AS h_invhorn,
+           CAST(coalesce(h.h_positive, 0) AS DOUBLE) AS h_positive,
+           CAST(coalesce(h.h_negative, 0) AS DOUBLE) AS h_negative,
+{out_cols}
+    FROM meta m
     LEFT JOIN hist h USING (doc_id)
     LEFT JOIN dpiv d USING (doc_id)
     """
@@ -1444,6 +1730,101 @@ def oracle_sql() -> dict[str, str]:
                 FROM cl WHERE tok != 0 GROUP BY doc_id, cid)
             SELECT doc_id, md5(string_agg(line, '' ORDER BY cid)) AS opbhash
             FROM lines GROUP BY doc_id
+        """,
+        "wcnf_features_docs": _duck_wcnf_features_sql(),
+        "opb_features_docs": f"""
+            WITH {_duck_clause_cte()},
+            pl AS (
+                SELECT doc_id, cid, tok,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p
+                FROM cl WHERE tok != 0),
+            terms AS (
+                SELECT doc_id, cid,
+                       CASE WHEN tok < 0 THEN -(1 + p % 3) ELSE 1 + p % 3 END AS coeff,
+                       abs(tok) AS v
+                FROM pl),
+            cstats AS (
+                SELECT doc_id, cid,
+                       sum(CASE WHEN coeff < 0 THEN coeff ELSE 0 END) AS mn,
+                       sum(CASE WHEN coeff > 0 THEN coeff ELSE 0 END) AS mx,
+                       min(abs(coeff)) AS absmin,
+                       count(DISTINCT abs(coeff)) AS nd
+                FROM terms GROUP BY doc_id, cid),
+            cls AS (
+                SELECT doc_id, cid, (nd = 1) AS card, (cid % 5 = 0) AS is_eq,
+                       CASE WHEN cid % 5 = 0
+                            THEN (mn > (cid % 4) - 1 OR mx < (cid % 4) - 1)
+                            ELSE mx < (cid % 4) - 1 END AS unsat,
+                       CASE WHEN cid % 5 = 0
+                            THEN ((cid % 4) - 1 = mx OR (cid % 4) - 1 = mn)
+                            ELSE (mx - absmin < (cid % 4) - 1
+                                  AND mx > (cid % 4) - 1) END AS assignment,
+                       CASE WHEN cid % 5 = 0 THEN FALSE
+                            ELSE ((cid % 4) - 1 > mn
+                                  AND (cid % 4) - 1 <= mn + absmin) END AS is_clause
+                FROM cstats),
+            agg AS (
+                SELECT doc_id, count(*) AS n_constraints,
+                       sum(CASE WHEN NOT is_clause AND NOT card AND NOT is_eq
+                                THEN 1 ELSE 0 END) AS pbs_ge,
+                       sum(CASE WHEN NOT is_clause AND NOT card AND is_eq
+                                THEN 1 ELSE 0 END) AS pbs_eq,
+                       sum(CASE WHEN NOT is_clause AND card AND NOT is_eq
+                                THEN 1 ELSE 0 END) AS cards_ge,
+                       sum(CASE WHEN NOT is_clause AND card AND is_eq
+                                THEN 1 ELSE 0 END) AS cards_eq,
+                       sum(CASE WHEN is_clause THEN 1 ELSE 0 END) AS n_clauses,
+                       sum(CASE WHEN assignment THEN 1 ELSE 0 END) AS assignments,
+                       max(CASE WHEN unsat THEN 1 ELSE 0 END) AS trivially_unsat
+                FROM cls GROUP BY doc_id),
+            vmax AS (SELECT doc_id, max(v) + 1 AS n_variables FROM terms GROUP BY doc_id),
+            -- objective = clause 0; Spark transform's lambda index is
+            -- 0-based, so the coefficient position is p1 - 1
+            objc AS (
+                SELECT doc_id,
+                       CASE WHEN tok < 0 THEN -(1 + (p1 - 1) % 3)
+                            ELSE 1 + (p1 - 1) % 3 END AS coeff
+                FROM (SELECT doc_id, tok,
+                             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p1
+                      FROM cl WHERE cid = 0 AND tok != 0)),
+            ostat AS (
+                SELECT doc_id, count(*) AS obj_terms,
+                       sum(CASE WHEN coeff > 0 THEN coeff ELSE 0 END) AS obj_max_val,
+                       sum(CASE WHEN coeff < 0 THEN coeff ELSE 0 END) AS obj_min_val,
+                       avg(CAST(coeff AS DOUBLE)) AS cmean,
+                       coalesce(var_pop(CAST(coeff AS DOUBLE)), 0) AS cvar,
+                       min(coeff) AS cmin, max(coeff) AS cmax
+                FROM objc GROUP BY doc_id),
+            okey AS (SELECT doc_id, coeff, count(*) AS c FROM objc GROUP BY doc_id, coeff),
+            oent AS (
+                SELECT doc_id,
+                       CASE WHEN count(*) <= 1 THEN 0.0
+                            ELSE -sum((CAST(c AS DOUBLE) / total)
+                                      * log2(CAST(c AS DOUBLE) / total))
+                                 / log2(count(*)) END AS entropy
+                FROM (SELECT doc_id, coeff, c,
+                             sum(c) OVER (PARTITION BY doc_id) AS total FROM okey)
+                GROUP BY doc_id)
+            SELECT a.doc_id,
+                   CAST(a.n_constraints AS DOUBLE) AS constraints,
+                   CAST(v.n_variables AS DOUBLE) AS variables,
+                   CAST(a.pbs_ge AS DOUBLE) AS pbs_ge,
+                   CAST(a.pbs_eq AS DOUBLE) AS pbs_eq,
+                   CAST(a.cards_ge AS DOUBLE) AS cards_ge,
+                   CAST(a.cards_eq AS DOUBLE) AS cards_eq,
+                   CAST(a.n_clauses AS DOUBLE) AS clauses,
+                   CAST(a.assignments AS DOUBLE) AS assignments,
+                   CAST(a.trivially_unsat AS DOUBLE) AS trivially_unsat,
+                   CAST(o.obj_terms AS DOUBLE) AS obj_terms,
+                   CAST(o.obj_max_val AS DOUBLE) AS obj_max_val,
+                   CAST(o.obj_min_val AS DOUBLE) AS obj_min_val,
+                   round(o.cmean, 6) AS obj_coeffs_mean,
+                   round(o.cvar, 6) AS obj_coeffs_variance,
+                   CAST(o.cmin AS DOUBLE) AS obj_coeffs_min,
+                   CAST(o.cmax AS DOUBLE) AS obj_coeffs_max,
+                   round(e.entropy, 6) AS obj_coeffs_entropy
+            FROM agg a JOIN vmax v USING (doc_id)
+            JOIN ostat o USING (doc_id) JOIN oent e USING (doc_id)
         """,
         "pqbfhash_docs": f"""
             WITH t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
