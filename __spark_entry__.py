@@ -224,6 +224,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             order_tiebreak=["event_id"], chunk_seconds=3600.0,
         ).select("event_id", "user_id", "value_lag1", "value_lead1")
 
+    def q_stream_session_agg(spark, sf_dir):
+        # REAL Structured Streaming execution verified against a batch
+        # SQL oracle: the events parquet replayed as a bounded file
+        # stream -> session_window aggregation (complete mode, no
+        # watermark drops) -> memory sink -> materialized result
+        import uuid
+
+        from gbdc_spark.streaming.pipeline import stream_sessionize
+
+        # single-file table: the file source wants a directory, so point
+        # it at sf_dir with a glob filter selecting just events.parquet
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        sess = stream_sessionize(
+            src.select("user_id", "ts"), ts="ts", key="user_id",
+            gap_seconds=1800, watermark_seconds=None,
+        )
+        name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+        q = (
+            sess.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+        return out.select(
+            "user_id",
+            F.unix_micros(F.col("w_start").cast("timestamp")).alias("w_start_us"),
+            F.unix_micros(F.col("w_end").cast("timestamp")).alias("w_end_us"),
+            "n_docs",
+            F.unix_micros(F.col("t_start").cast("timestamp")).alias("t_start_us"),
+            F.unix_micros(F.col("t_end").cast("timestamp")).alias("t_end_us"),
+        )
+
     def q_topk_per_group(spark, sf_dir):
         ev = _events(spark, sf_dir)
         w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
@@ -755,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffill_scalable": q_ffill_scalable,
         "lag_lead_scalable": q_lag_lead_scalable,
         "session_agg": q_session_agg,
+        "stream_session_agg": q_stream_session_agg,
         "trailing_agg": q_trailing_agg,
         "topk_per_group": q_topk_per_group,
         "q1_pricing": q1_pricing,
@@ -1319,6 +1357,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value,
                    epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
             FROM s GROUP BY user_id, session_seq
+        """,
+        "stream_session_agg": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_flag) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+                FROM (
+                    -- session_window semantics: merge iff diff < gap
+                    -- (an exactly-gap-apart event starts a NEW session,
+                    -- unlike the batch sessionizer's diff > gap)
+                    SELECT user_id, ts,
+                           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                         PARTITION BY user_id ORDER BY ts)) >= 1800000000
+                                THEN 1 ELSE 0 END AS new_flag
+                    FROM events))
+            SELECT user_id,
+                   epoch_us(min(ts)) AS w_start_us,
+                   epoch_us(max(ts)) + 1800000000 AS w_end_us,
+                   count(*) AS n_docs,
+                   epoch_us(min(ts)) AS t_start_us,
+                   epoch_us(max(ts)) AS t_end_us
+            FROM s GROUP BY user_id, sess
         """,
         "trailing_agg": """
             SELECT event_id, user_id,

@@ -224,9 +224,16 @@ def dup_clusters(pairs: DataFrame, a: str = "a", b: str = "b",
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("src").alias("node"), F.col("src").alias("lbl")).distinct()
-    labels = labels.persist()
     try:
+        # localCheckpoint (eager) per generation: iterative joins stack
+        # the logical plan O(iterations) deep otherwise — at ~15 rounds
+        # the JVM overflows just RENDERING the tree; truncating lineage
+        # each round is the standard practice for iterative algorithms
+        labels = (
+            edges.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+            .distinct()
+            .localCheckpoint()
+        )
         for _ in range(max_iter):
             # candidate label via each neighbor, then per-node minimum
             prop = (
@@ -235,7 +242,7 @@ def dup_clusters(pairs: DataFrame, a: str = "a", b: str = "b",
                 .union(labels)
                 .groupBy("node")
                 .agg(F.min("lbl").alias("lbl"))
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 prop.join(labels.withColumnRenamed("lbl", "old"), "node")
@@ -243,7 +250,6 @@ def dup_clusters(pairs: DataFrame, a: str = "a", b: str = "b",
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
             labels = prop
             if changed == 0:
                 break

@@ -36,16 +36,25 @@ def stream_sessionize(
     ts: str = "ingest_ts",
     key: str = "source",
     gap_seconds: float = 120.0,
-    watermark_seconds: float = 600.0,
+    watermark_seconds: float | None = 600.0,
 ) -> DataFrame:
     """Gap-based session aggregation over an event-time stream.
 
     Watermark bounds state: rows later than ``watermark_seconds`` are
     dropped (late-data policy) and closed sessions are emitted finally —
-    the streaming counterpart of ``temporal.with_session_id``.
+    the streaming counterpart of ``temporal.with_session_id``.  Pass
+    ``watermark_seconds=None`` for complete-mode replay of a bounded
+    stream (state is unbounded then — bounded inputs only).
+
+    Boundary semantics: ``session_window`` merges an event iff it lands
+    strictly INSIDE the open window (diff < gap); the batch
+    ``with_session_id`` keeps diff == gap in the same session.
     """
+    src = stream_df
+    if watermark_seconds is not None:
+        src = src.withWatermark(ts, f"{int(watermark_seconds)} seconds")
     return (
-        stream_df.withWatermark(ts, f"{int(watermark_seconds)} seconds")
+        src
         .groupBy(F.col(key), F.session_window(F.col(ts), f"{int(gap_seconds)} seconds"))
         .agg(
             F.count("*").alias("n_docs"),

@@ -87,3 +87,54 @@ def test_dup_clusters_chain_needs_multiple_rounds(spark):
     )
     out = {r["doc_id"]: r["keeper"] for r in dedup.dup_clusters(pairs).collect()}
     assert out == {i: 1 for i in range(1, 8)}
+
+
+def test_dup_clusters_matches_pure_python_cc(spark):
+    """Random pair graphs: Spark label propagation == pure-python
+    union-find components (min-label convention)."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 40
+        edges = sorted({
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(35)
+        })
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        nodes_in_pairs = {x for e in edges for x in e}
+        for x in nodes_in_pairs:
+            want[x] = find(x)
+
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        got = {r["doc_id"]: r["keeper"] for r in dedup.dup_clusters(pairs).collect()}
+        assert got == want, f"trial {trial}"
+
+
+def test_winnow_guarantee(spark):
+    """Winnowing guarantee: two docs sharing an exact substring of
+    length >= k + window - 1 share at least one fingerprint."""
+    from gbdc_spark.operators import text as tx
+
+    shared = "thequickbrownfoxjumps"  # len 21 >= 8 + 4 - 1
+    rows = [
+        (1, "aaaa" + shared + "bbbb", "s"),
+        (2, "cccccc" + shared + "dd", "s"),
+        (3, "totally unrelated content here", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: set(r["winnow_fp"])
+           for r in tx.with_winnow_fingerprints(df, k=8, window=4).collect()}
+    assert out[1] & out[2]          # shared substring -> shared fingerprint
+    assert not (out[1] & out[3])    # unrelated docs don't collide here
