@@ -277,15 +277,38 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
 
 
 def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embedding",
-                        threshold: float = 0.95, buckets: int = 16) -> DataFrame:
-    """Embedding-cosine near-dup: bucket by the argmax dimension-of-8
-    prefix sign pattern (cheap LSH), verify cosine inside buckets."""
+                        threshold: float = 0.95, tables: int = 2,
+                        bits: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup: multi-table sign LSH + in-bucket
+    cosine verify.  Table t buckets on the sign pattern of dimensions
+    [t*bits, (t+1)*bits); a pair is a candidate if it collides in ANY
+    table, so near-dups whose signs differ inside one table's dimensions
+    still surface through another — the single-table round-1 version
+    lost exactly those (recall grows ~(1 - (1-p)^tables)).  Work stays
+    confined to buckets; multi-table duplicates collapse with one
+    distinct on the verified pairs."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sig = F.concat_ws(
-        "", *[F.when(F.element_at(v, i + 1) > 0, "1").otherwise("0") for i in range(4)]
+
+    def sig(t: int) -> Column:
+        return F.concat_ws(
+            "",
+            *[
+                F.when(F.element_at(F.col("v"), t * bits + i + 1) > 0, "1").otherwise("0")
+                for i in range(bits)
+            ],
+        )
+
+    base = df.select(F.col(key), v.alias("v"))
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), sig(t).alias("bucket"))
+            for t in range(tables)
+        ]
     )
-    base = df.select(F.col(key), v.alias("v"), sig.alias("bucket"))
-    l, r = base.alias("l"), base.alias("r")
+    banded = base.select(key, "v", F.explode(band_arr).alias("bk")).select(
+        key, "v", "bk.tbl", "bk.bucket"
+    )
+    l, r = banded.alias("l"), banded.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
         F.lit(0.0),
@@ -294,8 +317,14 @@ def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embe
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
     cos = dot / (norm(F.col("l.v")) * norm(F.col("r.v")))
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{key}") < F.col(f"r.{key}")))
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
         .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"), "cosine")
+        .distinct()
     )

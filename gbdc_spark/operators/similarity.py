@@ -160,32 +160,41 @@ def kmeans_fit(
     to the smallest cell id, per-dimension sums are Spark partial-agg
     (integer counts + double sums whose grouping is exact).
     """
-    cents = centroids_from_rows(df, list(range(k)), key=key, vec_col=vec_col)
-    dims = F.size(_to_double(F.col(vec_col)))
-    for _ in range(iters):
-        assigned = ivf_assign(df, cents, key=key, vec_col=vec_col)
-        joined = df.join(assigned.select(key, "cell"), on=key)
-        exploded = joined.select(
-            "cell", F.posexplode(_to_double(F.col(vec_col))).alias("dim", "val")
-        )
-        sums = exploded.groupBy("cell", "dim").agg(
-            F.sum("val").alias("s"), F.count("*").alias("n")
-        )
-        new_cents = (
-            sums.withColumn("mean", F.col("s") / F.col("n"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
-            .select(
-                "cell",
-                F.transform(F.col("dm"), lambda x: x["mean"]).alias("centroid"),
+    # the data is scanned once per round (assignment) plus once for the
+    # per-dimension sums; cache it for the loop, and localCheckpoint the
+    # (tiny, k x d) centroid table each round so the returned plan is a
+    # materialized table instead of an iters-deep join DAG that would
+    # re-derive every round lazily
+    df = df.persist()
+    try:
+        cents = centroids_from_rows(df, list(range(k)), key=key, vec_col=vec_col)
+        cents = cents.localCheckpoint()
+        for _ in range(iters):
+            assigned = ivf_assign(df, cents, key=key, vec_col=vec_col)
+            joined = df.join(assigned.select(key, "cell"), on=key)
+            exploded = joined.select(
+                "cell", F.posexplode(_to_double(F.col(vec_col))).alias("dim", "val")
             )
-        )
-        # L2-normalize (spherical k-means keeps cosine semantics exact)
-        norm = F.sqrt(
-            F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
-        )
-        cents = new_cents.select(
-            "cell",
-            F.transform(F.col("centroid"), lambda x: x / norm).alias("centroid"),
-        )
-    return cents
+            sums = exploded.groupBy("cell", "dim").agg(
+                F.sum("val").alias("s"), F.count("*").alias("n")
+            )
+            new_cents = (
+                sums.withColumn("mean", F.col("s") / F.col("n"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
+                .select(
+                    "cell",
+                    F.transform(F.col("dm"), lambda x: x["mean"]).alias("centroid"),
+                )
+            )
+            # L2-normalize (spherical k-means keeps cosine semantics exact)
+            norm = F.sqrt(
+                F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
+            )
+            cents = new_cents.select(
+                "cell",
+                F.transform(F.col("centroid"), lambda x: x / norm).alias("centroid"),
+            ).localCheckpoint()
+        return cents
+    finally:
+        df.unpersist()

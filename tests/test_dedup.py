@@ -138,3 +138,18 @@ def test_winnow_guarantee(spark):
            for r in tx.with_winnow_fingerprints(df, k=8, window=4).collect()}
     assert out[1] & out[2]          # shared substring -> shared fingerprint
     assert not (out[1] & out[3])    # unrelated docs don't collide here
+
+
+def test_embedding_near_dups_multi_table_recall(spark):
+    """A near-identical pair whose sign pattern differs inside table 0's
+    dimensions must still be found via table 1 — the single-table
+    round-1 version missed exactly this case."""
+    base = [1.0] * 16
+    flipped = list(base)
+    flipped[0] = -1.0  # sign differs in dims 1-4 => table-0 buckets differ
+    rows = [(0, base), (1, flipped), (2, [(-1.0) ** i * 5 for i in range(16)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got1 = dedup.embedding_near_dups(df, threshold=0.85, tables=1).collect()
+    got2 = dedup.embedding_near_dups(df, threshold=0.85, tables=2).collect()
+    assert [(r["a"], r["b"]) for r in got1] == []          # table 0 misses it
+    assert [(r["a"], r["b"]) for r in got2] == [(0, 1)]    # table 1 finds it

@@ -24,12 +24,27 @@ import time
 REPO = __file__.rsplit("/", 2)[0]
 
 
+_MEMBUF = None
+
+
 def cpu_score() -> float:
+    """Combined ALU + memory-bandwidth score: the host's noise windows
+    hit memory bandwidth, which a register-only busy loop cannot see."""
+    global _MEMBUF
+    import numpy as np
+
+    if _MEMBUF is None:
+        _MEMBUF = np.arange(16_000_000, dtype=np.int64)  # 128 MB
     t0 = time.perf_counter()
     x = 0
-    for i in range(8_000_000):
+    for i in range(2_000_000):
         x += i * i
-    return 8_000_000 / (time.perf_counter() - t0)
+    alu = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _MEMBUF.sum()
+    mem = time.perf_counter() - t0
+    return 1.0 / (alu + mem)
 
 
 def probe(cores: int, docs: int) -> dict:
