@@ -419,6 +419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprint(spark, sf_dir):
         return text.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
+    def q_bigram_topk(spark, sf_dir):
+        return text.ngram_topk(_docs(spark, sf_dir), n=2, k=20)
+
     def q_winnow_fingerprint(spark, sf_dir):
         # hashable projection of the winnowing fingerprint set
         out = text.with_winnow_fingerprints(_docs(spark, sf_dir), k=8, window=4)
@@ -491,6 +494,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity.ivf_index_write(e, cents, path)
         return similarity.ivf_probe(
             spark, path, cents, _query_vec(spark, sf_dir), k=5, n_probe=2
+        )
+
+    def q_ivf_recall(spark, sf_dir):
+        # ANN quality metric: recall@5 of the 2-probe IVF search vs the
+        # exact brute-force top-5 — the evaluation loop any production
+        # ANN deployment runs after (re)building an index
+        e = _emb(spark, sf_dir)
+        cents = similarity.centroids_from_rows(e, list(range(8)))
+        qv = _query_vec(spark, sf_dir)
+        ivf = similarity.ivf_topk(e, cents, qv, k=5, n_probe=2).select("vec_id")
+        bf = similarity.cosine_topk(e, qv, k=5).select("vec_id")
+        return bf.join(ivf, "vec_id", "left_semi").agg(
+            (F.count("*") / F.lit(5.0)).alias("recall_at_5")
         )
 
     def q_ivf_trained_topk(spark, sf_dir):  # k-means IVF (2 Lloyd rounds)
@@ -837,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "bigram_topk": q_bigram_topk,
         "minhash_sig": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -847,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
+        "ivf_recall": q_ivf_recall,
         "ivf_trained_topk": q_ivf_trained_topk,
         "gbdhash_docs": q_gbdhash_docs,
         "normalize_docs": q_normalize_docs,
@@ -1522,6 +1540,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents
         """,
+        "bigram_topk": """
+            SELECT gram, count(*) AS n_occurrences FROM (
+                SELECT unnest(list_transform(
+                    range(1, greatest(len(words) - 1, 1) + 1),
+                    i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS gram
+                FROM (SELECT str_split(text, ' ') AS words FROM documents))
+            GROUP BY gram
+            ORDER BY n_occurrences DESC, gram LIMIT 20
+        """,
         "winnow_fingerprint": """
             WITH h AS (
                 SELECT doc_id,
@@ -1690,6 +1717,33 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
                        FROM embeddings WHERE vec_id < 8),
             {_duck_ivf_topk_tail("c")}
+        """,
+        "ivf_recall": f"""
+            WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
+                       FROM embeddings WHERE vec_id < 8),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            probe AS (
+                SELECT cell FROM c, q
+                ORDER BY {_duck_cos("c.centroid", "q.qv")} DESC, cell LIMIT 2),
+            fassign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {_duck_cos("CAST(e.embedding AS DOUBLE[])", "c.centroid")} DESC,
+                                        c.cell) AS rn
+                    FROM embeddings e, c) WHERE rn = 1),
+            ivf AS (
+                SELECT e.vec_id
+                FROM embeddings e JOIN fassign a USING (vec_id), q
+                WHERE a.cell IN (SELECT cell FROM probe)
+                ORDER BY {_duck_cos("CAST(e.embedding AS DOUBLE[])", "q.qv")} DESC, e.vec_id
+                LIMIT 5),
+            bf AS (
+                SELECT e.vec_id FROM embeddings e, q
+                ORDER BY {_duck_cos("CAST(e.embedding AS DOUBLE[])", "q.qv")} DESC, e.vec_id
+                LIMIT 5)
+            SELECT CAST(count(*) AS DOUBLE) / 5 AS recall_at_5
+            FROM bf SEMI JOIN ivf USING (vec_id)
         """,
         "ivf_trained_topk": f"""
             WITH c0 AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid

@@ -18,6 +18,7 @@ __all__ = [
     "with_token_counts",
     "with_fingerprint",
     "with_winnow_fingerprints",
+    "ngram_topk",
 ]
 
 # fixed marker set for the n-gram/stopword language heuristic
@@ -77,6 +78,27 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     text — the document analogue of CNF::gbdhash content addressing."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.withColumn(out, F.md5(norm))
+
+
+def ngram_topk(df: DataFrame, text_col: str = "text", n: int = 2,
+               k: int = 20) -> DataFrame:
+    """Corpus-level top-k word n-grams: shingle JVM-side (no Python),
+    explode, count with map-side partial aggregation (Catalyst plans
+    groupBy(count) as partial+final HashAggregate around one shuffle of
+    the distinct grams, never the rows), deterministic tie-break on the
+    gram.  The vocabulary-statistics primitive of corpus curation."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.col("gram"))
+        .limit(k)
+    )
 
 
 def with_winnow_fingerprints(df: DataFrame, text_col: str = "text",
