@@ -153,6 +153,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "click_id", "click_value",
         )
 
+    def q_asof_tolerance(spark, sf_dir):
+        # as-of with a max-staleness tolerance: matches older than 10
+        # minutes are rejected (stale-feature guard in PIT joins)
+        import pandas as pd
+
+        ev = _events(spark, sf_dir)
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        out = temporal.asof_join(
+            left, right, by="user_id", left_ts="ts", right_ts="click_ts",
+            allow_exact_matches=False, right_tiebreak=["click_id"],
+            tolerance=pd.Timedelta(minutes=10),
+        )
+        return out.select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+            "click_id",
+        )
+
     def q_lag_lead(spark, sf_dir):
         ev = _events(spark, sf_dir)
         return temporal.with_lag_lead(
@@ -827,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "asof_join": q_asof_join,
+        "asof_tolerance": q_asof_tolerance,
         "lag_lead": q_lag_lead,
         "ffill": q_ffill,
         "sessionize": q_sessionize,
@@ -1325,6 +1351,19 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY p.event_id
                 ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) = 1
+        """,
+        "asof_tolerance": """
+            SELECT event_id, user_id, click_ts_us, click_id FROM (
+                SELECT p.event_id, p.user_id,
+                       epoch_us(c.ts) AS click_ts_us, c.event_id AS click_id,
+                       row_number() OVER (
+                           PARTITION BY p.event_id
+                           ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) AS rn
+                FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                  ON p.user_id = c.user_id AND c.ts < p.ts
+                 AND c.ts >= p.ts - INTERVAL 10 MINUTE)
+            WHERE rn = 1
         """,
         "lag_lead": """
             SELECT event_id, user_id,
