@@ -447,6 +447,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bigram_topk(spark, sf_dir):
         return text.ngram_topk(_docs(spark, sf_dir), n=2, k=20)
 
+    def q_source_len_quantiles(spark, sf_dir):
+        # exact per-source length quantiles (truncation-policy input for
+        # corpus curation); Spark percentile() and DuckDB quantile_cont
+        # share the linear-interpolation definition
+        return (
+            _docs(spark, sf_dir)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.percentile(F.length("text"), F.lit(0.5)), 6).alias("p50_len"),
+                F.round(F.percentile(F.length("text"), F.lit(0.95)), 6).alias("p95_len"),
+                F.max(F.length("text")).cast("long").alias("max_len"),
+            )
+        )
+
     def q_winnow_fingerprint(spark, sf_dir):
         # hashable projection of the winnowing fingerprint set
         out = text.with_winnow_fingerprints(_docs(spark, sf_dir), k=8, window=4)
@@ -880,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_fingerprint": q_winnow_fingerprint,
         "bigram_topk": q_bigram_topk,
+        "source_len_quantiles": q_source_len_quantiles,
         "minhash_sig": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1578,6 +1594,13 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": r"""
             SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "source_len_quantiles": """
+            SELECT source, count(*) AS n_docs,
+                   round(quantile_cont(length(text), 0.5), 6) AS p50_len,
+                   round(quantile_cont(length(text), 0.95), 6) AS p95_len,
+                   max(length(text)) AS max_len
+            FROM documents GROUP BY source
         """,
         "bigram_topk": """
             SELECT gram, count(*) AS n_occurrences FROM (
