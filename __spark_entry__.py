@@ -312,6 +312,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "status",
         )
 
+    def q_json_props_agg(spark, sf_dir):
+        # semi-structured path: typed from_json over the props column,
+        # aggregated per event type (the JSON-functions family of §2.9)
+        ev = _events(spark, sf_dir)
+        k = F.from_json(F.col("props"), "k long")["k"]
+        return (
+            ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("k").alias("sum_k"),
+                F.round(F.avg("k"), 6).alias("avg_k"),
+                F.max("k").alias("max_k"),
+            )
+        )
+
     def q_topk_per_group(spark, sf_dir):
         ev = _events(spark, sf_dir)
         w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
@@ -878,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_agg": q_stream_session_agg,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
+        "json_props_agg": q_json_props_agg,
         "topk_per_group": q_topk_per_group,
         "q1_pricing": q1_pricing,
         "q3_segment_revenue": q3_segment_revenue,
@@ -1489,6 +1506,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "json_props_agg": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 6) AS avg_k, max(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type
         """,
         "topk_per_group": """
             SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id, value FROM (
