@@ -871,6 +871,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "frame_idx", F.round("frame_mean", 6).alias("frame_mean")
         )
 
+    def q_flagship_docs(spark, sf_dir):
+        # the FULL flagship composition — fused extraction -> strictly-
+        # prior as-of join -> skew-proof window bundle -> per-source
+        # aggregate — with snapshots derived from doc ids by a
+        # SQL-expressible rule, so the E2E pipeline is value-checked in
+        # DuckDB end to end (run_flagship itself uses Python-RNG
+        # snapshots and stays rows-only)
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        d = F.substring("doc_id", 4, 8).cast("long")
+        snaps = (
+            seqs.select("doc_id", d.alias("dnum"), "ingest_ts")
+            .filter(F.pmod(F.col("dnum"), F.lit(7)) != 3)  # snapshot-less docs
+            .select(
+                "doc_id", "dnum", "ingest_ts",
+                F.explode(
+                    F.sequence(F.lit(0), F.pmod(F.col("dnum"), F.lit(3)))
+                ).alias("j"),
+            )
+            .select(
+                "doc_id",
+                (
+                    F.col("ingest_ts")
+                    + F.make_interval(secs=(F.col("j") - 1) * 90)
+                ).alias("snapshot_ts"),
+                (F.col("dnum") * 10 + F.col("j")).alias("snapshot_id"),
+                (
+                    F.pmod(F.col("dnum") * 7, F.lit(100)) / 100.0 + F.col("j")
+                ).alias("prev_score"),
+            )
+        )
+        feats = extract.extract_all(seqs).drop("tokens")
+        joined = temporal.asof_join(
+            feats, snaps, by="doc_id", left_ts="ingest_ts",
+            right_ts="snapshot_ts", allow_exact_matches=False,
+        )
+        bundle = temporal.with_temporal_bundle_scalable(
+            joined, ts="ingest_ts", partition_by="source",
+            ffill_cols=["prev_score"], lag_cols=["clauses"],
+            gap_seconds=120.0, session_out="session_seq",
+            order_tiebreak=["doc_id"], chunk_seconds=3600.0,
+        )
+        from gbdc_spark.plans.flagship import flagship_aggregate
+
+        out = flagship_aggregate(bundle)
+        return out.select(
+            "source", "n_docs", "n_distinct", "n_matched",
+            F.round("avg_clauses", 6).alias("avg_clauses"),
+            F.round("avg_horn", 6).alias("avg_horn"),
+            "n_sessions", "n_errors",
+        )
+
     def q_curation_pipeline(spark, sf_dir):  # DuckDB-oracled E2E funnel
         from gbdc_spark.plans.curation import run_curation
 
@@ -945,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
         "media_frame_sample": q_media_frame_sample,
+        "flagship_docs": q_flagship_docs,
         "curation_pipeline": q_curation_pipeline,
         "flagship_pipeline": q_flagship_pipeline,
     }
@@ -1838,6 +1890,58 @@ def oracle_sql() -> dict[str, str]:
             {_duck_ivf_round("c0", "a1", "m1", "c1")},
             {_duck_ivf_round("c1", "a2", "m2", "c2")},
             {_duck_ivf_topk_tail("c2")}
+        """,
+        "flagship_docs": f"""
+            WITH base AS (
+                SELECT {_DOC_KEY} AS doc_id, doc_id AS dnum, source,
+                       {_DUCK_TOKENS_FLAT} AS toks,
+                       1704067200000000 + doc_id * 60000000 AS ingest_us
+                FROM documents),
+            base2 AS (
+                SELECT *, md5(array_to_string(toks, ' ')) AS gbdhash FROM base),
+            lits AS (
+                SELECT doc_id, tok, pos,
+                       sum(CASE WHEN tok = 0 THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - CASE WHEN tok = 0 THEN 1 ELSE 0 END AS cid
+                FROM (SELECT doc_id, unnest(toks) AS tok,
+                             generate_subscripts(toks, 1) AS pos FROM base)),
+            csz AS (
+                SELECT doc_id, cid, count(*) AS sz,
+                       sum(CASE WHEN tok < 0 THEN 1 ELSE 0 END) AS n_neg
+                FROM lits WHERE tok != 0 GROUP BY doc_id, cid),
+            dstat AS (
+                SELECT doc_id, count(*) AS n_clauses,
+                       sum(CASE WHEN n_neg <= 1 THEN 1 ELSE 0 END) AS horn
+                FROM csz GROUP BY doc_id),
+            -- snapshots at offsets (j-1)*90s, j in 0..dnum%3, skipped when
+            -- dnum%7=3; strictly-prior as-of match = the j=0 snapshot
+            snapmatch AS (
+                SELECT doc_id FROM base WHERE dnum % 7 != 3),
+            sess AS (
+                SELECT source, sum(flag) AS n_sessions FROM (
+                    SELECT source,
+                           CASE WHEN lag(ingest_us) OVER w IS NULL
+                                     OR ingest_us - lag(ingest_us) OVER w > 120000000
+                                THEN 1 ELSE 0 END AS flag
+                    FROM base
+                    WINDOW w AS (PARTITION BY source ORDER BY ingest_us, doc_id))
+                GROUP BY source)
+            SELECT b.source,
+                   count(*) AS n_docs,
+                   count(DISTINCT b.gbdhash) AS n_distinct,
+                   CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_matched,
+                   round(avg(CAST(d.n_clauses AS DOUBLE)), 6) AS avg_clauses,
+                   round(avg(CAST(d.horn AS DOUBLE)), 6) AS avg_horn,
+                   CAST(any_value(s.n_sessions) AS BIGINT) AS n_sessions,
+                   CAST(0 AS BIGINT) AS n_errors
+            FROM base2 b
+            JOIN dstat d USING (doc_id)
+            LEFT JOIN snapmatch m USING (doc_id)
+            JOIN sess s USING (source)
+            GROUP BY b.source
         """,
         "curation_pipeline": f"""
             WITH keepers AS (
