@@ -706,7 +706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).otherwise(
                 F.concat(
                     acc,
-                    F.when(x < 0, F.lit("-1 x")).otherwise(F.lit("1 x")),
+                    # negative literals via the ~x negation spelling so
+                    # the scanner's '~' branch is driver-exercised
+                    F.when(x < 0, F.lit("1 ~x")).otherwise(F.lit("1 x")),
                     F.abs(x).cast("string"),
                     F.lit(" "),
                 )
@@ -800,9 +802,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("tokens"), F.lit(0),
             lambda a, x: a + F.when(x == 0, 1).otherwise(0),
         )
+        quant = F.when(
+            F.substring("doc_id", 4, 8).cast("long") % 2 == 0, F.lit("\ne ")
+        ).otherwise(F.lit("\na "))
         payload = F.concat(
             F.lit("c derived\np cnf "), n_vars.cast("string"),
-            F.lit(" "), n_clauses.cast("string"), F.lit("\ne "),
+            F.lit(" "), n_clauses.cast("string"), quant,
             F.concat_ws(" ", F.transform(F.sequence(F.lit(1), n_vars),
                                          lambda v: v.cast("string"))),
             F.lit(" 0\n"),
@@ -2093,7 +2098,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_duck_clause_cte()},
             lines AS (
                 SELECT doc_id, cid,
-                       string_agg(CASE WHEN tok < 0 THEN '-1 x' ELSE '1 x' END
+                       string_agg(CASE WHEN tok < 0 THEN '1 ~x' ELSE '1 x' END
                                   || abs(tok), ' ' ORDER BY pos)
                        || ' >= 1;' AS line
                 FROM cl WHERE tok != 0 GROUP BY doc_id, cid)
@@ -2198,11 +2203,12 @@ def oracle_sql() -> dict[str, str]:
         "pqbfhash_docs": f"""
             WITH t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
                        FROM documents),
-            m AS (SELECT doc_id, toks,
-                         list_max(list_transform(toks, x -> abs(x))) AS nv
-                  FROM t)
+            m AS (SELECT t.doc_id, t.toks, d.doc_id AS dnum,
+                         list_max(list_transform(t.toks, x -> abs(x))) AS nv
+                  FROM t JOIN (SELECT doc_id, {_DOC_KEY} AS k FROM documents) d
+                    ON t.doc_id = d.k)
             SELECT doc_id,
-                   md5(concat('e ',
+                   md5(concat(CASE WHEN dnum % 2 = 0 THEN 'e ' ELSE 'a ' END,
                               array_to_string(range(1, nv + 1), ' '),
                               ' 0 ',
                               array_to_string(toks, ' '))) AS pqbfhash
