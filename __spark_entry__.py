@@ -643,14 +643,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda a, x: a + F.when(x == 0, 1).otherwise(0),
         )
         is_old = (dnum % 2) == 0
-        weights = F.transform(
+        # guard: sequence(0, -1) on a clause-less doc would default to
+        # step -1 and yield [0, -1] instead of an empty weights array
+        weights = F.when(n_clauses > 0, F.transform(
             F.sequence(F.lit(0), n_clauses - 1),
             lambda i: F.when(
                 is_old, (dnum + i) % 8
             ).otherwise(
                 F.when((dnum + i) % 3 == 0, F.lit(-1)).otherwise((dnum + i) % 5)
             ).cast("long"),
-        )
+        )).otherwise(F.array().cast("array<long>"))
         df = seqs.select(
             "doc_id", "tokens",
             weights.alias("weights"),
@@ -671,14 +673,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda a, x: a + F.when(x == 0, 1).otherwise(0),
         )
         is_old = (dnum % 2) == 0
-        weights = F.transform(
+        # guard: sequence(0, -1) on a clause-less doc would default to
+        # step -1 and yield [0, -1] instead of an empty weights array
+        weights = F.when(n_clauses > 0, F.transform(
             F.sequence(F.lit(0), n_clauses - 1),
             lambda i: F.when(
                 is_old, (dnum + i) % 8
             ).otherwise(
                 F.when((dnum + i) % 3 == 0, F.lit(-1)).otherwise((dnum + i) % 5)
             ).cast("long"),
-        )
+        )).otherwise(F.array().cast("array<long>"))
         df = seqs.select(
             "doc_id", "tokens",
             weights.alias("weights"),

@@ -44,7 +44,7 @@ import numpy as np
 from .dist import push_distribution
 from .transforms import cnfformula_sanitize
 
-__all__ = ["GATE_FEATURE_NAMES", "gate_features", "analyze_gates"]
+__all__ = ["GATE_FEATURE_NAMES", "gate_features", "gate_features_ex", "analyze_gates"]
 
 _DISTS = [
     "levels", "levels_none", "levels_generic", "levels_mono", "levels_and",
@@ -79,6 +79,8 @@ class _IncrementalDPLL:
         self.clauses: list[list[int]] = []
         self._pending: list[int] = []
         self.max_decisions = max_decisions
+        self.backend = "dpll"
+        self.exhausted = False  # any solve() call ran out of budget
 
     def add(self, dimacs_lit: int) -> None:
         if dimacs_lit == 0:
@@ -88,12 +90,16 @@ class _IncrementalDPLL:
             self._pending.append(dimacs_lit)
 
     def solve(self, assumptions: list[int]) -> bool:
-        """True = SAT (or budget exhausted), False = UNSAT.
+        """True = SAT (or budget exhausted — flagged via ``exhausted``),
+        False = UNSAT.
 
         Iterative chronological backtracking (explicit trail of
-        alternative branches) — the recursive version dict-copied per
-        frame and could hit RecursionError on deep formulas; decision
-        order, branch polarity, and budget semantics are identical.
+        alternative branches).  Decisions branch only on literals of
+        still-unsatisfied clauses, and a state where every clause is
+        satisfied returns SAT immediately — both preserve exactness
+        (complete search) while pruning the don't-care subtree the old
+        any-unassigned-literal pick wandered into, which is what used to
+        burn the decision budget on large gate sub-formulas.
         """
         budget = self.max_decisions
         assign: dict[int, bool] = {}
@@ -107,9 +113,15 @@ class _IncrementalDPLL:
             if self._propagate(assign):
                 lit = self._pick(assign)
                 if lit is None:
-                    return True  # all clauses satisfied / fully assigned
+                    return True  # every clause satisfied
                 if budget <= 0:
-                    return True  # budget out -> treat as SAT
+                    # budget out -> treat as SAT (gate NOT recognized),
+                    # the conservative direction — but make it VISIBLE so
+                    # callers can mark the doc instead of silently
+                    # undercounting n_generic (ref GateAnalyzer.h:226-246
+                    # runs an exact solver here)
+                    self.exhausted = True
+                    return True
                 budget -= 1
                 # first branch satisfies the literal; record the flip
                 stack.append((dict(assign), abs(lit), lit <= 0))
@@ -121,13 +133,23 @@ class _IncrementalDPLL:
                 assign[var] = val
 
     def _pick(self, assign: dict[int, bool]) -> int | None:
-        """First unassigned literal in clause order (matches the
-        reference-replicating decision order of the recursive version,
-        which scanned all clauses, satisfied or not)."""
+        """First unassigned literal of the first UNSATISFIED clause, in
+        clause order.  None iff all clauses are satisfied (a clause that
+        is neither satisfied nor has an unassigned literal is a conflict
+        _propagate already reported)."""
         for cl in self.clauses:
+            unassigned = None
+            sat = False
             for lit in cl:
-                if abs(lit) not in assign:
-                    return lit
+                v = abs(lit)
+                if v in assign:
+                    if assign[v] == (lit > 0):
+                        sat = True
+                        break
+                elif unassigned is None:
+                    unassigned = lit
+            if not sat and unassigned is not None:
+                return unassigned
         return None
 
     def _propagate(self, assign: dict[int, bool]) -> bool:
@@ -171,6 +193,8 @@ class _PysatIncremental:
 
         self._solver = Minisat22()
         self._pending: list[int] = []
+        self.backend = "pysat"
+        self.exhausted = False  # exact backend never exhausts
 
     def add(self, dimacs_lit: int) -> None:
         if dimacs_lit == 0:
@@ -183,9 +207,14 @@ class _PysatIncremental:
         return bool(self._solver.solve(assumptions=assumptions))
 
 
-def _make_sat_solver():
+def _make_sat_solver(max_decisions: int = 100_000):
     """Backend selection: GBDC_SAT_BACKEND = dpll | pysat | auto
-    (default auto: pysat when importable, else the budgeted DPLL)."""
+    (default auto: pysat when importable, else the budgeted DPLL).
+
+    The chosen backend is recorded on the solver (``.backend``) and
+    surfaced through ``GateStructure.sat_backend`` / the per-doc status
+    column, so cross-environment feature drift (pysat exact vs DPLL
+    budget) is attributable from the output alone."""
     import os  # noqa: PLC0415
 
     backend = os.environ.get("GBDC_SAT_BACKEND", "auto")
@@ -195,7 +224,7 @@ def _make_sat_solver():
         except ImportError:
             if backend == "pysat":
                 raise
-    return _IncrementalDPLL()
+    return _IncrementalDPLL(max_decisions=max_decisions)
 
 
 class GateStructure:
@@ -214,11 +243,19 @@ class GateStructure:
         self.gate_fwd: dict[int, list[int]] = {}
         self.gate_bwd: dict[int, list[int]] = {}
         self.gate_not_mono: dict[int, bool] = {}
+        self.sat_backend: str = "none"  # none | dpll | pysat
+        self.sat_budget_exhausted: bool = False  # GENERIC may undercount
 
 
 def analyze_gates(tokens, patterns: bool = True, semantic: bool = True,
-                  max_rounds: int | None = None) -> GateStructure:
-    """GateAnalyzer::analyze over a DIMACS token stream."""
+                  max_rounds: int | None = None,
+                  max_decisions: int = 100_000) -> GateStructure:
+    """GateAnalyzer::analyze over a DIMACS token stream.
+
+    ``max_decisions`` bounds the DPLL fallback backend per solve call;
+    exhaustion is surfaced on the result (``sat_budget_exhausted``) —
+    never silent (the pysat backend, like the reference's CaDiCaL, is
+    exact and never exhausts)."""
     clauses_d = cnfformula_sanitize(tokens)  # list[list[dimacs int]], sorted
     clauses = [[_enc(l) for l in cl] for cl in clauses_d]
     n_vars = max((max(abs(l) for l in cl) for cl in clauses_d if cl), default=0)
@@ -238,7 +275,7 @@ def analyze_gates(tokens, patterns: bool = True, semantic: bool = True,
                 index[lit].append(cid)
 
     inputs = np.zeros(n_lits, dtype=bool)  # GateFormula.inputs
-    solver = _make_sat_solver() if semantic else None
+    solver = _make_sat_solver(max_decisions) if semantic else None
     max_literal = 2 * n_vars + 1  # Lit(nVars, true), OccurrenceList.h:57
 
     def remove_clauses(cids: list[int]) -> None:
@@ -398,12 +435,41 @@ def analyze_gates(tokens, patterns: bool = True, semantic: bool = True,
         for cid in lst:
             seen[cid] = None
     gf.remainder = list(seen)
+    if solver is not None:
+        gf.sat_backend = solver.backend
+        gf.sat_budget_exhausted = solver.exhausted
     return gf
 
 
 def gate_features(tokens, semantic: bool = True) -> np.ndarray:
     """The 56 CNFGateFeatures (CNFGateFeatures.h:60-103,116-148)."""
-    gf = analyze_gates(tokens, patterns=True, semantic=semantic)
+    return gate_features_ex(tokens, semantic=semantic)[0]
+
+
+def gate_features_ex(
+    tokens, semantic: bool = True, max_decisions: int = 100_000
+) -> tuple[np.ndarray, str]:
+    """``gate_features`` plus a per-doc status string:
+
+    * ``"ok:<backend>"`` — analysis completed with an exact SAT result
+      (or no semantic check was needed);
+    * ``"budget_exhausted:dpll"`` — the budgeted DPLL fallback ran out of
+      decisions on at least one fSemantic check, so ``n_generic`` /
+      ``n_none`` MAY undercount vs the reference's exact solver.  The
+      conservative direction (gate NOT recognized) is kept, but the doc
+      is flagged instead of silently diverging.
+    """
+    gf = analyze_gates(tokens, patterns=True, semantic=semantic,
+                       max_decisions=max_decisions)
+    status = (
+        f"budget_exhausted:{gf.sat_backend}"
+        if gf.sat_budget_exhausted
+        else f"ok:{gf.sat_backend}"
+    )
+    return _features_of(gf), status
+
+
+def _features_of(gf: GateStructure) -> np.ndarray:
     n_vars = gf.n_vars
     levels = np.zeros(n_vars + 1, dtype=np.int64)
     # BFS level assignment from root literals

@@ -186,13 +186,18 @@ def clean_orphans(spark: SparkSession, base: str) -> list[str]:
     Safe at any time: readers and resume only follow manifest entries."""
     import shutil
 
-    live = {e["data_dir"] for e in manifest(spark, base)}
+    # Compare by basename: snapshot dir names are unique uuids by
+    # construction, and the manifest may record the base path spelled
+    # differently (relative vs absolute, symlink, './') than the caller
+    # passes here — exact full-path equality would then treat every LIVE
+    # snapshot as an orphan and delete it.
+    live = {os.path.basename(os.path.normpath(e["data_dir"])) for e in manifest(spark, base)}
     ddir = os.path.join(base, "data")
     removed = []
     if os.path.isdir(ddir):
         for d in sorted(os.listdir(ddir)):
-            full = os.path.join(ddir, d)
-            if full not in live:
+            if d not in live:
+                full = os.path.join(ddir, d)
                 shutil.rmtree(full)
                 removed.append(full)
     return removed

@@ -130,32 +130,72 @@ def minhash_candidate_pairs(
     )
 
 
-@pandas_udf(T.LongType())
-def _simhash_udf(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over word md5s, vectorized with numpy bit unpacking."""
-    import hashlib
+# bit j of the final hash sits at position 63-j (j=0 is the sign bit);
+# adding -2^63 for j=0 keeps the left-fold sum inside signed-int64 range
+# at every partial (worst case -2^63 + (2^63 - 1)), so this stays exact
+# under ANSI overflow checking
+_SIMHASH_POW = [-(2**63)] + [2 ** (63 - j) for j in range(1, 64)]
 
-    def sh(s: str) -> int:
-        words = s.split()
-        if not words:
-            return 0
-        digests = np.frombuffer(
-            b"".join(hashlib.md5(w.encode()).digest()[:8] for w in words), dtype=np.uint8
-        ).reshape(len(words), 8)
-        bits = np.unpackbits(digests, axis=1)  # (n_words, 64)
-        # signed accumulator: the uint8 bit-sum would underflow on the
-        # subtraction and turn every minority bit into a (wrong) +1 vote
-        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(words)
-        out = np.uint64(0)
-        for b in (votes > 0).astype(np.uint64):
-            out = np.uint64(out << np.uint64(1)) | b
-        return int(out.astype(np.int64))  # reinterpret as signed for Spark
 
-    return text.map(sh).astype("int64")
+def _simhash_col(text: Column) -> Column:
+    """64-bit SimHash as pure JVM expressions (no Python workers):
+
+    words -> md5 -> first 16 hex chars -> 64 bits (MSB-first per nibble,
+    matching ``np.unpackbits`` over the first 8 digest bytes) -> per-bit
+    majority vote over words -> signed int64 reinterpretation.  Every
+    intermediate array is bound once (``bind_once``) so Catalyst's
+    per-reference/per-element lambda re-evaluation can't multiply the
+    md5 cost; the whole pipeline stays inside codegen'd JVM expressions
+    — at corpus scale this removes the last Python hot path in the
+    dedup family."""
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+    def nibble_bits(v: Column) -> Column:
+        return F.array(
+            F.shiftright(v, 3).bitwiseAND(F.lit(1)),
+            F.shiftright(v, 2).bitwiseAND(F.lit(1)),
+            F.shiftright(v, 1).bitwiseAND(F.lit(1)),
+            v.bitwiseAND(F.lit(1)),
+        )
+
+    def word_bits(w: Column) -> Column:
+        # 16 hex chars = the digest's first 8 bytes; each nibble expands
+        # MSB-first into 4 bits -> a 64-element 0/1 array per word
+        # slice guards against the trailing "" element Java's limit=-1
+        # regex split appends when splitting on the empty pattern
+        return F.flatten(
+            F.transform(
+                F.slice(F.split(F.substring(F.md5(w), 1, 16), ""), 1, 16),
+                lambda c: nibble_bits(F.conv(c, 16, 10).cast("int")),
+            )
+        )
+
+    def assemble(bits_per_word: Column) -> Column:
+        votes = F.aggregate(
+            bits_per_word,
+            F.array_repeat(F.lit(0).cast("long"), 64),
+            lambda acc, b: F.zip_with(acc, b, lambda a, x: a + x),
+        )
+        n = F.size(bits_per_word)
+        pow_arr = F.array(*[F.lit(p) for p in _SIMHASH_POW])
+        return _bind(
+            votes,
+            lambda v: F.aggregate(
+                F.zip_with(
+                    v,
+                    pow_arr,
+                    lambda ones, p: F.when(ones * 2 > n, p).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    return _bind(F.transform(words, word_bits), assemble)
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
-    return df.withColumn(out, _simhash_udf(F.col(text_col)))
+    return df.withColumn(out, _simhash_col(F.col(text_col)))
 
 
 def simhash_near_dups(df: DataFrame, key: str = "doc_id", text_col: str = "text",
@@ -253,6 +293,18 @@ def dup_clusters(pairs: DataFrame, a: str = "a", b: str = "b",
             labels = prop
             if changed == 0:
                 break
+        else:
+            # a component with diameter > max_iter would silently split
+            # into several keepers — make non-convergence loud
+            import warnings
+
+            warnings.warn(
+                f"dup_clusters: label propagation did not reach a fixpoint "
+                f"in {max_iter} rounds; labels may be non-minimal "
+                f"(one cluster split across keepers)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("keeper"))
     finally:
         edges.unpersist()

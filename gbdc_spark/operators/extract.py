@@ -104,20 +104,37 @@ def with_base_features(df: DataFrame, tokens_col: str = "tokens", out: str = "fe
     return df.withColumn(out, _base_features_udf(F.col(tokens_col)))
 
 
-@pandas_udf(feature_struct(tuple(gates.GATE_FEATURE_NAMES)))
+_GATE_STRUCT = T.StructType(
+    [T.StructField(n, T.DoubleType(), True) for n in gates.GATE_FEATURE_NAMES]
+    + [T.StructField("gate_status", T.StringType(), True)]
+)
+
+
+@pandas_udf(_GATE_STRUCT)
 def _gate_features_udf(tokens: pd.Series) -> pd.DataFrame:
     rows = []
+    stats = []
     for t in tokens:
         try:
-            rows.append(gates.gate_features(np.asarray(t, dtype=np.int64)))
-        except Exception:  # one pathological doc -> NaN row, not task death
+            feats, status = gates.gate_features_ex(np.asarray(t, dtype=np.int64))
+            rows.append(feats)
+            stats.append(status)
+        except Exception as e:  # one pathological doc -> NaN row, not task death
             rows.append(np.full(len(gates.GATE_FEATURE_NAMES), np.nan))
-    return pd.DataFrame(np.vstack(rows) if rows else np.zeros((0, 56)),
-                        columns=list(gates.GATE_FEATURE_NAMES))
+            stats.append(f"error:{type(e).__name__}")
+    out = pd.DataFrame(np.vstack(rows) if rows else np.zeros((0, 56)),
+                       columns=list(gates.GATE_FEATURE_NAMES))
+    out["gate_status"] = pd.Series(stats, dtype=object)
+    return out
 
 
 def with_gate_features(df: DataFrame, tokens_col: str = "tokens", out: str = "gate_features") -> DataFrame:
-    """CNFGateFeatures — 56-field double struct (CNFGateFeatures.h:41-160).
+    """CNFGateFeatures — 56-field double struct (CNFGateFeatures.h:41-160)
+    plus a ``gate_status`` field: ``ok:<sat-backend>``,
+    ``budget_exhausted:dpll`` (GENERIC may undercount — flagged, never
+    silent) or ``error:<type>`` (per-doc failure became a NaN row; a
+    systematic kernel regression shows up as a column of errors instead
+    of silently all-NaN features).
 
     Gate analysis is stateful and sequential per doc (GateAnalyzer.h BFS +
     occurrence-list mutation); it distributes ACROSS docs.  Giant docs

@@ -207,6 +207,120 @@ def test_gate_types_match_naive_twin_on_random_formulas():
     assert n_checked > 20  # the corpus must actually contain gates
 
 
+def test_dpll_exact_vs_enumeration_on_random_formulas():
+    """The production DPLL (with its pruned decision rule) must agree
+    with brute-force enumeration on every (formula, assumption) pair —
+    guards the unsatisfied-clause-only pick against soundness bugs."""
+    from gbdc_spark.kernels.gates import _IncrementalDPLL
+
+    rng = random.Random(7)
+    for trial in range(200):
+        n_vars = rng.randint(2, 8)
+        t = _small_random_cnf(rng, n_vars=n_vars, n_clauses=rng.randint(1, 12))
+        dpll = _IncrementalDPLL()
+        enum = _EnumSolver()
+        for lit in t:
+            dpll.add(int(lit))
+            enum.add(int(lit))
+        assump = [rng.randint(1, n_vars) * rng.choice((-1, 1))]
+        assert dpll.solve(assump) == enum.solve(assump), f"trial {trial}"
+        assert not dpll.exhausted
+
+
+def test_dpll_budget_exhaustion_is_flagged_not_silent():
+    """UNSAT pigeonhole (5 pigeons, 4 holes) needs real search: a starved
+    budget must return the conservative SAT *and* raise the exhausted
+    flag; an adequate budget must prove UNSAT with the flag clear."""
+    from gbdc_spark.kernels.gates import _IncrementalDPLL
+
+    def php_clauses(p, h):
+        cls = []
+        var = lambda i, j: i * h + j + 1  # noqa: E731
+        for i in range(p):
+            cls.append([var(i, j) for j in range(h)])
+        for j in range(h):
+            for i1 in range(p):
+                for i2 in range(i1 + 1, p):
+                    cls.append([-var(i1, j), -var(i2, j)])
+        return cls
+
+    def load(budget):
+        s = _IncrementalDPLL(max_decisions=budget)
+        for cl in php_clauses(5, 4):
+            for l in cl:
+                s.add(l)
+            s.add(0)
+        return s
+
+    starved = load(2)
+    assert starved.solve([]) is True  # conservative direction kept
+    assert starved.exhausted is True  # ...but VISIBLE
+
+    ample = load(100_000)
+    assert ample.solve([]) is False  # exact UNSAT
+    assert ample.exhausted is False
+
+
+# o=5 <-> (1 AND 2) OR (3 AND 4): 4 fwd + 2 bwd clauses that match no
+# syntactic pattern, with BOTH polarities of o rooted as units so
+# nested-mono doesn't shortcut — provably reaches fSemantic, whose
+# sub-formula is UNSAT but needs >=1 real decision (no unit propagation
+# from the -o assumption alone).
+_GENERIC_GATE_DOC = np.asarray(
+    [5, 0, -5, 0,
+     -5, 1, 3, 0, -5, 1, 4, 0, -5, 2, 3, 0, -5, 2, 4, 0,
+     5, -1, -2, 0, 5, -3, -4, 0],
+    dtype=np.int32,
+)
+
+
+def test_budget_exhaustion_surfaces_in_gate_status():
+    """A doc whose fSemantic check needs decisions: the default budget
+    finds the exact GENERIC classification (matching the naive
+    enumeration twin); a zero budget keeps the conservative NONE but
+    raises the budget_exhausted flag — never a silent divergence."""
+    from gbdc_spark.kernels.gates import gate_features_ex
+
+    t = _GENERIC_GATE_DOC
+    # exact path agrees with the independent enumeration twin
+    gf = analyze_gates(t, semantic=True)
+    naive = _naive_analyze(t, semantic=True)
+    assert int(gf.gate_type[5]) == GENERIC == naive[5]
+    assert not gf.sat_budget_exhausted
+    feats, status = gate_features_ex(t)
+    assert status == "ok:dpll"
+    assert feats[GATE_GENERIC_IDX] == 1.0
+
+    # starved path: conservative direction, loudly flagged
+    gf0 = analyze_gates(t, semantic=True, max_decisions=0)
+    assert int(gf0.gate_type[5]) == NONE
+    assert gf0.sat_budget_exhausted
+    feats0, status0 = gate_features_ex(t, max_decisions=0)
+    assert status0 == "budget_exhausted:dpll"
+    assert feats0[GATE_GENERIC_IDX] == 0.0
+
+
+GATE_GENERIC_IDX = 4  # n_generic position in GATE_FEATURE_NAMES
+
+
+def test_gate_status_column_in_spark_stage(spark):
+    """The Spark stage surfaces per-doc gate_status, so a budget
+    exhaustion or kernel failure is visible in the output table."""
+    import pandas as pd
+
+    from gbdc_spark.operators import extract
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["generic1"],
+            "tokens": [[int(x) for x in _GENERIC_GATE_DOC]],
+        })
+    )
+    row = extract.with_gate_features(df).select("gate_features.*").collect()[0]
+    assert row["gate_status"] == "ok:dpll"
+    assert row["n_generic"] == 1.0
+
+
 def test_gate_types_match_naive_twin_on_synth_docs():
     from gbdc_spark.sources.synth import gen_cnf_tokens
 
