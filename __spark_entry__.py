@@ -537,7 +537,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_embedding_near_dups(spark, sf_dir):
-        return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.5)
+        # auto-bits path: bit width derived from the corpus size, buckets
+        # from seeded Gaussian hyperplanes — the oracle regenerates the
+        # identical planes/bit-width from the same (n, d, seed).  The
+        # 0.5-cosine verify regime needs many tables for recall (per-bit
+        # collision p = 1 - acos(0.5)/pi = 2/3, so one 3-bit table only
+        # catches ~30% of qualifying pairs); 8 tables ≈ 94%.
+        return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.5, tables=8)
 
     def q_ivf_topk(spark, sf_dir):
         # the at-scale shape: materialize the assignment ONCE partitioned
@@ -1012,6 +1018,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+def _duck_embedding_near_dups_sql(threshold: float = 0.5, tables: int = 2) -> str:
+    """Oracle for the auto-scaled sign-LSH near-dup query: regenerates
+    the SAME seeded hyperplanes and bit width the Spark side derives for
+    the correctness-gate table (driver runs oracles at sf0.01), so the
+    candidate buckets — not just the verified pairs — are reproduced in
+    SQL."""
+    from gbdc_spark.operators.dedup import auto_sign_bits, sign_hyperplanes
+
+    try:
+        import duckdb
+
+        n, d = duckdb.sql(
+            "SELECT count(*), max(len(embedding)) "
+            "FROM '/root/testdata/sf0.01/embeddings.parquet'"
+        ).fetchone()
+    except Exception:
+        n, d = 500, 64  # the driver's fixed sf0.01 shape
+    bits = auto_sign_bits(int(n))
+    planes = sign_hyperplanes(tables, bits, int(d))
+
+    def bucket(t: int) -> str:
+        cases = ", ".join(
+            "CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(float(c)) for c in planes[t, i])
+            + "]) > 0 THEN '1' ELSE '0' END"
+            for i in range(bits)
+        )
+        return f"concat({cases}) AS b{t}"
+
+    per_table = "\n                UNION ALL\n".join(
+        f"""                SELECT l.vec_id AS a, r.vec_id AS b
+                FROM b l JOIN b r ON l.b{t} = r.b{t} AND l.vec_id < r.vec_id"""
+        for t in range(tables)
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, v, {", ".join(bucket(t) for t in range(tables))}
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+        pairs AS (
+            SELECT DISTINCT a, b FROM (
+{per_table}))
+        SELECT a, b, cosine FROM (
+            SELECT p.a, p.b,
+                   round(list_dot_product(x.v, y.v)
+                         / (sqrt(list_dot_product(x.v, x.v))
+                            * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+            FROM pairs p JOIN b x ON x.vec_id = p.a JOIN b y ON y.vec_id = p.b)
+        WHERE cosine >= {threshold}
+    """
+
+
 def _duck_cos(a: str, b: str) -> str:
     """Rounded cosine — mirrors similarity.cosine_similarity (round 6)."""
     return (
@@ -1782,33 +1839,7 @@ def oracle_sql() -> dict[str, str]:
                                                    c.cell) AS rn
                 FROM embeddings e, c) WHERE rn = 1
         """,
-        "embedding_near_dups": """
-            WITH b AS (
-                SELECT vec_id, v,
-                       concat(CASE WHEN v[1] > 0 THEN '1' ELSE '0' END,
-                              CASE WHEN v[2] > 0 THEN '1' ELSE '0' END,
-                              CASE WHEN v[3] > 0 THEN '1' ELSE '0' END,
-                              CASE WHEN v[4] > 0 THEN '1' ELSE '0' END) AS b0,
-                       concat(CASE WHEN v[5] > 0 THEN '1' ELSE '0' END,
-                              CASE WHEN v[6] > 0 THEN '1' ELSE '0' END,
-                              CASE WHEN v[7] > 0 THEN '1' ELSE '0' END,
-                              CASE WHEN v[8] > 0 THEN '1' ELSE '0' END) AS b1
-                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
-            pairs AS (
-                SELECT DISTINCT a, b FROM (
-                    SELECT l.vec_id AS a, r.vec_id AS b
-                    FROM b l JOIN b r ON l.b0 = r.b0 AND l.vec_id < r.vec_id
-                    UNION ALL
-                    SELECT l.vec_id, r.vec_id
-                    FROM b l JOIN b r ON l.b1 = r.b1 AND l.vec_id < r.vec_id))
-            SELECT a, b, cosine FROM (
-                SELECT p.a, p.b,
-                       round(list_dot_product(x.v, y.v)
-                             / (sqrt(list_dot_product(x.v, x.v))
-                                * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
-                FROM pairs p JOIN b x ON x.vec_id = p.a JOIN b y ON y.vec_id = p.b)
-            WHERE cosine >= 0.5
-        """,
+        "embedding_near_dups": _duck_embedding_near_dups_sql(threshold=0.5, tables=8),
         "media_image_features": """
             WITH c AS (
                 SELECT doc_id, length(text) AS n,

@@ -32,6 +32,8 @@ __all__ = [
     "simhash_near_dups",
     "ngram_jaccard_pairs",
     "embedding_near_dups",
+    "auto_sign_bits",
+    "sign_hyperplanes",
     "dup_clusters",
 ]
 
@@ -328,27 +330,69 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     )
 
 
+def auto_sign_bits(n_rows: int, target_bucket_rows: int = 64,
+                   lo: int = 1, hi: int = 30) -> int:
+    """Bits per sign-LSH table so the EXPECTED bucket occupancy
+    (n / 2^bits under random hyperplanes) stays ~``target_bucket_rows``:
+    in-bucket verification work is sum-over-buckets of occupancy², so a
+    fixed bit width goes quadratic as the corpus grows — 4 bits is fine
+    at 2k vectors and a scale-killer at 10⁹.  More bits lower per-table
+    recall; compensate with more tables (standard SRP trade, Charikar
+    STOC'02)."""
+    import math
+
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(max(n_rows / target_bucket_rows, 2.0)))))
+
+
+def sign_hyperplanes(tables: int, bits: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Seeded Gaussian random hyperplanes, shape (tables, bits, dim) —
+    the classic signed-random-projection family.  Deterministic for a
+    given seed, so an external oracle can reproduce the exact buckets;
+    axis-aligned sign-of-leading-dims (the old scheme) biased recall
+    toward whatever those dimensions happened to encode."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, bits, dim))
+
+
 def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embedding",
                         threshold: float = 0.95, tables: int = 2,
-                        bits: int = 4) -> DataFrame:
-    """Embedding-cosine near-dup: multi-table sign LSH + in-bucket
-    cosine verify.  Table t buckets on the sign pattern of dimensions
-    [t*bits, (t+1)*bits); a pair is a candidate if it collides in ANY
-    table, so near-dups whose signs differ inside one table's dimensions
-    still surface through another — the single-table round-1 version
-    lost exactly those (recall grows ~(1 - (1-p)^tables)).  Work stays
+                        bits: int | None = None, seed: int = 42,
+                        target_bucket_rows: int = 64) -> DataFrame:
+    """Embedding-cosine near-dup: multi-table signed-random-projection
+    LSH + in-bucket cosine verify.  Table t buckets on the sign pattern
+    of ``bits`` seeded Gaussian hyperplane projections; a pair is a
+    candidate if it collides in ANY table, so near-dups that land on
+    opposite sides of one table's hyperplanes still surface through
+    another (recall grows ~(1 - (1-p^bits)^tables)).  Work stays
     confined to buckets; multi-table duplicates collapse with one
-    distinct on the verified pairs."""
+    distinct on the verified pairs.
+
+    ``bits=None`` (default) auto-scales to the corpus: two O(1)-result
+    probes (a metadata-only parquet count and a first-row dim peek)
+    feed ``auto_sign_bits`` so expected bucket occupancy stays
+    ~``target_bucket_rows`` — the fixed default that was quadratic at
+    corpus scale is gone.  Pass explicit ``bits`` to pin the layout
+    (e.g. for cross-engine oracle comparison)."""
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).filter(F.col("d") > 0).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    if bits is None:
+        bits = auto_sign_bits(df.count(), target_bucket_rows)
+    planes = sign_hyperplanes(tables, bits, dim, seed)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def sig(t: int) -> Column:
-        return F.concat_ws(
-            "",
-            *[
-                F.when(F.element_at(F.col("v"), t * bits + i + 1) > 0, "1").otherwise("0")
-                for i in range(bits)
-            ],
-        )
+        def proj(i: int) -> Column:
+            plane = F.array(*[F.lit(float(c)) for c in planes[t, i]])
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.when(dot > 0, "1").otherwise("0")
+
+        return F.concat_ws("", *[proj(i) for i in range(bits)])
 
     base = df.select(F.col(key), v.alias("v"))
     band_arr = F.array(

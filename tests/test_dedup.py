@@ -140,16 +140,65 @@ def test_winnow_guarantee(spark):
     assert not (out[1] & out[3])    # unrelated docs don't collide here
 
 
-def test_embedding_near_dups_multi_table_recall(spark):
-    """A near-identical pair whose sign pattern differs inside table 0's
-    dimensions must still be found via table 1 — the single-table
-    round-1 version missed exactly this case."""
-    base = [1.0] * 16
-    flipped = list(base)
-    flipped[0] = -1.0  # sign differs in dims 1-4 => table-0 buckets differ
-    rows = [(0, base), (1, flipped), (2, [(-1.0) ** i * 5 for i in range(16)])]
+def test_embedding_near_dups_identical_always_collide(spark):
+    """cosine-1 pairs (positive scalings) sit on the same side of EVERY
+    hyperplane, so sign-LSH finds them with any table count or seed."""
+    import random
+
+    rng = random.Random(5)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [(0, base), (1, [2.0 * x for x in base]),
+            (2, [rng.gauss(0, 1) for _ in range(16)]),
+            (3, [rng.gauss(0, 1) for _ in range(16)])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    got1 = dedup.embedding_near_dups(df, threshold=0.85, tables=1).collect()
-    got2 = dedup.embedding_near_dups(df, threshold=0.85, tables=2).collect()
-    assert [(r["a"], r["b"]) for r in got1] == []          # table 0 misses it
-    assert [(r["a"], r["b"]) for r in got2] == [(0, 1)]    # table 1 finds it
+    for seed in (1, 42, 99):
+        got = dedup.embedding_near_dups(df, threshold=0.999, tables=1, seed=seed).collect()
+        assert [(r["a"], r["b"]) for r in got] == [(0, 1)], f"seed={seed}"
+
+
+def test_embedding_near_dups_more_tables_superset(spark):
+    """Tables are a prefix of the same seeded hyperplane family, so the
+    verified pair set with more tables is a superset — recall only grows
+    (the single-table round-1 version lost pairs that differ inside one
+    table's projections)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((2 * i, base))
+        # moderate perturbation -> cosine high but below 1
+        rows.append((2 * i + 1, [x + rng.gauss(0, 0.35) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p1 = {(r["a"], r["b"]) for r in dedup.embedding_near_dups(df, threshold=0.8, tables=1).collect()}
+    p4 = {(r["a"], r["b"]) for r in dedup.embedding_near_dups(df, threshold=0.8, tables=4).collect()}
+    assert p1 <= p4
+    assert len(p4) > len(p1)  # extra tables must actually add recall here
+
+
+def test_auto_sign_bits_bounds_bucket_occupancy():
+    """Expected bucket occupancy n / 2^bits stays within (target/2,
+    target] across scales — the fixed bit width that went quadratic at
+    corpus size cannot come back."""
+    for n in (10**3, 10**4, 10**6, 10**9, 10**12):
+        bits = dedup.auto_sign_bits(n, target_bucket_rows=64)
+        occ = n / 2**bits
+        if bits < 30:  # below the bucket-cardinality cap: tight band
+            assert 32 < occ <= 64, (n, bits, occ)
+        else:  # at the cap occupancy grows linearly again — by design
+            assert bits == 30, (n, bits, occ)
+    # monotone in n, defaults sane at tiny inputs
+    assert dedup.auto_sign_bits(0) == 1
+    assert dedup.auto_sign_bits(10) >= 1
+    bs = [dedup.auto_sign_bits(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert bs == sorted(bs)
+
+
+def test_sign_hyperplanes_deterministic_prefix():
+    planes2 = dedup.sign_hyperplanes(2, 3, 16, seed=7)
+    planes4 = dedup.sign_hyperplanes(4, 3, 16, seed=7)
+    import numpy as np
+
+    assert np.array_equal(planes4[:2], planes2)
+    assert not np.array_equal(dedup.sign_hyperplanes(2, 3, 16, seed=8), planes2)
