@@ -890,32 +890,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the FULL flagship composition — fused extraction -> strictly-
         # prior as-of join -> skew-proof window bundle -> per-source
         # aggregate — with snapshots derived from doc ids by a
-        # SQL-expressible rule, so the E2E pipeline is value-checked in
-        # DuckDB end to end (run_flagship itself uses Python-RNG
-        # snapshots and stays rows-only)
+        # SQL-expressible rule (tables.derived_snapshots_df), assembled
+        # stage by stage here; q_flagship_pipeline runs the packaged
+        # run_flagship wiring of the same composition.  Both share one
+        # DuckDB oracle, value-checking the E2E pipeline end to end.
         seqs = tables.documents_as_sequences(spark, sf_dir)
-        d = F.substring("doc_id", 4, 8).cast("long")
-        snaps = (
-            seqs.select("doc_id", d.alias("dnum"), "ingest_ts")
-            .filter(F.pmod(F.col("dnum"), F.lit(7)) != 3)  # snapshot-less docs
-            .select(
-                "doc_id", "dnum", "ingest_ts",
-                F.explode(
-                    F.sequence(F.lit(0), F.pmod(F.col("dnum"), F.lit(3)))
-                ).alias("j"),
-            )
-            .select(
-                "doc_id",
-                (
-                    F.col("ingest_ts")
-                    + F.make_interval(secs=(F.col("j") - 1) * 90)
-                ).alias("snapshot_ts"),
-                (F.col("dnum") * 10 + F.col("j")).alias("snapshot_id"),
-                (
-                    F.pmod(F.col("dnum") * 7, F.lit(100)) / 100.0 + F.col("j")
-                ).alias("prev_score"),
-            )
-        )
+        snaps = tables.derived_snapshots_df(seqs)
         feats = extract.extract_all(seqs).drop("tokens")
         joined = temporal.asof_join(
             feats, snaps, by="doc_id", left_ts="ingest_ts",
@@ -942,10 +922,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run_curation(spark, sf_dir)
 
-    def q_flagship_pipeline(spark, sf_dir):  # rows-only (E2E as-of+window)
+    def q_flagship_pipeline(spark, sf_dir):
+        # run_flagship now uses the derived (SQL-expressible) snapshots,
+        # so the packaged E2E pipeline itself is DuckDB-oracled — only
+        # float avgs need rounding for the hash compare
         from gbdc_spark.plans.flagship import run_flagship
 
-        return run_flagship(spark, sf_dir)
+        return run_flagship(spark, sf_dir).select(
+            "source", "n_docs", "n_distinct", "n_matched",
+            F.round("avg_clauses", 6).alias("avg_clauses"),
+            F.round("avg_horn", 6).alias("avg_horn"),
+            "n_sessions", "n_errors",
+        )
 
     return {
         "asof_join": q_asof_join,
@@ -1491,7 +1479,7 @@ def _duck_wcnf_features_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "asof_join": """
             SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
                    epoch_us(c.ts) AS click_ts_us, c.event_id AS click_id,
@@ -2347,3 +2335,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
     }
+    # run_flagship now builds the same derived-snapshot composition that
+    # q_flagship_docs assembles stage by stage -> one shared oracle
+    oracles["flagship_pipeline"] = oracles["flagship_docs"]
+    return oracles

@@ -67,10 +67,11 @@ def flagship_aggregate(features: DataFrame) -> DataFrame:
 
 def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship over the driver's documents table (tokenized JVM-side)
-    with deterministic synthetic snapshots as the as-of right side."""
+    with snapshots DERIVED from the doc ids by a SQL-expressible rule
+    (tables.derived_snapshots_df) — the whole E2E composition is
+    value-checkable against a DuckDB oracle, and the snapshot side is a
+    JVM projection of the same scan instead of a driver-built table
+    (which also drops the extra count action the synthetic side needed)."""
     seqs = tables.documents_as_sequences(spark, sf_dir)
-    # size the snapshot side from the raw parquet (metadata-only count) —
-    # counting the tokenized view would run the whole tokenizer twice
-    n_docs = tables.load(spark, sf_dir, "documents").count()
-    snaps = tables.synth_snapshots_df(spark, n_docs)
+    snaps = tables.derived_snapshots_df(seqs)
     return flagship_aggregate(feature_pipeline(seqs, snaps))

@@ -24,6 +24,7 @@ __all__ = [
     "register_views",
     "synth_sequences_df",
     "synth_snapshots_df",
+    "derived_snapshots_df",
     "documents_as_sequences",
 ]
 
@@ -70,6 +71,42 @@ def synth_sequences_df(spark: SparkSession, n_docs: int, seed: int = 42,
 def synth_snapshots_df(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
     pdf = synth.gen_snapshots_pdf(n_docs, seed=seed)
     return spark.createDataFrame(pdf)
+
+
+def derived_snapshots_df(seqs: DataFrame) -> DataFrame:
+    """Deterministic snapshot table DERIVED from the sequences' doc ids
+    by a SQL-expressible rule (no Python RNG), so any pipeline built on
+    it can be value-checked end-to-end by an external SQL oracle:
+
+    * doc dnum (digits 4..11 of doc_id) with ``dnum % 7 == 3`` has no
+      snapshots (exercises the unmatched as-of path);
+    * otherwise snapshots j = 0..dnum%3 at ``ingest_ts + (j-1)*90s``
+      (j=0 lands strictly before ingest — the strictly-prior match),
+      snapshot_id ``dnum*10+j``, prev_score ``(dnum*7%100)/100 + j``.
+
+    Pure JVM expressions over the sequences scan — distributes with it.
+    """
+    d = F.substring("doc_id", 4, 8).cast("long")
+    return (
+        seqs.select("doc_id", d.alias("dnum"), "ingest_ts")
+        .filter(F.pmod(F.col("dnum"), F.lit(7)) != 3)
+        .select(
+            "doc_id", "dnum", "ingest_ts",
+            F.explode(
+                F.sequence(F.lit(0), F.pmod(F.col("dnum"), F.lit(3)))
+            ).alias("j"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.col("ingest_ts") + F.make_interval(secs=(F.col("j") - 1) * 90)
+            ).alias("snapshot_ts"),
+            (F.col("dnum") * 10 + F.col("j")).alias("snapshot_id"),
+            (
+                F.pmod(F.col("dnum") * 7, F.lit(100)) / 100.0 + F.col("j")
+            ).alias("prev_score"),
+        )
+    )
 
 
 def documents_as_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
