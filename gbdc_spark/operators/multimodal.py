@@ -167,12 +167,34 @@ def docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_payload(payload: bytes) -> tuple[np.ndarray, bytes]:
+    """Sniff the wire format by magic bytes and normalize to the
+    (header [w, h, sample_rate, n_frames], body) contract every stage
+    consumes:
+
+    * ``GBDM`` — the synthetic container (header verbatim);
+    * ``\\x89PNG`` — real 8-bit grayscale PNG via the stdlib codec
+      (operators/codecs.py: zlib inflate + full filter set);
+    * ``RIFF`` — real mono PCM-16 WAV via the stdlib ``wave`` reader;
+    * anything else (JPEG, MP3, MP4, ...) still needs a third-party
+      codec and raises ``NotImplementedError`` honestly.
+    """
+    from . import codecs
+
+    if payload[:8] == codecs.PNG_MAGIC:
+        px = codecs.png_decode(payload)
+        hdr = np.asarray([px.shape[1], px.shape[0], 0, 0], dtype="<i4")
+        return hdr, px.tobytes()
+    if payload[:4] == codecs.WAV_MAGIC:
+        pcm, sr = codecs.wav_decode(payload)
+        hdr = np.asarray([0, 0, sr, pcm.size], dtype="<i4")
+        return hdr, pcm.tobytes()
     if payload[:4] != _MAGIC:
-        try:  # real codec path — absent in this container
+        try:  # heavier real codecs (JPEG etc.) — absent in this container
             import PIL  # noqa: F401
         except ImportError:
             raise NotImplementedError(
-                "real media codecs unavailable; only the GBDM fake format is supported"
+                "payload is neither GBDM, grayscale PNG, nor PCM-16 WAV; "
+                "other formats need third-party codecs unavailable here"
             ) from None
         raise NotImplementedError("real-codec decode not wired up")
     hdr = np.frombuffer(payload[4:20], dtype="<i4")

@@ -79,3 +79,110 @@ def test_real_codec_path_raises(spark):
     with pytest.raises(Exception) as ei:
         mm.image_features(df).collect()
     assert "NotImplementedError" in str(ei.value) or "real media codecs" in str(ei.value)
+
+
+# ------------------------------------------------- stdlib real codecs
+def test_png_roundtrip_and_filters():
+    from gbdc_spark.operators import codecs as cx
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+    data = cx.png_encode(px)
+    assert data[:8] == cx.PNG_MAGIC
+    assert np.array_equal(cx.png_decode(data), px)
+
+    # decoder must also handle externally-produced filtered scanlines:
+    # hand-build PNGs using each nontrivial filter type
+    def encode_filtered(pixels, ftype):
+        h, w = pixels.shape
+        lines = []
+        prev = np.zeros(w, dtype=np.int32)
+        for y in range(h):
+            cur = pixels[y].astype(np.int32)
+            if ftype == 1:
+                filt = cur - np.concatenate([[0], cur[:-1]])
+            elif ftype == 2:
+                filt = cur - prev
+            elif ftype == 3:
+                left = np.concatenate([[0], cur[:-1]])
+                filt = cur - (left + prev) // 2
+            elif ftype == 4:
+                filt = np.zeros(w, dtype=np.int32)
+                for x in range(w):
+                    a = int(cur[x - 1]) if x else 0
+                    b = int(prev[x])
+                    c = int(prev[x - 1]) if x else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt[x] = cur[x] - pred
+            lines.append(bytes([ftype]) + (filt & 0xFF).astype(np.uint8).tobytes())
+            prev = cur
+        raw = b"".join(lines)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        return (cx.PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    for ftype in (1, 2, 3, 4):
+        assert np.array_equal(cx.png_decode(encode_filtered(px, ftype)), px), ftype
+
+
+def test_wav_roundtrip():
+    from gbdc_spark.operators import codecs as cx
+
+    rng = np.random.default_rng(4)
+    pcm = rng.integers(-(2**15), 2**15, size=777, dtype=np.int16)
+    data = cx.wav_encode(pcm, 16000)
+    assert data[:4] == cx.WAV_MAGIC
+    got, sr = cx.wav_decode(data)
+    assert sr == 16000
+    assert np.array_equal(got, pcm)
+
+
+def test_real_png_payload_through_image_stage(spark):
+    """A genuine PNG payload flows through the SAME Spark stage as the
+    synthetic container — format sniffed by magic, features identical
+    to the raw-pixel oracle."""
+    from gbdc_spark.operators import codecs as cx
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    payload = cx.png_encode(px)
+    df = spark.createDataFrame(
+        [("p1", "image", bytearray(payload), len(payload),
+          {"width": 11, "height": 9, "sample_rate": None, "n_frames": None})],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    row = mm.image_features(df).collect()[0]
+    flat = px.astype(np.float64).ravel()
+    assert (row["width"], row["height"]) == (11, 9)
+    assert row["mean_pixel"] == pytest.approx(flat.mean())
+    assert row["std_pixel"] == pytest.approx(flat.std())
+    # resize consumes the PNG and re-packs GBDM for downstream stages
+    out = mm.resize_images(df, 4, 4).collect()[0]
+    assert bytes(out["payload"])[:4] == b"GBDM"
+
+
+def test_real_wav_payload_through_audio_stage(spark):
+    from gbdc_spark.operators import codecs as cx
+
+    rng = np.random.default_rng(9)
+    pcm = rng.integers(-(2**14), 2**14, size=320, dtype=np.int16)
+    payload = cx.wav_encode(pcm, 8000)
+    df = spark.createDataFrame(
+        [("a1", "audio", bytearray(payload), len(payload),
+          {"width": None, "height": None, "sample_rate": 8000, "n_frames": None})],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    row = mm.audio_features(df).collect()[0]
+    x = pcm.astype(np.float64)
+    assert row["sample_rate"] == 8000
+    assert row["duration_s"] == pytest.approx(320 / 8000)
+    assert row["rms"] == pytest.approx(float(np.sqrt(np.mean(x**2))))
