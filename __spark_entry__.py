@@ -506,6 +506,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.dup_clusters(pairs)
 
+    def q_dedup_clusters_star(spark, sf_dir):
+        # the O(log n)-round large-star/small-star path over the same
+        # pair graph — identical (doc_id, keeper) contract, same oracle
+        pairs = dedup.minhash_candidate_pairs(
+            _docs(spark, sf_dir), key="doc_id", num_perm=8, bands=4, shingle_n=3
+        )
+        return dedup.dup_clusters_star(pairs)
+
     def q_ngram_jaccard(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         pairs = docs.select(F.col("doc_id").alias("a")).join(
@@ -970,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
@@ -2338,4 +2347,7 @@ def oracle_sql() -> dict[str, str]:
     # run_flagship now builds the same derived-snapshot composition that
     # q_flagship_docs assembles stage by stage -> one shared oracle
     oracles["flagship_pipeline"] = oracles["flagship_docs"]
+    # large-star/small-star CC has the same (doc_id, keeper) contract
+    # over the same candidate pair graph as label propagation
+    oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
     return oracles

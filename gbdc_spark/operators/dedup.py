@@ -35,6 +35,7 @@ __all__ = [
     "auto_sign_bits",
     "sign_hyperplanes",
     "dup_clusters",
+    "dup_clusters_star",
 ]
 
 
@@ -243,6 +244,93 @@ def simhash_near_dups(df: DataFrame, key: str = "doc_id", text_col: str = "text"
     )
 
 
+def dup_clusters_star(pairs: DataFrame, a: str = "a", b: str = "b",
+                      max_iter: int = 50) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the extreme-scale counterpart of the label
+    propagation in ``dup_clusters``: rounds are O(log n) on ANY graph
+    (label propagation is O(diameter), fine for cliquish near-dup
+    clusters but unbounded on path-shaped ones), and each round is one
+    groupBy + join on the shrinking edge list.
+
+    * large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+    * small-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v ≤ u
+
+    Converged when a round leaves the edge set unchanged: edges then
+    form stars around component minima, and keeper(v) = min(N(v) ∪ {v}).
+    Same (doc_id, keeper) contract as ``dup_clusters``.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # reduce over the FULL neighborhood: m = min(N(u) ∪ {u});
+        # emit (v, m) for strictly larger neighbors
+        sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", "u").alias("m")
+        )
+        return _canon(
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # each edge goes to its LARGER endpoint; m = min of the smaller
+        # neighbors (= min(N(u) ∪ {u}) since they're all < u); emit
+        # (v, m) for every smaller neighbor AND (u, m) itself — dropping
+        # the self edge was the subtle way to lose the component
+        smaller = e.select(F.col("v").alias("u"), F.col("u").alias("v"))  # v < u rows
+        mins = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        relinked = smaller.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        return _canon(relinked.union(mins.select("u", F.col("m").alias("v"))))
+
+    for _ in range(max_iter):
+        # localCheckpoint per round: iterative joins otherwise stack the
+        # plan O(rounds) deep and recompute lazily round over round
+        nxt = small_star(large_star(edges)).localCheckpoint()
+        changed = (
+            nxt.exceptAll(edges).limit(1).count() + edges.exceptAll(nxt).limit(1).count()
+        )
+        edges = nxt
+        if changed == 0:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters_star: no fixpoint in {max_iter} rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("doc_id"), F.least("mn", "u").alias("keeper"))
+    )
+
+
 def dup_clusters(pairs: DataFrame, a: str = "a", b: str = "b",
                  max_iter: int = 20) -> DataFrame:
     """Resolve near-dup candidate pairs into duplicate CLUSTERS:
@@ -256,8 +344,8 @@ def dup_clusters(pairs: DataFrame, a: str = "a", b: str = "b",
     are cliquish (diameter ~1-2), so 2-3 rounds typically suffice; the
     loop stops at the first fixpoint (one count() action per round) and
     persists each generation so lineage doesn't stack.  At extreme
-    scale, swap the propagation loop for the large-star/small-star
-    algorithm (Kiveris et al., "Connected Components in MapReduce");
+    scale — or on graphs that may contain long paths — use
+    ``dup_clusters_star`` (large-star/small-star, O(log n) rounds);
     the (node, keeper) contract is identical.
     """
     edges = (

@@ -202,3 +202,45 @@ def test_sign_hyperplanes_deterministic_prefix():
 
     assert np.array_equal(planes4[:2], planes2)
     assert not np.array_equal(dedup.sign_hyperplanes(2, 3, 16, seed=8), planes2)
+
+
+def test_dup_clusters_star_matches_label_prop_on_random_graphs(spark):
+    """Identical (doc_id, keeper) from both CC algorithms on random
+    pair graphs — the extreme-scale swap must be a drop-in."""
+    import random
+
+    rng = random.Random(29)
+    for trial in range(3):
+        n = 40
+        edges = sorted({
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(30 + trial * 10)
+        })
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        lp = {r["doc_id"]: r["keeper"] for r in dedup.dup_clusters(pairs).collect()}
+        st = {r["doc_id"]: r["keeper"] for r in dedup.dup_clusters_star(pairs).collect()}
+        assert st == lp, f"trial {trial}"
+
+
+def test_dup_clusters_star_logn_rounds_on_long_path(spark):
+    """A 120-node path (diameter 119) converges within ~log2(n) star
+    rounds — label propagation would need 119 rounds here.  max_iter=12
+    must suffice with no non-convergence warning."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "a long, b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = {r["doc_id"]: r["keeper"]
+               for r in dedup.dup_clusters_star(pairs, max_iter=12).collect()}
+    assert out == {i: 0 for i in range(121)}
+
+
+def test_dup_clusters_star_string_keys(spark):
+    pairs = spark.createDataFrame(
+        [("docB", "docA"), ("docB", "docC"), ("docX", "docY")], "a string, b string"
+    )
+    out = {r["doc_id"]: r["keeper"] for r in dedup.dup_clusters_star(pairs).collect()}
+    assert out == {"docA": "docA", "docB": "docA", "docC": "docA",
+                   "docX": "docX", "docY": "docX"}
