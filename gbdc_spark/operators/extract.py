@@ -128,7 +128,9 @@ def _gate_features_udf(tokens: pd.Series) -> pd.DataFrame:
     return out
 
 
-def with_gate_features(df: DataFrame, tokens_col: str = "tokens", out: str = "gate_features") -> DataFrame:
+def with_gate_features(df: DataFrame, tokens_col: str = "tokens",
+                       out: str = "gate_features",
+                       rebalance: bool | str = "auto") -> DataFrame:
     """CNFGateFeatures — 56-field double struct (CNFGateFeatures.h:41-160)
     plus a ``gate_status`` field: ``ok:<sat-backend>``,
     ``budget_exhausted:dpll`` (GENERIC may undercount — flagged, never
@@ -138,8 +140,12 @@ def with_gate_features(df: DataFrame, tokens_col: str = "tokens", out: str = "ga
 
     Gate analysis is stateful and sequential per doc (GateAnalyzer.h BFS +
     occurrence-list mutation); it distributes ACROSS docs.  Giant docs
-    straggle — pair with partitioning.size_bucketed for heavy corpora.
+    straggle, so by default (``rebalance="auto"``) a one-pass quantile
+    probe stripes skewed corpora with ``partitioning.size_bucketed``
+    and leaves uniform ones untouched; pass False to pin the incoming
+    partitioning or True to force the stripe.
     """
+    df = _apply_rebalance(df, rebalance)
     return df.withColumn(out, _gate_features_udf(F.col(tokens_col)))
 
 
@@ -303,9 +309,29 @@ def _extract_all_schema(input_schema: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
-def extract_all(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+def _apply_rebalance(df: DataFrame, rebalance: bool | str) -> DataFrame:
+    """Shared straggler gate for the per-doc extraction stages."""
+    from .partitioning import maybe_size_rebalance, size_bucketed
+
+    if rebalance == "auto":
+        return maybe_size_rebalance(df)
+    if rebalance is True:
+        return size_bucketed(df) if "n_tok" in df.columns else df
+    return df
+
+
+def extract_all(df: DataFrame, tokens_col: str = "tokens",
+                rebalance: bool | str = "auto") -> DataFrame:
     """Fused per-doc extraction: gbdhash + isohash + 58 base features +
-    runtime_s + status in one mapInPandas stage (one Arrow crossing)."""
+    runtime_s + status in one mapInPandas stage (one Arrow crossing).
+
+    ``rebalance="auto"`` (default): a Zipf-heavy ``n_tok`` distribution
+    triggers ``partitioning.size_bucketed`` striping so one partition
+    doesn't draw several giant docs (north_rule: explicit skew handling
+    for heavy sources); near-uniform corpora skip the shuffle entirely
+    after a single cheap quantile scan.  Streaming inputs skip the
+    probe (no batch quantiles mid-stream)."""
+    df = _apply_rebalance(df, rebalance)
     out_schema = _extract_all_schema(df.schema)
     n_feat = len(BASE_FEATURES_NAMES)
 

@@ -29,6 +29,7 @@ __all__ = [
     "replicate_for_salt",
     "salted_join",
     "size_bucketed",
+    "maybe_size_rebalance",
 ]
 
 
@@ -105,40 +106,182 @@ def salted_join(
     return f.join(d, on=[key, "_salt"], how=how).drop("_salt")
 
 
+_PREIMAGE_CACHE: dict[int, dict[int, int]] = {}
+
+
+def _hash_preimages(spark, partitions: int) -> dict[int, int]:
+    """For each target partition p, a small int v with
+    ``murmur3(v) % partitions == p`` — lets ``repartition(P, lit-mapped
+    column)`` place rows on EXACT partitions through the DataFrame API.
+    One tiny driver-side job per distinct P, cached for the session."""
+    cached = _PREIMAGE_CACHE.get(partitions)
+    if cached is not None:
+        return cached
+    rows = (
+        spark.range(0, 64 * partitions)
+        .select(
+            F.col("id").cast("int").alias("v"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(partitions)).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.min("v").alias("v"))
+        .collect()
+    )
+    m = {r["p"]: r["v"] for r in rows}
+    if len(m) < partitions:  # astronomically unlikely with 64P candidates
+        raise RuntimeError(f"no hash preimage for {partitions - len(m)} partitions")
+    _PREIMAGE_CACHE[partitions] = m
+    return m
+
+
 def size_bucketed(
     df: DataFrame,
     size_col: str = "n_tok",
     key: str = "doc_id",
     partitions: int | None = None,
     strata: int = 16,
+    cuts: list[float] | None = None,
 ) -> DataFrame:
-    """Straggler control for per-doc extraction: stratified striping.
+    """Straggler control for per-doc extraction: giant isolation plus
+    serpentine size-rank striping — a distributed approximation of LPT
+    (longest-processing-time-first) packing.
 
-    Docs are bucketed into size strata at approximate quantile cutoffs
-    (one distributed approxQuantile pass), then striped across partitions
-    with ``partition = (stratum + hash(key)) % P`` — every partition draws
-    a near-equal mix of small/medium/giant docs, so per-partition total
-    work equalizes instead of one partition drawing several giants.
-    A plain hash repartition leaves total-work variance equal to the doc
-    size variance; striping caps it at the stratum width.  Residual
-    giant-giant collisions within the top stratum surface via the
-    ``runtime_s`` column (SURVEY.md §4.2.3).
+    Two-part deal, driven by one narrow (key, size) probe — a top-P
+    TakeOrdered and a sum, both column-pruned scans with O(P) results:
+
+    * **Giants** — docs whose size exceeds the fair share ``total/P`` —
+      each get a DEDICATED partition (capped at P/2).  No partitioning
+      scheme can beat ``max(biggest_doc, mean_share)`` without splitting
+      a doc, and isolation achieves it: the giant's partition carries
+      the giant alone instead of the giant plus an even share of
+      everything else (which is what any per-stratum fair deal yields).
+    * **The rest** are quantile-bucketed into strata, then within each
+      (stratum, salt-bucket) group — the salt keeps every sort task at
+      ~n/(strata x P) rows, so no stratum serializes into one task —
+      ranked by size descending and dealt serpentine (rank r →
+      ``r % P'`` on even passes, reversed on odd) over the remaining
+      partitions, with the deal rotated per bucket so bucket maxima
+      spread instead of stacking.
+
+    Residual giant-dominated tails (one doc > fair share is the floor)
+    surface via the ``runtime_s`` column (SURVEY.md §4.2.3).
     """
+    from pyspark.sql import Window
+
     if partitions is None:
         partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    qs = [i / strata for i in range(1, strata)]
-    cuts = df.approxQuantile(size_col, qs, 0.001)
+    # narrow probe: top-P sizes + (total, row count) — column-pruned
+    # scans with O(P) results
+    sizes = df.select(F.col(key).alias("k"), F.col(size_col).alias("s"))
+    top = sizes.orderBy(F.col("s").desc(), "k").limit(partitions).collect()
+    stats = sizes.agg(F.sum("s").alias("t"), F.count("*").alias("n")).collect()[0]
+    total, n_rows = (stats["t"] or 0), stats["n"]
+    # greedy LPT head: isolate top docs while they exceed HALF the fair
+    # share of what remains.  The snake deal below is count-aware, not
+    # mass-aware — a shared doc of size s pushes its partition to
+    # ~s/2 + share — so isolation pays down to s ≈ remaining/parts/2;
+    # below that the dedicated partition wastes more capacity than the
+    # disparity it removes.
+    giants: list = []
+    remaining, parts_left = float(total), partitions
+    for row in top:
+        if parts_left <= max(partitions // 2, 1):
+            break
+        if row["s"] > 0.5 * remaining / parts_left:
+            giants.append(row["k"])
+            remaining -= row["s"]
+            parts_left -= 1
+        else:
+            break
+    n_g = len(giants)
+    rest_parts = max(partitions - n_g, 1)
+
+    if cuts is None:
+        qs = [i / strata for i in range(1, strata)]
+        cuts = df.approxQuantile(size_col, qs, 0.001)
     stratum: Column = F.lit(0)
     for i, c in enumerate(cuts):
         stratum = F.when(F.col(size_col) > F.lit(c), F.lit(i + 1)).otherwise(stratum)
-    stripe = F.pmod(stratum + F.xxhash64(F.col(key)), F.lit(partitions))
-    # range-partition on stripe + fractional jitter: every stratum's rows
-    # are uniform over [0, partitions), so each equal-count range draws a
-    # proportional mix of all strata, and the dense key keeps the sampled
+    # serpentine needs MANY passes per sort bucket (docs >> partitions)
+    # to balance, so the salt fan-out adapts to the probed row count:
+    # buckets of ~rows_per_task rows — at small n one sort per stratum,
+    # at warehouse scale enough salts that no task sort exceeds
+    # ~rows_per_task rows
+    rows_per_task = 200_000
+    salts = max(1, int(n_rows // (strata * rows_per_task)) + (1 if n_rows % (strata * rows_per_task) else 0))
+    salt = F.pmod(F.xxhash64(F.col(key)), F.lit(salts))
+    w = Window.partitionBy(stratum, salt).orderBy(F.col(size_col).desc(), F.col(key))
+    r = F.row_number().over(w) - F.lit(1)
+    pos = F.pmod(r, F.lit(rest_parts))
+    serp = F.when(
+        F.pmod(F.floor(r / rest_parts), F.lit(2)) == 0, pos
+    ).otherwise(F.lit(rest_parts - 1) - pos)
+    # rotate each (stratum, salt) bucket's deal — without the rotation
+    # every bucket's rank-0 (its biggest doc) lands on the SAME
+    # partition and the deal anti-balances
+    stripe = F.pmod(serp + stratum + salt * F.lit(7919), F.lit(rest_parts)) + F.lit(n_g)
+    if giants:
+        giant_idx: Column = F.lit(None).cast("int")
+        for i, g in enumerate(giants):
+            giant_idx = F.when(F.col(key) == F.lit(g), F.lit(i)).otherwise(giant_idx)
+        stripe = F.coalesce(giant_idx, stripe)
+    # range-partition on stripe + fractional jitter: stripes are dense
+    # ints uniform over [0, partitions), and the jitter keeps the sampled
     # range boundaries from collapsing adjacent integer stripes.  A plain
     # hash repartition(n, stripe) — the round-1 version — re-hashed the
     # stripe and left ~1/e of the partitions empty.
-    frac = F.pmod(F.xxhash64(F.col(key), F.lit(1)), F.lit(1 << 20)) / F.lit(
-        float(1 << 20)
+    # EXACT placement: repartitionByRange builds equal-ROW-COUNT ranges,
+    # so a 1-row giant stripe would be merged into its neighbors (and a
+    # plain repartition(n, stripe) re-hashes the stripe, leaving ~1/e of
+    # the partitions empty — the round-1 bug).  Instead map each stripe
+    # p to a small integer whose murmur3 hash lands on partition p, and
+    # hash-repartition on that preimage — DataFrame-native, no RDD drop.
+    pre = _hash_preimages(df.sparkSession, partitions)
+    target = F.element_at(
+        F.array(*[F.lit(pre[p]) for p in range(partitions)]),
+        stripe.cast("int") + F.lit(1),
     )
-    return df.repartitionByRange(partitions, stripe + frac)
+    return (
+        df.withColumn("_sb_target", target)
+        .repartition(partitions, F.col("_sb_target"))
+        .drop("_sb_target")
+    )
+
+
+def maybe_size_rebalance(
+    df: DataFrame,
+    size_col: str = "n_tok",
+    key: str = "doc_id",
+    skew_ratio: float = 8.0,
+    partitions: int | None = None,
+    strata: int = 16,
+    sample_frac: float = 0.1,
+) -> DataFrame:
+    """Shuffle via ``size_bucketed`` ONLY when the size distribution is
+    actually skewed — the auto gate the per-doc extraction stages use by
+    default.
+
+    One approxQuantile pass over a seeded 10% sample yields both the
+    skew decision (p99 / p50 > ``skew_ratio``) and the stratum cutoffs,
+    so triggering costs no second pass — and because ``size_col`` may be
+    a derived expression (e.g. the tokenizer's n_tok), sampling keeps
+    the probe from re-running the derivation over the full corpus.  A
+    near-uniform corpus — like the driver's documents tables — returns
+    ``df`` untouched: no shuffle, identical plan.  No-ops when
+    ``size_col`` is absent or the input is a streaming DataFrame
+    (quantiles need a batch scan; micro-batch sizing already bounds
+    stragglers there).
+    """
+    if size_col not in df.columns or df.isStreaming:
+        return df
+    probe = df.sample(fraction=sample_frac, seed=7) if sample_frac < 1.0 else df
+    qs = sorted({i / strata for i in range(1, strata)} | {0.5, 0.99})
+    vals = probe.approxQuantile(size_col, qs, 0.001)
+    if len(vals) != len(qs):  # empty sample — nothing to decide on
+        return df
+    byq = dict(zip(qs, vals))
+    p50, p99 = byq[0.5], byq[0.99]
+    if p50 <= 0 or p99 / max(p50, 1e-9) < skew_ratio:
+        return df
+    cuts = [byq[q] for q in [i / strata for i in range(1, strata)]]
+    return size_bucketed(df, size_col, key, partitions, strata, cuts=cuts)

@@ -85,3 +85,79 @@ def test_size_bucketed_fills_all_partitions(spark):
     assert len(per_part) == 8          # no empty partitions
     counts = [r["count"] for r in per_part]
     assert max(counts) < 2 * min(counts)
+
+
+def test_maybe_size_rebalance_noop_on_uniform(spark):
+    from gbdc_spark.operators.partitioning import maybe_size_rebalance
+
+    df = spark.createDataFrame(
+        [(f"d{i}", 100 + i % 7) for i in range(400)], "doc_id string, n_tok int"
+    )
+    assert maybe_size_rebalance(df, sample_frac=1.0) is df  # no shuffle added
+
+
+def test_maybe_size_rebalance_triggers_and_balances_on_pareto(spark):
+    """Zipf-heavy corpus: the auto gate fires and the striped layout's
+    per-partition token totals beat hash partitioning's straggler tail
+    (deterministic token-mass metric, no timing)."""
+    from pyspark.sql import functions as F
+
+    from gbdc_spark.operators.partitioning import maybe_size_rebalance
+
+    rows = []
+    for i in range(4000):
+        u = ((i * 2654435761 + 99) % (2**31)) / float(2**31)
+        size = int(min(60 * (1.0 - u) ** (-1.0 / 1.0), 100_000))
+        rows.append((f"d{i:05d}", size))
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int").repartition(
+        16, "doc_id"
+    )
+    out = maybe_size_rebalance(df, sample_frac=1.0, partitions=16)
+    assert out is not df  # gate fired
+
+    def tail(d):
+        parts = sorted(
+            r["t"]
+            for r in d.select(F.spark_partition_id().alias("p"), "n_tok")
+            .groupBy("p").agg(F.sum("n_tok").alias("t")).collect()
+        )
+        return parts[-1] / parts[len(parts) // 2]
+
+    assert tail(out) < tail(df)  # striping drops the tail...
+    assert tail(out) < 1.5       # ...to near the single-doc floor
+    # same rows either way
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in df.collect()
+    )
+
+
+def test_extract_all_values_unchanged_by_rebalance(spark):
+    import pandas as pd
+
+    from gbdc_spark.operators.extract import extract_all
+
+    rows = []
+    for i in range(120):
+        n = 20 if i % 11 else 4000  # skewed
+        toks = ([1, -2, 3, 0] * (n // 4))[:n]
+        if toks[-1] != 0:
+            toks.append(0)
+        rows.append(("d%03d" % i, toks, len(toks), "s"))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    a = (
+        extract_all(df, rebalance=False)
+        .drop("runtime_s", "tokens")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        extract_all(df, rebalance=True)
+        .drop("runtime_s", "tokens")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
