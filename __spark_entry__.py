@@ -290,6 +290,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.unix_micros(F.col("t_end").cast("timestamp")).alias("t_end_us"),
         )
 
+    def q_stream_session_append(spark, sf_dir):
+        # REAL append-mode streaming with a live watermark: events are
+        # replayed as THREE ordered files — recent (even users), recent
+        # (odd users), then the pre-cutoff rows as late arrivals.  After
+        # two micro-batches the late-event watermark has advanced past
+        # the cutoff (Spark propagates it one batch behind the eviction
+        # watermark), so every late row is dropped, and only sessions
+        # finalized before the final watermark (end <= max_recent - 48h)
+        # are emitted.  Oracle: batch sessionization over the recent
+        # subset with the same emission cutoff in SQL.
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from gbdc_spark.streaming.pipeline import stream_sessionize
+
+        cut = "2024-01-21 00:00:00"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        d = tempfile.mkdtemp(prefix="gbdc_stream_append_")
+        parts = [
+            ("r1", ev.filter((F.col("ts") >= cut) & (F.col("user_id") % 2 == 0))),
+            ("r2", ev.filter((F.col("ts") >= cut) & (F.col("user_id") % 2 == 1))),
+            ("late", ev.filter(F.col("ts") < cut)),
+        ]
+        for i, (tag, part) in enumerate(parts):
+            tmp = f"{d}/_{tag}"
+            part.coalesce(1).write.parquet(tmp)
+            src_file = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = f"{d}/{tag}.parquet"
+            shutil.copy(f"{tmp}/{src_file}", dst)
+            os.utime(dst, (1000 + i, 1000 + i))  # file-source order = mtime
+            shutil.rmtree(tmp)
+        src = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        sess = stream_sessionize(
+            src, ts="ts", key="user_id", gap_seconds=1800,
+            watermark_seconds=172800,
+        )
+        name = f"stream_app_{uuid.uuid4().hex[:8]}"
+        q = (
+            sess.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+        return out.select(
+            "user_id",
+            F.unix_micros(F.col("w_start").cast("timestamp")).alias("w_start_us"),
+            F.unix_micros(F.col("w_end").cast("timestamp")).alias("w_end_us"),
+            "n_docs",
+            F.unix_micros(F.col("t_start").cast("timestamp")).alias("t_start_us"),
+            F.unix_micros(F.col("t_end").cast("timestamp")).alias("t_end_us"),
+        )
+
     def q_stream_extract(spark, sf_dir):
         # E2E streaming job in the driver contract: tokenized docs ->
         # file-source stream -> fused extraction -> checkpointed parquet
@@ -954,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead_scalable": q_lag_lead_scalable,
         "session_agg": q_session_agg,
         "stream_session_agg": q_stream_session_agg,
+        "stream_session_append": q_stream_session_append,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
         "json_props_agg": q_json_props_agg,
@@ -1613,6 +1675,37 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(min(ts)) AS t_start_us,
                    epoch_us(max(ts)) AS t_end_us
             FROM s GROUP BY user_id, sess
+        """,
+        "stream_session_append": """
+            WITH r AS (
+                SELECT user_id, ts FROM events
+                WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'),
+            wm AS (
+                -- Spark tracks the watermark in milliseconds: floor the
+                -- max event time to ms before subtracting the delay
+                SELECT epoch_us(date_trunc('milliseconds', max(ts)))
+                       - 172800000000 AS w_us
+                FROM r),
+            s AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_flag) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+                FROM (
+                    SELECT user_id, ts,
+                           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                         PARTITION BY user_id ORDER BY ts)) >= 1800000000
+                                THEN 1 ELSE 0 END AS new_flag
+                    FROM r))
+            SELECT user_id,
+                   epoch_us(min(ts)) AS w_start_us,
+                   epoch_us(max(ts)) + 1800000000 AS w_end_us,
+                   count(*) AS n_docs,
+                   epoch_us(min(ts)) AS t_start_us,
+                   epoch_us(max(ts)) AS t_end_us
+            FROM s, wm GROUP BY user_id, sess, wm.w_us
+            HAVING epoch_us(max(ts)) + 1800000000 <= wm.w_us
         """,
         "trailing_agg": """
             SELECT event_id, user_id,

@@ -121,3 +121,68 @@ def test_stream_dedup_stateful_across_batches(spark, tmp_path):
     got2 = spark.read.parquet(out_dir).toPandas()
     assert sorted(got2["gbdhash"]) == ["A", "B", "C"]
     assert "d4" not in set(got2["doc_id"])  # the duplicate A
+
+
+def test_append_mode_watermark_drops_late_and_withholds_open(spark, tmp_path):
+    """Append mode with a real watermark: (1) rows arriving after the
+    watermark passed them are dropped, (2) sessions not yet finalized by
+    the final watermark are withheld — verified against a batch-computed
+    expectation."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from gbdc_spark.streaming.pipeline import stream_sessionize
+
+    base = "2024-06-01 00:00:00"
+    rows_recent = [(1, 10_000.0), (1, 10_060.0), (2, 10_030.0),
+                   (1, 13_000.0), (2, 13_100.0)]           # two bursts
+    rows_mid = [(3, 12_000.0), (3, 12_020.0)]
+    rows_late = [(1, 100.0), (2, 200.0), (3, 150.0)]        # far pre-watermark
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+
+    def write(tag, rows, mt):
+        df = spark.createDataFrame(rows, "user_id long, off double").select(
+            "user_id",
+            (F.lit(base).cast("timestamp") + F.make_interval(secs=F.col("off"))).alias("ts"),
+        )
+        tmp = f"{d}/_{tag}"
+        df.coalesce(1).write.parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(f"{tmp}/{src}", f"{d}/{tag}.parquet")
+        os.utime(f"{d}/{tag}.parquet", (mt, mt))
+        import shutil
+
+        shutil.rmtree(tmp)
+
+    write("a_recent", rows_recent, 1000)
+    write("b_mid", rows_mid, 2000)
+    write("c_late", rows_late, 3000)
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1").option("pathGlobFilter", "*.parquet")
+        .parquet(d)
+    )
+    # watermark 1000s: after file a (max off 13100) wm = 12100; the late
+    # file's rows (off <= 200) are far below it -> dropped; sessions
+    # ending after 12100 (the off=13000/13100 burst) are withheld
+    sess = stream_sessionize(src, ts="ts", key="user_id", gap_seconds=120,
+                             watermark_seconds=1000)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["n_docs"],
+         int(r["t_start"].timestamp() - 1717200000))
+        for r in spark.table(name).collect()
+    }
+    # emitted: the first bursts only — (1: offs 10000+10060), (2: 10030),
+    # (3: 12000+12020 ends 12140 > wm 12100? end = 12020+120 = 12140 > 12100
+    #  -> withheld); late rows dropped entirely
+    assert got == {(1, 2, 10_000), (2, 1, 10_030)}
