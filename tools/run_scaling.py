@@ -5,9 +5,11 @@ The shared host applies multi-minute ~2x slowdowns at random (identical
 back-to-back probe legs have differed 2.5x).  This wrapper runs the
 interleaved local[2]/local[8] probe pairs ONLY inside calm windows:
 
-* a ~0.5 s single-thread busy-loop score gates entry (>= 93% of the
-  session-best score), and is re-checked after the pair — pairs whose
-  window went noisy mid-flight are printed but not counted;
+* a ~0.5 s ALU+memory-bandwidth score gates entry (>= 90% of the
+  ROLLING MEDIAN of recent scores — a best-score ratchet over-rejects:
+  one lucky sample makes every later normal window look busy, BENCH.md
+  §0.1), and is re-checked after the pair — pairs whose window went
+  noisy mid-flight are printed but not counted;
 * pairs are the unit (ratio evidence), never lone runs.
 
 Usage: python tools/run_scaling.py [docs] [target_pairs] [max_attempts]
@@ -61,20 +63,28 @@ def main() -> None:
     target = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     max_attempts = int(sys.argv[3]) if len(sys.argv) > 3 else 14
 
-    best = 0.0
+    from collections import deque
+
+    recent: deque[float] = deque(maxlen=9)
+
+    def calm(s: float) -> bool:
+        recent.append(s)
+        med = sorted(recent)[len(recent) // 2]
+        return s >= 0.90 * med
+
     pairs: list[dict] = []
     attempts = 0
     while len(pairs) < target and attempts < max_attempts:
         s = cpu_score()
-        best = max(best, s)
-        if s < 0.93 * best:
-            print(f"# host busy ({s / best:.2f} of best) — waiting", flush=True)
+        if not calm(s):
+            med = sorted(recent)[len(recent) // 2]
+            print(f"# host busy ({s / med:.2f} of rolling median) — waiting", flush=True)
             time.sleep(20)
             continue
         attempts += 1
         a = probe(2, docs)
         b = probe(8, docs)
-        calm_after = cpu_score() >= 0.93 * best
+        calm_after = calm(cpu_score())
         eff = b["rows_per_sec"] / a["rows_per_sec"] / 4
         rec = {
             "pair_attempt": attempts,
