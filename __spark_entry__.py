@@ -290,6 +290,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.unix_micros(F.col("t_end").cast("timestamp")).alias("t_end_us"),
         )
 
+    def q_pack_next_fit(spark, sf_dir):
+        # context-window packing: per-source next-fit at 1024 tokens,
+        # deterministic doc_id order — oracled by a recursive CTE that
+        # carries (pack, fill) row by row
+        from gbdc_spark.operators.packing import pack_next_fit
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "source", "n_tok"
+        )
+        return pack_next_fit(seqs, max_tokens=1024).select(
+            "doc_id", "source", "n_tok", "pack_id", "pack_fill"
+        )
+
+    def q_stratified_sample(spark, sf_dir):
+        # deterministic md5-uniform per-stratum sampling — stable under
+        # parallelism/retries, reproducible in any md5-capable engine
+        from gbdc_spark.operators.packing import stratified_sample
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "source"
+        )
+        return stratified_sample(
+            seqs, {"src0": 0.5, "src1": 0.25}, strata_col="source",
+            key="doc_id", default_fraction=0.1,
+        )
+
     def q_stream_session_append(spark, sf_dir):
         # REAL append-mode streaming with a live watermark: events are
         # replayed as THREE ordered files — recent (even users), recent
@@ -1016,6 +1042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_agg": q_session_agg,
         "stream_session_agg": q_stream_session_agg,
         "stream_session_append": q_stream_session_append,
+        "pack_next_fit": q_pack_next_fit,
+        "stratified_sample": q_stratified_sample,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
         "json_props_agg": q_json_props_agg,
@@ -1675,6 +1703,42 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(min(ts)) AS t_start_us,
                    epoch_us(max(ts)) AS t_end_us
             FROM s GROUP BY user_id, sess
+        """,
+        "pack_next_fit": f"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id, source, n_tok,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM (SELECT {_DOC_KEY} AS doc_id, source,
+                             CAST(len({_DUCK_TOKENS_FLAT}) AS INTEGER) AS n_tok
+                      FROM documents)),
+            p AS (
+                SELECT doc_id, source, n_tok, rn,
+                       CAST(0 AS BIGINT) AS pack_id,
+                       CAST(n_tok AS BIGINT) AS pack_fill
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.doc_id, d.source, d.n_tok, d.rn,
+                       CASE WHEN p.pack_fill + d.n_tok > 1024
+                            THEN p.pack_id + 1 ELSE p.pack_id END,
+                       CASE WHEN p.pack_fill + d.n_tok > 1024
+                            THEN CAST(d.n_tok AS BIGINT)
+                            ELSE p.pack_fill + d.n_tok END
+                FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+            SELECT doc_id, source, n_tok, pack_id, pack_fill FROM p
+        """,
+        "stratified_sample": f"""
+            WITH u AS (
+                SELECT doc_id, source,
+                       list_sum(list_transform(range(0, 8), i ->
+                           CAST(strpos('0123456789abcdef',
+                                substr(md5(doc_id), CAST(i AS INTEGER) + 1, 1)) - 1
+                                AS BIGINT)
+                           * CAST(pow(16, 7 - i) AS BIGINT))) AS h
+                FROM (SELECT {_DOC_KEY} AS doc_id, source FROM documents))
+            SELECT doc_id, source FROM u
+            WHERE h < CASE source WHEN 'src0' THEN 0.5
+                                  WHEN 'src1' THEN 0.25
+                                  ELSE 0.1 END * 4294967296.0
         """,
         "stream_session_append": """
             WITH r AS (

@@ -1,0 +1,102 @@
+"""Sequence packing + deterministic sampling — training-batch layout
+operators for an LLM data pipeline.
+
+``pack_next_fit`` assigns docs to fixed-token-budget packs (context
+windows): within each group, docs are scanned in a deterministic order
+and a pack closes when the next doc would overflow ``max_tokens`` —
+the classic next-fit bin packing used to lay out pre-tokenized corpora
+into training rows.  Packing is inherently sequential WITHIN a group
+(each decision depends on the running fill), so the unit of
+distribution is the group: pass ``by`` columns that bound group size
+(source, date partition, shard) and groups pack in parallel via
+``applyInPandas`` — the standard shape for order-dependent per-key
+scans at warehouse scale.
+
+``stratified_sample`` keeps a deterministic per-stratum fraction of
+rows using an md5-derived uniform on the key — reproducible in any
+engine with md5 (which is how the DuckDB oracle verifies it), stable
+under re-runs and across parallelism, no RNG state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pack_next_fit", "stratified_sample"]
+
+
+def pack_next_fit(
+    df: DataFrame,
+    max_tokens: int,
+    size_col: str = "n_tok",
+    by: str | Iterable[str] = "source",
+    order: str | Iterable[str] = "doc_id",
+    pack_out: str = "pack_id",
+    fill_out: str = "pack_fill",
+) -> DataFrame:
+    """Next-fit packing: per ``by`` group, docs in ``order`` accumulate
+    into the current pack until adding one would exceed ``max_tokens``,
+    which starts the next pack.  A doc larger than ``max_tokens`` gets a
+    pack of its own (callers split oversized docs upstream if that
+    matters).  Adds ``pack_id`` (0-based per group) and ``pack_fill``
+    (running fill AFTER the doc).
+    """
+    from pyspark.sql import types as T
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+    order_cols = [order] if isinstance(order, str) else list(order)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(pack_out, T.LongType()), T.StructField(fill_out, T.LongType())]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        sizes = pdf[size_col].to_numpy(dtype=np.int64)
+        packs = np.zeros(len(sizes), dtype=np.int64)
+        fills = np.zeros(len(sizes), dtype=np.int64)
+        pack_id, fill = 0, 0
+        for i, s in enumerate(sizes):
+            if fill > 0 and fill + s > max_tokens:
+                pack_id += 1
+                fill = 0
+            fill += int(s)
+            packs[i] = pack_id
+            fills[i] = fill
+        pdf[pack_out] = packs
+        pdf[fill_out] = fills
+        return pdf
+
+    return df.groupBy(*by_cols).applyInPandas(pack, schema=out_schema)
+
+
+def _md5_uniform(key: Column) -> Column:
+    """Deterministic uniform in [0, 2^32) from md5(key) — identical in
+    any engine with md5 + hex parsing (the oracle contract)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str = "source",
+    key: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic ``fractions[stratum]`` share of each
+    stratum: row kept iff md5-uniform(key) < fraction * 2^32.  Pure
+    JVM expressions — a filter over the scan, no shuffle, no RNG
+    state; exactly reproducible by any md5-capable oracle and stable
+    under retries/parallelism (unlike ``df.sample``'s
+    partition-dependent Bernoulli stream).
+    """
+    u = _md5_uniform(F.col(key))
+    frac: Column = F.lit(float(default_fraction))
+    for stratum, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == F.lit(stratum), F.lit(float(f))).otherwise(frac)
+    return df.filter(u < frac * F.lit(float(1 << 32)))

@@ -1,0 +1,77 @@
+"""Sequence packing + deterministic stratified sampling."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbdc_spark.operators.packing import pack_next_fit, stratified_sample
+
+
+def _py_next_fit(sizes, max_tokens):
+    packs, fills = [], []
+    pack, fill = 0, 0
+    for s in sizes:
+        if fill > 0 and fill + s > max_tokens:
+            pack += 1
+            fill = 0
+        fill += s
+        packs.append(pack)
+        fills.append(fill)
+    return packs, fills
+
+
+def test_pack_next_fit_matches_python_oracle(spark):
+    rng = random.Random(3)
+    rows = []
+    for g in range(5):
+        for i in range(rng.randint(5, 60)):
+            rows.append((f"g{g}", f"d{i:04d}", rng.randint(10, 700)))
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    out = pack_next_fit(df, max_tokens=1000).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["source"], []).append(
+            (r["doc_id"], r["n_tok"], r["pack_id"], r["pack_fill"])
+        )
+    for g, items in got.items():
+        items.sort()
+        packs, fills = _py_next_fit([n for _, n, _, _ in items], 1000)
+        assert [p for _, _, p, _ in items] == packs, g
+        assert [f for _, _, _, f in items] == fills, g
+
+
+def test_pack_next_fit_respects_budget_and_oversized(spark):
+    rows = [("s", "d0", 400), ("s", "d1", 500), ("s", "d2", 200),
+            ("s", "d3", 5000), ("s", "d4", 100)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    out = {r["doc_id"]: (r["pack_id"], r["pack_fill"])
+           for r in pack_next_fit(df, max_tokens=1000).collect()}
+    assert out == {"d0": (0, 400), "d1": (0, 900),  # 400+500 fits
+                   "d2": (1, 200),                   # 900+200 overflows
+                   "d3": (2, 5000),                  # oversized -> own pack
+                   "d4": (3, 100)}
+    # no pack of non-oversized docs exceeds the budget
+    for did, (p, f) in out.items():
+        if did != "d3":
+            assert f <= 1000
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    rows = [(f"d{i:05d}", f"src{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    fr = {"src0": 0.5, "src1": 0.1}
+    a = sorted(r["doc_id"] for r in stratified_sample(df, fr, default_fraction=0.02).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(13), fr, default_fraction=0.02).collect()
+    )
+    assert a == b  # identical under different parallelism
+    counts = (
+        stratified_sample(df, fr, default_fraction=0.02)
+        .groupBy("source").count().collect()
+    )
+    by = {r["source"]: r["count"] for r in counts}
+    assert by.get("src0", 0) == pytest.approx(500, rel=0.15)
+    assert by.get("src1", 0) == pytest.approx(100, rel=0.4)
+    assert by.get("src2", 0) == pytest.approx(20, abs=15)
