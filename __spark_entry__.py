@@ -290,6 +290,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.unix_micros(F.col("t_end").cast("timestamp")).alias("t_end_us"),
         )
 
+    def q_quality_signals(spark, sf_dir):
+        # Gopher-style repetition/shape heuristics — pure JVM column
+        # math, every signal recomputed in the DuckDB oracle
+        from gbdc_spark.operators.quality import with_quality_signals
+
+        return with_quality_signals(_docs(spark, sf_dir)).select(
+            "doc_id", "top_bigram_frac", "dup_word_frac", "mean_word_len",
+            "ellipsis_line_frac", "numeric_frac",
+        )
+
+    def q_ngram_contamination(spark, sf_dir):
+        # benchmark decontamination: a deterministic 5% md5-slice of the
+        # docs is the "eval set"; flag corpus docs sharing any 8-gram
+        from gbdc_spark.operators.packing import stratified_sample
+        from gbdc_spark.operators.quality import ngram_contamination
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+        bench = stratified_sample(
+            docs, {}, strata_col="source", key="doc_id", default_fraction=0.05
+        )
+        corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+        return ngram_contamination(corpus, bench, n=8)
+
     def q_pack_next_fit(spark, sf_dir):
         # context-window packing: per-source next-fit at 1024 tokens,
         # deterministic doc_id order — oracled by a recursive CTE that
@@ -1044,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_append": q_stream_session_append,
         "pack_next_fit": q_pack_next_fit,
         "stratified_sample": q_stratified_sample,
+        "quality_signals": q_quality_signals,
+        "ngram_contamination": q_ngram_contamination,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
         "json_props_agg": q_json_props_agg,
@@ -1703,6 +1728,61 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(min(ts)) AS t_start_us,
                    epoch_us(max(ts)) AS t_end_us
             FROM s GROUP BY user_id, sess
+        """,
+        "quality_signals": """
+            WITH w AS (
+                SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+            bg AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(len(ws) - 1, 1) + 1),
+                           i -> array_to_string(list_slice(ws, i, i + 1), ' ')) AS bigrams,
+                       ws
+                FROM w),
+            bstat AS (
+                SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS tot_cnt
+                FROM (SELECT doc_id, gram, count(*) AS cnt
+                      FROM (SELECT doc_id, unnest(bigrams) AS gram FROM bg)
+                      GROUP BY doc_id, gram)
+                GROUP BY doc_id)
+            SELECT b.doc_id,
+                   round(CAST(s.top_cnt AS DOUBLE) / s.tot_cnt, 6) AS top_bigram_frac,
+                   round(CAST(len(b.ws) - len(list_distinct(b.ws)) AS DOUBLE)
+                         / greatest(len(b.ws), 1), 6) AS dup_word_frac,
+                   round(CAST(list_sum(list_transform(b.ws, x -> length(x))) AS DOUBLE)
+                         / greatest(len(b.ws), 1), 6) AS mean_word_len,
+                   round(CAST(len(list_filter(b.ws, x -> x LIKE '%...')) AS DOUBLE)
+                         / greatest(len(b.ws), 1), 6) AS ellipsis_line_frac,
+                   round(CAST(len(list_filter(b.ws, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE)
+                         / greatest(len(b.ws), 1), 6) AS numeric_frac
+            FROM bg b JOIN bstat s USING (doc_id)
+        """,
+        "ngram_contamination": """
+            WITH u AS (
+                SELECT doc_id, text,
+                       list_sum(list_transform(range(0, 8), i ->
+                           CAST(strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER) + 1, 1)) - 1
+                                AS BIGINT)
+                           * CAST(pow(16, 7 - i) AS BIGINT))) AS h
+                FROM documents),
+            bench AS (SELECT doc_id, text FROM u WHERE h < 0.05 * 4294967296.0),
+            corpus AS (SELECT doc_id, text FROM u WHERE h >= 0.05 * 4294967296.0),
+            grams AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, len(str_split(text, ' ')) - 7 + 1),
+                           i -> array_to_string(
+                               list_slice(str_split(text, ' '), i, i + 7), ' ')))) AS gram
+                FROM corpus WHERE len(str_split(text, ' ')) >= 8),
+            bgrams AS (
+                SELECT DISTINCT unnest(list_distinct(list_transform(
+                           range(1, len(str_split(text, ' ')) - 7 + 1),
+                           i -> array_to_string(
+                               list_slice(str_split(text, ' '), i, i + 7), ' ')))) AS gram
+                FROM bench WHERE len(str_split(text, ' ')) >= 8)
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM grams g JOIN bgrams b USING (gram)
+            GROUP BY g.doc_id
         """,
         "pack_next_fit": f"""
             WITH RECURSIVE d AS (

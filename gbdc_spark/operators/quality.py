@@ -1,0 +1,124 @@
+"""Corpus quality signals and benchmark decontamination — the
+filter-stage operators of an LLM training-data pipeline (the published
+Gopher/RefinedWeb-style heuristics re-expressed as JVM column math).
+
+Everything here is pure ``pyspark.sql.functions`` expressions — no
+Python workers, whole-stage codegen, exactly reproducible in SQL (the
+driver oracles recompute every signal in DuckDB).
+
+Scale notes: quality signals are a projection over the scan (no
+shuffle).  Contamination is an equi-join on n-gram hashes — the
+benchmark side is tiny by construction (an eval set), so Catalyst
+broadcasts it and the corpus side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import bind_once as _bind
+
+__all__ = ["with_quality_signals", "ngram_contamination"]
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def with_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition / shape signals (cf. Gopher rules, Rae et al. 2021):
+
+    * ``top_bigram_frac`` — fraction of the doc's bigrams taken by its
+      most frequent bigram (high = templated/repetitive text);
+    * ``dup_word_frac`` — 1 - distinct_words / words;
+    * ``mean_word_len`` — average word length (outliers = code/garbage);
+    * ``ellipsis_line_frac`` — fraction of words ending in "..."
+      (listing/navigation debris);
+    * ``numeric_frac`` — fraction of purely numeric words.
+
+    All JVM expressions; each intermediate array is bound once.
+    """
+
+    def signals(ws: Column):
+        n = F.size(ws)
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+        )
+        top_bigram = _bind(
+            bigrams,
+            lambda bg: F.array_max(
+                F.transform(
+                    F.array_distinct(bg),
+                    lambda d: F.size(F.filter(bg, lambda x: x == d)),
+                )
+            )
+            / F.greatest(F.size(bg), F.lit(1)),
+        )
+        dup_words = (n - F.size(F.array_distinct(ws))) / F.greatest(n, F.lit(1))
+        mean_len = F.aggregate(
+            ws, F.lit(0), lambda acc, w: acc + F.length(w)
+        ) / F.greatest(n, F.lit(1))
+        ellipsis = F.size(F.filter(ws, lambda w: w.endswith("..."))) / F.greatest(
+            n, F.lit(1)
+        )
+        numeric = F.size(F.filter(ws, lambda w: w.rlike("^[0-9]+$"))) / F.greatest(
+            n, F.lit(1)
+        )
+        return F.struct(
+            F.round(top_bigram, 6).alias("top_bigram_frac"),
+            F.round(dup_words, 6).alias("dup_word_frac"),
+            F.round(mean_len, 6).alias("mean_word_len"),
+            F.round(ellipsis, 6).alias("ellipsis_line_frac"),
+            F.round(numeric, 6).alias("numeric_frac"),
+        )
+
+    out = _bind(_words(text_col), signals)
+    return df.withColumn("quality", out).select(
+        *df.columns, "quality.*"
+    ).drop("quality")
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus doc sharing at least
+    one word ``n``-gram with the benchmark set (the standard eval-leak
+    scan).  Returns (key, n_hits, first discovery order irrelevant —
+    deterministic aggregation).
+
+    Shape: both sides explode to distinct n-gram rows; the benchmark
+    side is an eval set (tiny), so the equi-join broadcasts it and the
+    corpus side streams through map-side — no corpus shuffle.  At 100 TB
+    the corpus explode is the dominant cost and is embarrassingly
+    parallel.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        ws = _words(text_col)
+        arr = _bind(
+            ws,
+            lambda w: F.when(
+                F.size(w) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        return df.select(F.col(key), F.explode(arr).alias("gram"))
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(key)
+        .agg(F.count("*").alias("n_hits"))
+    )

@@ -1,0 +1,66 @@
+"""Quality signals + benchmark decontamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbdc_spark.operators.quality import ngram_contamination, with_quality_signals
+
+
+def test_quality_signals_hand_computed(spark):
+    rows = [
+        (1, "a b a b a b"),            # bigrams: 'a b' x3, 'b a' x2 -> top 3/5
+        (2, "one two three four"),      # all distinct
+        (3, "wait... more... 123 456 x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_quality_signals(df).collect()}
+
+    assert out[1]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert out[1]["dup_word_frac"] == pytest.approx((6 - 2) / 6)
+    assert out[2]["top_bigram_frac"] == pytest.approx(1 / 3)
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["mean_word_len"] == pytest.approx((3 + 3 + 5 + 4) / 4)
+    assert out[3]["ellipsis_line_frac"] == pytest.approx(2 / 5)
+    assert out[3]["numeric_frac"] == pytest.approx(2 / 5)
+
+
+def test_quality_signals_single_word_doc(spark):
+    df = spark.createDataFrame([(1, "lonely")], "doc_id long, text string")
+    r = with_quality_signals(df).collect()[0]
+    assert r["top_bigram_frac"] == 1.0  # degenerate 1-word bigram
+    assert r["dup_word_frac"] == 0.0
+    assert r["mean_word_len"] == 6.0
+
+
+def test_ngram_contamination_flags_shared_runs(spark):
+    shared = "the quick brown fox jumps over the lazy dog today"  # 10 words
+    corpus = spark.createDataFrame(
+        [(1, "prefix words " + shared + " suffix here"),
+         (2, "totally unrelated text with many distinct words in it ok"),
+         (3, shared)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, shared + " and some extra benchmark only words")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in ngram_contamination(corpus, bench, n=8).collect()}
+    assert set(got) == {1, 3}          # doc 2 untouched
+    assert got[3] == 3                  # 10-word doc: 3 distinct 8-grams, all shared
+    assert got[1] >= 3                  # superset doc shares at least those
+
+
+def test_ngram_contamination_short_docs_no_crash(spark):
+    corpus = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "also short")], "doc_id long, text string")
+    assert ngram_contamination(corpus, bench, n=8).collect() == []
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"word{i} " * 10) for i in range(50)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(99, "word1 " * 10)], "doc_id long, text string")
+    plan = ngram_contamination(corpus, bench, n=8)._sc._jvm and \
+        ngram_contamination(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the join
