@@ -44,6 +44,7 @@ __all__ = [
     "read_table",
     "manifest",
     "clean_orphans",
+    "compact",
 ]
 
 
@@ -100,7 +101,14 @@ def _manifest_dir(base: str) -> str:
 
 
 def manifest(spark: SparkSession, base: str) -> list[dict]:
-    """All committed snapshots, ascending by id."""
+    """LIVE committed snapshots, ascending by id.
+
+    A compaction entry carries ``replaces: [ids]``; any entry whose id
+    appears in some live entry's ``replaces`` list is superseded and
+    hidden here — readers/resume always see exactly one copy of every
+    row, even if the superseded json/data files still exist (the
+    post-compaction cleanup is allowed to crash at any point).
+    """
     mdir = _manifest_dir(base)
     if not os.path.isdir(mdir):
         return []
@@ -109,7 +117,11 @@ def manifest(spark: SparkSession, base: str) -> list[dict]:
         if fn.endswith(".json"):
             with open(os.path.join(mdir, fn)) as f:
                 entries.append(json.load(f))
-    return sorted(entries, key=lambda e: e["snapshot_id"])
+    replaced: set[int] = set()
+    for e in entries:
+        replaced.update(e.get("replaces", []))
+    live = [e for e in entries if e["snapshot_id"] not in replaced]
+    return sorted(live, key=lambda e: e["snapshot_id"])
 
 
 def commit(
@@ -201,6 +213,98 @@ def clean_orphans(spark: SparkSession, base: str) -> list[str]:
                 shutil.rmtree(full)
                 removed.append(full)
     return removed
+
+
+def compact(
+    spark: SparkSession,
+    base: str,
+    target_partitions: int | None = None,
+    hash_cols: list[str] | None = None,
+) -> dict | None:
+    """Rewrite every live snapshot into ONE — the small-files compaction
+    an append-only checkpoint table needs at scale (10^4 incremental
+    commits = 10^4 directories of tiny files; scan planning and the
+    resume anti-join both degrade linearly with file count).
+
+    Protocol (crash-safe at every step, same manifest-last shape as
+    ``commit``):
+
+    1. write the union of all live snapshots as a new data dir
+       (``target_partitions`` output files; default = session shuffle
+       parallelism);
+    2. VERIFY the rewrite: row count and sum-fold content hash must
+       equal the sums over the replaced snapshots (the fold is
+       order/partitioning-independent, so a faithful rewrite matches
+       exactly) — on mismatch, raise and leave the manifest untouched
+       (the orphan dir is reclaimed by ``clean_orphans``);
+    3. commit one manifest row carrying ``replaces: [old ids]`` —
+       readers atomically switch from N snapshots to 1;
+    4. best-effort cleanup of superseded manifest rows and data dirs
+       (a crash here is invisible: ``manifest()`` hides superseded
+       entries whenever the compaction row exists).
+
+    Returns the new manifest entry, or None when there is nothing to
+    compact.  With a real Iceberg catalog this maps onto
+    ``rewrite_data_files`` + snapshot expiry.
+    """
+    import shutil
+
+    entries = manifest(spark, base)
+    if len(entries) <= 1:
+        return None
+    old_ids = [e["snapshot_id"] for e in entries]
+    expected_rows = sum(e["n_rows"] for e in entries)
+    expected_hash = sum(e["content_hash"] for e in entries) % _FOLD_MOD
+
+    df = spark.read.parquet(*[e["data_dir"] for e in entries])
+    n_out = target_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    df = df.coalesce(n_out)
+    sid = old_ids[-1] + 1
+    data_dir = os.path.join(base, "data", f"snapshot={sid}-{uuid.uuid4().hex[:12]}")
+    df.write.mode("errorifexists").parquet(data_dir)
+
+    written = spark.read.parquet(data_dir)
+    pm = partition_metrics(written, hash_cols)
+    agg = pm.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("hash_fold"), F.lit(0).cast("decimal(38,0)")).alias("fold"),
+        F.count("*").alias("parts"),
+    ).first()
+    got_rows, got_hash = int(agg["n"]), int(agg["fold"]) % _FOLD_MOD
+    if got_rows != expected_rows or got_hash != expected_hash:
+        raise RuntimeError(
+            f"compaction verify failed: rows {got_rows} vs {expected_rows}, "
+            f"hash {got_hash} vs {expected_hash} — manifest untouched"
+        )
+    pm.write.mode("overwrite").parquet(os.path.join(base, "_metrics", f"snapshot={sid}"))
+
+    entry = {
+        "snapshot_id": sid,
+        "committed_at": time.time(),
+        "n_rows": got_rows,
+        "n_partitions": int(agg["parts"]),
+        "content_hash": got_hash,
+        "keys": entries[-1]["keys"],
+        "data_dir": data_dir,
+        "replaces": old_ids,
+    }
+    os.makedirs(_manifest_dir(base), exist_ok=True)
+    tmp = os.path.join(_manifest_dir(base), f".{sid:012d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    os.replace(tmp, os.path.join(_manifest_dir(base), f"{sid:012d}.json"))
+
+    # post-commit cleanup — every step individually crash-safe
+    for old in old_ids:
+        try:
+            os.remove(os.path.join(_manifest_dir(base), f"{old:012d}.json"))
+        except FileNotFoundError:
+            pass
+    for e in entries:
+        shutil.rmtree(e["data_dir"], ignore_errors=True)
+    return entry
 
 
 def read_table(spark: SparkSession, base: str) -> DataFrame | None:

@@ -104,3 +104,76 @@ def test_hash_detects_value_drift(spark, base):
         "score", F.when(F.col("doc_id") == "doc000042", 1e9).otherwise(F.col("score"))
     )
     assert cp.content_hash(a) != cp.content_hash(b)
+
+
+def test_compact_preserves_table_and_hash(spark, base):
+    dfs = [
+        spark.createDataFrame([(i * 10 + j, f"v{i}{j}") for j in range(4)], "k long, v string")
+        for i in range(3)
+    ]
+    old_hash = 0
+    for df in dfs:
+        e = cp.commit(df, base, keys=["k"])
+        old_hash = (old_hash + e["content_hash"]) % (1 << 64)
+    before = {(r["k"], r["v"]) for r in cp.read_table(spark, base).collect()}
+
+    entry = cp.compact(spark, base, target_partitions=1)
+    assert entry is not None
+    assert entry["replaces"] == [1, 2, 3]
+    assert entry["content_hash"] == old_hash
+    assert entry["n_rows"] == 12
+
+    live = cp.manifest(spark, base)
+    assert [e["snapshot_id"] for e in live] == [entry["snapshot_id"]]
+    after = {(r["k"], r["v"]) for r in cp.read_table(spark, base).collect()}
+    assert after == before
+    # superseded data dirs are gone; exactly one snapshot dir remains
+    assert len(os.listdir(os.path.join(base, "data"))) == 1
+    # resume still sees every committed key
+    nxt = spark.createDataFrame([(0, "dup"), (999, "new")], "k long, v string")
+    remaining = cp.resume_filter(nxt, base, keys=["k"]).collect()
+    assert [(r["k"], r["v"]) for r in remaining] == [(999, "new")]
+
+
+def test_compact_noop_on_single_snapshot(spark, base):
+    cp.commit(spark.createDataFrame([(1, "a")], "k long, v string"), base, keys=["k"])
+    assert cp.compact(spark, base) is None
+
+
+def test_compact_then_commit_then_compact_again(spark, base):
+    for i in range(2):
+        cp.commit(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"), base, keys=["k"]
+        )
+    first = cp.compact(spark, base, target_partitions=1)
+    cp.commit(spark.createDataFrame([(7, "v7")], "k long, v string"), base, keys=["k"])
+    second = cp.compact(spark, base, target_partitions=1)
+    assert second["replaces"] == [first["snapshot_id"], first["snapshot_id"] + 1]
+    rows = {(r["k"], r["v"]) for r in cp.read_table(spark, base).collect()}
+    assert rows == {(0, "v0"), (1, "v1"), (7, "v7")}
+
+
+def test_interrupted_cleanup_is_invisible(spark, base):
+    """If the post-compaction cleanup never ran (crash right after the
+    manifest row landed), readers still see exactly one copy of every
+    row: superseded entries are hidden by the replaces resolution."""
+    import json
+
+    for i in range(2):
+        cp.commit(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"), base, keys=["k"]
+        )
+    olds = cp.manifest(spark, base)
+    entry = cp.compact(spark, base, target_partitions=1)
+    # resurrect the superseded manifest rows as a crash-before-cleanup would
+    for e in olds:
+        os.makedirs(e["data_dir"], exist_ok=True)  # dir exists again (stale)
+        with open(os.path.join(base, "_manifest", f"{e['snapshot_id']:012d}.json"), "w") as f:
+            json.dump(e, f)
+    live = cp.manifest(spark, base)
+    assert [e["snapshot_id"] for e in live] == [entry["snapshot_id"]]
+    rows = sorted(r["k"] for r in cp.read_table(spark, base).collect())
+    assert rows == [0, 1]  # no double counting
+    # clean_orphans reclaims the stale dirs (they are no longer live)
+    removed = cp.clean_orphans(spark, base)
+    assert len(removed) == 2
