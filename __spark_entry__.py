@@ -422,6 +422,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "status",
         )
 
+    def q_stream_dedup(spark, sf_dir):
+        # REAL stateful streaming dedup (applyInPandasWithState) across
+        # micro-batches: the documents replayed as four ordered files,
+        # so exact duplicates arrive in DIFFERENT batches and only the
+        # bucket state can drop them.  Exactly-once contract: each
+        # content hash must emerge exactly once — the oracle is the
+        # distinct content-hash set of the corpus with n_kept = 1.
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from gbdc_spark.streaming.pipeline import stream_dedup
+
+        base = tempfile.mkdtemp(prefix="gbdc_sdedup_")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        # the corpus REPLAYED TWICE as ordered files: every content hash
+        # arrives again in a later micro-batch, so only cross-batch
+        # bucket state can enforce exactly-once
+        os.makedirs(f"{base}/in")
+        for copy, mt in (("a", 1000), ("b", 2000)):
+            tmp = f"{base}/_{copy}"
+            docs.repartition(2).write.parquet(tmp)
+            for i, fn in enumerate(sorted(f for f in os.listdir(tmp) if f.endswith('.parquet'))):
+                dst = f"{base}/in/{copy}{i}.parquet"
+                shutil.copy(f"{tmp}/{fn}", dst)
+                os.utime(dst, (mt + i, mt + i))
+            shutil.rmtree(tmp)
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/in")
+            .withColumn("_ch", F.md5("text"))
+        )
+        name = f"sdedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream_dedup(src, key_col="_ch", buckets=16)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name)
+            .groupBy(F.col("_ch").alias("content_hash"))
+            .agg(F.count("*").alias("n_kept"))
+        )
+
     def q_json_props_agg(spark, sf_dir):
         # semi-structured path: typed from_json over the props column,
         # aggregated per event type (the JSON-functions family of §2.9)
@@ -1069,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "quality_signals": q_quality_signals,
         "ngram_contamination": q_ngram_contamination,
+        "stream_dedup": q_stream_dedup,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
         "json_props_agg": q_json_props_agg,
@@ -1728,6 +1776,10 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(min(ts)) AS t_start_us,
                    epoch_us(max(ts)) AS t_end_us
             FROM s GROUP BY user_id, sess
+        """,
+        "stream_dedup": """
+            SELECT md5(text) AS content_hash, CAST(1 AS BIGINT) AS n_kept
+            FROM documents GROUP BY md5(text)
         """,
         "quality_signals": """
             WITH w AS (
