@@ -49,13 +49,22 @@ def cpu_score() -> float:
     return 1.0 / (alu + mem)
 
 
-def probe(cores: int, docs: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, f"{REPO}/tools/scaling_probe.py",
-         "--cores", str(cores), "--docs", str(docs)],
-        capture_output=True, text=True, timeout=900, check=True,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+def probe(cores: int, docs: int) -> dict | None:
+    """One probe leg; None when the leg times out or crashes (an extreme
+    noise window can stall a 30 s leg past any sane bound — that must
+    skip the pair, not kill the campaign)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, f"{REPO}/tools/scaling_probe.py",
+             "--cores", str(cores), "--docs", str(docs)],
+            capture_output=True, text=True, timeout=900, check=True,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
+            json.JSONDecodeError) as err:
+        subprocess.run(["pkill", "-f", "scaling_probe"], check=False)
+        print(f"# probe leg failed ({type(err).__name__}) — pair skipped", flush=True)
+        return None
 
 
 def main() -> None:
@@ -83,7 +92,9 @@ def main() -> None:
             continue
         attempts += 1
         a = probe(2, docs)
-        b = probe(8, docs)
+        b = probe(8, docs) if a else None
+        if a is None or b is None:
+            continue
         calm_after = calm(cpu_score())
         eff = b["rows_per_sec"] / a["rows_per_sec"] / 4
         rec = {
