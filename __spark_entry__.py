@@ -313,6 +313,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
         return ngram_contamination(corpus, bench, n=8)
 
+    def q_lm_perplexity(spark, sf_dir):
+        # CCNet-style LM quality scoring: self-trained add-one bigram
+        # LM, per-doc cross-entropy/perplexity — all JVM expressions,
+        # model + scoring recomputed exactly in the DuckDB oracle
+        from gbdc_spark.operators.quality import lm_perplexity
+
+        return lm_perplexity(_docs(spark, sf_dir).select("doc_id", "text"))
+
     def q_pack_next_fit(spark, sf_dir):
         # context-window packing: per-source next-fit at 1024 tokens,
         # deterministic doc_id order — oracled by a recursive CTE that
@@ -1116,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "quality_signals": q_quality_signals,
         "ngram_contamination": q_ngram_contamination,
+        "lm_perplexity": q_lm_perplexity,
         "stream_dedup": q_stream_dedup,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
@@ -1835,6 +1844,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, count(*) AS n_hits
             FROM grams g JOIN bgrams b USING (gram)
             GROUP BY g.doc_id
+        """,
+        "lm_perplexity": """
+            WITH w AS (
+                SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+            p AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+                       unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+                FROM w WHERE len(ws) >= 2),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2),
+            uc AS (SELECT w AS w1, count(*) AS c1
+                   FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+            v AS (SELECT count(DISTINCT w) AS v
+                  FROM (SELECT unnest(ws) AS w FROM w)),
+            scored AS (
+                SELECT p.doc_id, count(*) AS n_bigrams,
+                       avg(-ln((coalesce(bc.c12, 0) + 1)
+                               / CAST(uc.c1 + v.v AS DOUBLE))) AS h
+                FROM p
+                LEFT JOIN bc USING (w1, w2)
+                JOIN uc USING (w1)
+                CROSS JOIN v
+                GROUP BY p.doc_id)
+            SELECT d.doc_id, s.n_bigrams,
+                   round(s.h, 6) AS cross_entropy,
+                   round(exp(s.h), 6) AS perplexity
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "pack_next_fit": f"""
             WITH RECURSIVE d AS (

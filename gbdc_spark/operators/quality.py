@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import bind_once as _bind
 
-__all__ = ["with_quality_signals", "ngram_contamination"]
+__all__ = ["with_quality_signals", "ngram_contamination", "lm_perplexity"]
 
 
 def _words(text_col: str) -> Column:
@@ -121,4 +121,95 @@ def ngram_contamination(
         .join(F.broadcast(bench_grams), "gram")
         .groupBy(key)
         .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-one
+    (Laplace) smoothed bigram LM on the corpus itself, then score every
+    document by its cross-entropy under that model (Wenzek et al. 2020
+    filter web text by LM perplexity; here the corpus is its own model,
+    so boilerplate-ish docs score low and outlier docs score high).
+
+    P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V),  V = |vocab|
+    cross_entropy(doc) = mean over the doc's bigrams of -ln P(w2|w1)
+    perplexity(doc)    = exp(cross_entropy)
+
+    Returns (key, n_bigrams, cross_entropy, perplexity); docs with
+    fewer than two words keep a row with nulls (left join back).
+
+    Shape at scale: the model is ONE shuffle of distinct bigrams with
+    map-side partial aggregation (distinct grams ≪ total grams on
+    natural text); ``min_count`` prunes the model's long tail — pruned
+    bigrams fall back to the unseen-bigram probability 1/(c(w1)+V),
+    exactly what add-one smoothing assigns a zero-count pair, so
+    pruning changes only model size, never the smoothing family.
+    Scoring is an equi-join of doc-bigram rows against the model on
+    (w1, w2) — a standard shuffle join; at corpus scale both sides
+    would be bucketed on the gram key.  The vocab size V and unigram
+    totals travel as a broadcast (V is a 1-row cross join; unigram
+    counts join on w1 map-side after AQE sizes them).  All JVM
+    expressions — no Python workers.
+    """
+    ws = _words(text_col)
+    pairs = df.select(
+        F.col(key),
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w1"),
+                        F.element_at(ws, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select(key, "bg.w1", "bg.w2")
+
+    bigram_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    if min_count > 1:
+        bigram_counts = bigram_counts.filter(F.col("c12") >= min_count)
+    unigram_counts = (
+        df.select(F.explode(ws).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = df.select(F.explode(ws).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+
+    scored = (
+        pairs
+        .join(bigram_counts, ["w1", "w2"], "left")
+        .join(unigram_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(key),
+            (-F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
+                / (F.col("c1") + F.col("v"))
+            )).alias("nll"),
+        )
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("nll").alias("h"),
+        )
+    )
+    return (
+        df.select(key)
+        .join(scored, key, "left")
+        .select(
+            key,
+            "n_bigrams",
+            F.round("h", 6).alias("cross_entropy"),
+            F.round(F.exp("h"), 6).alias("perplexity"),
+        )
     )

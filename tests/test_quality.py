@@ -64,3 +64,53 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = ngram_contamination(corpus, bench, n=8)._sc._jvm and \
         ngram_contamination(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the join
+
+
+def test_lm_perplexity_hand_computed(spark):
+    # corpus: unigrams a:3 b:2 x:1, V=3; bigrams (a,b):2 (b,a):1
+    from math import exp, log
+
+    from gbdc_spark.operators.quality import lm_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+
+    # doc1: P(b|a)=(2+1)/(3+3)=0.5, P(a|b)=(1+1)/(2+3)=0.4
+    h1 = (-log(0.5) - log(0.4)) / 2
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["cross_entropy"] == pytest.approx(h1, abs=1e-6)
+    assert out[1]["perplexity"] == pytest.approx(exp(h1), abs=1e-5)
+    # doc2: single bigram (a,b) -> P=0.5
+    assert out[2]["cross_entropy"] == pytest.approx(log(2), abs=1e-6)
+    assert out[2]["perplexity"] == pytest.approx(2.0, abs=1e-6)
+    # doc3: <2 words -> row kept, null score
+    assert out[3]["n_bigrams"] is None
+    assert out[3]["cross_entropy"] is None
+
+
+def test_lm_perplexity_min_count_prunes_to_unseen_prob(spark):
+    # pruned (b,a) falls back to the add-one unseen probability
+    from math import log
+
+    from gbdc_spark.operators.quality import lm_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity(df, min_count=2).collect()}
+    # doc1: P(b|a)=0.5 kept; (b,a) pruned -> (0+1)/(2+3)=0.2
+    h1 = (-log(0.5) - log(0.2)) / 2
+    assert out[1]["cross_entropy"] == pytest.approx(h1, abs=1e-6)
+
+
+def test_lm_perplexity_plan_is_jvm_only(spark):
+    from gbdc_spark.operators.quality import lm_perplexity
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 5} w{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = lm_perplexity(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
