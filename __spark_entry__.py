@@ -628,6 +628,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bigram_topk(spark, sf_dir):
         return text.ngram_topk(_docs(spark, sf_dir), n=2, k=20)
 
+    def q_tfidf_topk(spark, sf_dir):
+        # characteristic vocabulary per source: smoothed-IDF TF-IDF
+        # top-10 — model-sized joins, broadcast N, per-group window
+        return text.tfidf_topk(_docs(spark, sf_dir), group="source", k=10)
+
+    def q_source_divergence(spark, sf_dir):
+        # mixture drift: per-source unigram KL vs the corpus
+        # distribution — one corpus scan, ReuseExchange fans it out
+        return text.source_divergence(_docs(spark, sf_dir), group="source")
+
     def q_source_len_quantiles(spark, sf_dir):
         # exact per-source length quantiles (truncation-policy input for
         # corpus curation); Spark percentile() and DuckDB quantile_cont
@@ -1146,6 +1156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_fingerprint": q_winnow_fingerprint,
         "bigram_topk": q_bigram_topk,
+        "tfidf_topk": q_tfidf_topk,
+        "source_divergence": q_source_divergence,
         "source_len_quantiles": q_source_len_quantiles,
         "minhash_sig": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
@@ -2075,6 +2087,53 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT str_split(text, ' ') AS words FROM documents))
             GROUP BY gram
             ORDER BY n_occurrences DESC, gram LIMIT 20
+        """,
+        "tfidf_topk": """
+            WITH w AS (
+                SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents),
+            tf AS (
+                SELECT source, term, count(*) AS tf
+                FROM (SELECT source, unnest(ws) AS term FROM w)
+                GROUP BY source, term),
+            dfq AS (
+                SELECT term, count(*) AS df_docs
+                FROM (SELECT doc_id, unnest(list_distinct(ws)) AS term FROM w)
+                GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.source, tf.term, tf.tf, dfq.df_docs,
+                       round(tf.tf * (ln((n.n_docs + 1)
+                           / CAST(dfq.df_docs + 1 AS DOUBLE)) + 1), 6) AS tfidf
+                FROM tf JOIN dfq USING (term) CROSS JOIN n),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rnk
+                FROM scored)
+            SELECT source, term, tf, df_docs, tfidf, CAST(rnk AS INTEGER) AS rank
+            FROM ranked WHERE rnk <= 10
+        """,
+        "source_divergence": """
+            WITH c AS (
+                SELECT source, term, count(*) AS c_gt
+                FROM (SELECT source, unnest(str_split(text, ' ')) AS term
+                      FROM documents)
+                GROUP BY source, term),
+            tt AS (SELECT term, CAST(sum(c_gt) AS BIGINT) AS c_t
+                   FROM c GROUP BY term),
+            gt AS (SELECT source, CAST(sum(c_gt) AS BIGINT) AS n_tokens,
+                          count(*) AS n_terms
+                   FROM c GROUP BY source),
+            g AS (SELECT CAST(sum(c_gt) AS BIGINT) AS n_total FROM c)
+            SELECT c.source, gt.n_tokens, gt.n_terms,
+                   round(sum((c.c_gt / CAST(gt.n_tokens AS DOUBLE))
+                       * ln((c.c_gt / CAST(gt.n_tokens AS DOUBLE))
+                            / (tt.c_t / CAST(g.n_total AS DOUBLE)))), 6)
+                       AS kl_to_corpus
+            FROM c
+            JOIN tt USING (term)
+            JOIN gt USING (source)
+            CROSS JOIN g
+            GROUP BY c.source, gt.n_tokens, gt.n_terms
         """,
         "winnow_fingerprint": """
             WITH h AS (

@@ -151,10 +151,13 @@ def lm_perplexity(
     pruning changes only model size, never the smoothing family.
     Scoring is an equi-join of doc-bigram rows against the model on
     (w1, w2) — a standard shuffle join; at corpus scale both sides
-    would be bucketed on the gram key.  The vocab size V and unigram
-    totals travel as a broadcast (V is a 1-row cross join; unigram
-    counts join on w1 map-side after AQE sizes them).  All JVM
-    expressions — no Python workers.
+    would be bucketed on the gram key.  The unigram model is persisted
+    and the vocab size V is a row-count of it (1-row broadcast cross
+    join), so the whole pipeline makes exactly three
+    embarrassingly-parallel corpus passes: bigram model build, unigram
+    model build, and the scoring pass (the token-stream-sized bigram
+    explode is deliberately NOT materialized).  All JVM expressions —
+    no Python workers.
     """
     ws = _words(text_col)
     pairs = df.select(
@@ -176,14 +179,16 @@ def lm_perplexity(
     bigram_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     if min_count > 1:
         bigram_counts = bigram_counts.filter(F.col("c12") >= min_count)
+    # persisted at the branch point: the scoring join AND the vocab
+    # size both read this model-sized table (join-pushed filters defeat
+    # ReuseExchange, so without the persist each consumer would
+    # re-explode the corpus)
     unigram_counts = (
         df.select(F.explode(ws).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
-    )
-    vocab = df.select(F.explode(ws).alias("w")).agg(
-        F.countDistinct("w").alias("v")
-    )
+    ).persist()
+    vocab = unigram_counts.agg(F.count("*").alias("v"))
 
     scored = (
         pairs

@@ -8,7 +8,7 @@ driver `documents` table shape (doc_id, text, lang, source, n_chars).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -19,6 +19,8 @@ __all__ = [
     "with_fingerprint",
     "with_winnow_fingerprints",
     "ngram_topk",
+    "tfidf_topk",
+    "source_divergence",
 ]
 
 # fixed marker set for the n-gram/stopword language heuristic
@@ -132,3 +134,108 @@ def with_winnow_fingerprints(df: DataFrame, text_col: str = "text",
         ),
     )
     return df.withColumn(out, fps)
+
+
+def tfidf_topk(df: DataFrame, text_col: str = "text", group: str = "source",
+               key: str = "doc_id", k: int = 10) -> DataFrame:
+    """Characteristic vocabulary per group: top-k terms by TF-IDF with
+    the smoothed sklearn-convention IDF, idf = ln((N+1)/(df+1)) + 1
+    (N = corpus docs, df = docs containing the term), tf = term
+    occurrences within the group.  Deterministic tie-break on the term.
+
+    Returns (group, term, tf, df_docs, tfidf, rank), rank 1..k.
+
+    Scale shape: two independent partial-agg passes over the corpus —
+    (group, term) counts and per-doc-distinct term doc frequencies —
+    joined on term (both join sides are model-sized: distinct terms,
+    not token occurrences).  Two embarrassingly-parallel scans beat
+    materializing a (doc, term)-sized intermediate here; N travels as
+    a broadcast 1-row cross join; the final top-k is a per-group
+    window over ranked model rows.  No Python workers anywhere.
+    """
+    ws = _words(text_col)
+    tf = (
+        df.select(F.col(group), F.explode(ws).alias("term"))
+        .groupBy(group, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = (
+        df.select(F.col(key), F.explode(F.array_distinct(ws)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df_docs"))
+    )
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy(group).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1)) + 1),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group, "term", "tf", "df_docs", "tfidf", "rank")
+    )
+
+
+def source_divergence(df: DataFrame, text_col: str = "text",
+                      group: str = "source") -> DataFrame:
+    """Training-mixture drift analysis: KL divergence of each group's
+    unigram distribution from the corpus distribution,
+    KL(P_g || P_corpus) = sum_t p_g(t) * ln(p_g(t) / p_c(t)).
+    Well-defined without smoothing — every group term is in the corpus
+    by construction, so p_c(t) > 0 wherever p_g(t) > 0.
+
+    Returns (group, n_tokens, n_terms, kl_to_corpus); near-zero KL =
+    the group looks like the mixture, large KL = a distributional
+    outlier (the per-source screen run before reweighting a mixture).
+
+    Scale shape: one explode feeding a (group, term) partial-agg
+    shuffle; corpus term totals, group totals and the grand total are
+    all re-aggregations of that model-sized table.  The counts table is
+    persisted at the branch point — join-pushed isnotnull filters give
+    each branch a differently-canonicalized subtree, so Catalyst's
+    ReuseExchange does NOT fire here and an unpersisted plan re-scans
+    the corpus once per branch (verified with explain; the plan audit
+    asserts the InMemoryTableScan).  With the persist, the corpus is
+    scanned exactly once and the four consumers read the model-sized
+    cache.  Group totals and the 1-row grand total join back as
+    broadcasts.
+    """
+    ws = _words(text_col)
+    counts = (
+        df.select(F.col(group), F.explode(ws).alias("term"))
+        .groupBy(group, "term")
+        .agg(F.count("*").alias("c_gt"))
+    ).persist()
+    term_tot = counts.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
+    group_tot = counts.groupBy(group).agg(
+        F.sum("c_gt").alias("n_tokens"), F.count("*").alias("n_terms")
+    )
+    grand_tot = counts.agg(F.sum("c_gt").alias("n_total"))
+    return (
+        counts.join(term_tot, "term")
+        .join(F.broadcast(group_tot), group)
+        .crossJoin(F.broadcast(grand_tot))
+        .select(
+            F.col(group),
+            F.col("n_tokens"),
+            F.col("n_terms"),
+            (
+                (F.col("c_gt") / F.col("n_tokens"))
+                * F.log(
+                    (F.col("c_gt") / F.col("n_tokens"))
+                    / (F.col("c_t") / F.col("n_total"))
+                )
+            ).alias("term_kl"),
+        )
+        .groupBy(group, "n_tokens", "n_terms")
+        .agg(F.round(F.sum("term_kl"), 6).alias("kl_to_corpus"))
+    )

@@ -1,0 +1,76 @@
+"""Hand-computed checks for the corpus-analysis text operators
+(tfidf_topk, source_divergence); the rest of text.py is value-oracled
+through the driver queries."""
+
+from math import log
+
+import pytest
+
+from gbdc_spark.operators.text import source_divergence, tfidf_topk
+
+ROWS = [
+    (1, "s1", "a a b"),
+    (2, "s1", "a c"),
+    (3, "s2", "b b b c"),
+]
+SCHEMA = "doc_id long, source string, text string"
+
+
+def test_tfidf_topk_hand_computed(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = {(r["source"], r["term"]): r for r in tfidf_topk(df, k=10).collect()}
+
+    idf = log(4 / 3) + 1  # every term appears in 2 of 3 docs
+    assert out[("s1", "a")]["tf"] == 3
+    assert out[("s1", "a")]["df_docs"] == 2
+    assert out[("s1", "a")]["tfidf"] == pytest.approx(3 * idf, abs=1e-6)
+    assert out[("s1", "a")]["rank"] == 1
+    # tie between b and c (same tf, same idf) breaks on the term
+    assert out[("s1", "b")]["rank"] == 2
+    assert out[("s1", "c")]["rank"] == 3
+    assert out[("s2", "b")]["rank"] == 1
+    assert out[("s2", "c")]["rank"] == 2
+
+
+def test_tfidf_topk_truncates_to_k(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = tfidf_topk(df, k=1).collect()
+    assert sorted((r["source"], r["term"]) for r in out) == [
+        ("s1", "a"), ("s2", "b")
+    ]
+
+
+def test_source_divergence_hand_computed(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = {r["source"]: r for r in source_divergence(df).collect()}
+
+    # corpus: a:3 b:4 c:2, total 9
+    kl_s1 = (
+        0.6 * log(0.6 / (3 / 9))
+        + 0.2 * log(0.2 / (4 / 9))
+        + 0.2 * log(0.2 / (2 / 9))
+    )
+    kl_s2 = 0.75 * log(0.75 / (4 / 9)) + 0.25 * log(0.25 / (2 / 9))
+    assert out["s1"]["n_tokens"] == 5
+    assert out["s1"]["n_terms"] == 3
+    assert out["s1"]["kl_to_corpus"] == pytest.approx(kl_s1, abs=1e-6)
+    assert out["s2"]["n_tokens"] == 4
+    assert out["s2"]["kl_to_corpus"] == pytest.approx(kl_s2, abs=1e-6)
+    # KL is always >= 0 and only 0 when the group IS the mixture
+    assert out["s1"]["kl_to_corpus"] > 0
+
+
+def test_source_divergence_single_source_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "only", "x y z"), (2, "only", "x x")], SCHEMA
+    )
+    out = source_divergence(df).collect()
+    assert len(out) == 1
+    assert out[0]["kl_to_corpus"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_text_analysis_plans_are_jvm_only(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    for q in (tfidf_topk(df), source_divergence(df)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
