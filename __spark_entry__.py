@@ -662,6 +662,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(F.concat_ws("", F.col("winnow_fp"))).alias("fp_hash"),
         )
 
+    def q_winnow_pairs(spark, sf_dir):
+        # MOSS-style substring near-dup pairs: shared winnowing
+        # fingerprints, doc-frequency cap before the self-join
+        return dedup.winnow_overlap_pairs(
+            _docs(spark, sf_dir), k=16, window=8, min_shared=3, max_df=64
+        )
+
     def q_minhash_sig(spark, sf_dir):
         out = dedup.with_minhash_signature(_docs(spark, sf_dir), num_perm=4, shingle_n=3)
         return out.select(
@@ -1155,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "winnow_pairs": q_winnow_pairs,
         "bigram_topk": q_bigram_topk,
         "tfidf_topk": q_tfidf_topk,
         "source_divergence": q_source_divergence,
@@ -2151,6 +2159,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
                    md5(array_to_string(fps, '')) AS fp_hash
             FROM w
+        """,
+        "winnow_pairs": """
+            WITH h AS (
+                SELECT doc_id,
+                       list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+                                      i -> md5(substr(text, CAST(i AS INTEGER), 16))) AS hs
+                FROM documents),
+            w AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
+                                          j -> list_min(list_slice(hs, CAST(j AS INTEGER),
+                                                                   CAST(j AS INTEGER) + 7)))) AS fps
+                FROM h),
+            f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+            cnt AS (SELECT fp, count(*) AS n_docs_fp FROM f GROUP BY fp),
+            keep AS (
+                SELECT f.doc_id, f.fp
+                FROM f JOIN cnt USING (fp)
+                WHERE cnt.n_docs_fp <= 64)
+            SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
+            FROM keep l JOIN keep r
+              ON l.fp = r.fp AND l.doc_id < r.doc_id
+            GROUP BY a, b
+            HAVING count(*) >= 3
         """,
         "minhash_sig": """
             WITH sh AS (

@@ -31,6 +31,7 @@ __all__ = [
     "with_simhash",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
+    "winnow_overlap_pairs",
     "embedding_near_dups",
     "auto_sign_bits",
     "sign_hyperplanes",
@@ -415,6 +416,62 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     union = F.size(F.array_union("sh_a", "sh_b"))
     return out.select(
         "a", "b", F.round(inter / union, 6).cast("double").alias("jaccard")
+    )
+
+
+def winnow_overlap_pairs(df: DataFrame, key: str = "doc_id",
+                         text_col: str = "text", k: int = 8, window: int = 4,
+                         min_shared: int = 2,
+                         max_df: int | None = 256) -> DataFrame:
+    """Substring-match near-dup detection via shared winnowing
+    fingerprints (the MOSS detection scheme, Schleimer/Wilkerson/Aiken
+    SIGMOD'03) — a third detection family next to MinHash (set overlap)
+    and SimHash (vector distance): any pair sharing ``min_shared``
+    fingerprints shares that many guaranteed exact substring matches of
+    length >= k + window - 1, which catches copied PASSAGES inside
+    otherwise-different documents that whole-doc sketches dilute away.
+
+    Returns (a, b, n_shared) with a < b.
+
+    Scale shape: fingerprint rows self-equi-join on the fingerprint
+    hash — in-bucket work is O(df²) per fingerprint, so ``max_df``
+    drops fingerprints appearing in more than that many docs BEFORE
+    the join (boilerplate/template prints — the ones that would go
+    quadratic; genuinely copied passages also carry rarer prints, which
+    still surface the pair).  Bounded per-print work = no skew cliff at
+    corpus scale; the drop list is computed from the persisted
+    fingerprint table (one corpus hash pass) and anti-joined back.
+    """
+    from .text import with_winnow_fingerprints
+
+    fps = (
+        with_winnow_fingerprints(
+            ensure_parallelism(df), text_col, k=k, window=window
+        )
+        .select(F.col(key), F.explode("winnow_fp").alias("fp"))
+    )
+    if max_df is not None:
+        # fp sets are distinct per doc, so count(*) per fp = doc freq;
+        # persist the branch point (drop-list + join input share it)
+        fps = fps.persist()
+        common = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("n_docs_fp"))
+            .filter(F.col("n_docs_fp") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(common), "fp", "left_anti")
+    left, right = fps.alias("l"), fps.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
+        .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

@@ -244,3 +244,31 @@ def test_dup_clusters_star_string_keys(spark):
     out = {r["doc_id"]: r["keeper"] for r in dedup.dup_clusters_star(pairs).collect()}
     assert out == {"docA": "docA", "docB": "docA", "docC": "docA",
                    "docX": "docX", "docY": "docX"}
+
+
+def test_winnow_overlap_pairs_finds_copied_passage(spark):
+    from gbdc_spark.operators.dedup import winnow_overlap_pairs
+
+    passage = "zzaa zzbb zzcc zzdd zzee zzff zzgg zzhh"
+    rows = [
+        (1, "intro words here " + passage + " tail one"),
+        (2, "different opening text " + passage + " other tail"),
+        (3, "totally unrelated content with nothing shared qq ww ee rr tt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_overlap_pairs(df, min_shared=2, max_df=None).collect()
+    pairs = {(r["a"], r["b"]): r["n_shared"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_overlap_pairs_max_df_drops_boilerplate(spark):
+    from gbdc_spark.operators.dedup import winnow_overlap_pairs
+
+    boiler = "same boilerplate footer appears everywhere always"
+    rows = [(i, f"unique{i} words{i} " + boiler) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: every pair shares the boilerplate prints
+    assert len(winnow_overlap_pairs(df, min_shared=1, max_df=None).collect()) == 10
+    # cap at df<=2: prints shared by all 5 docs are dropped pre-join
+    assert winnow_overlap_pairs(df, min_shared=1, max_df=2).collect() == []
