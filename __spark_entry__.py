@@ -321,6 +321,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return lm_perplexity(_docs(spark, sf_dir).select("doc_id", "text"))
 
+    def q_line_dedup(spark, sf_dir):
+        # C4-style corpus-wide exact line dedup.  The synthetic docs are
+        # single-line, so pseudo-lines are derived deterministically
+        # first (5-word chunks joined by \n) — the oracle rebuilds the
+        # same chunking, then replays keep-first-occurrence in SQL.
+        from gbdc_spark.functions import bind_once
+        from gbdc_spark.operators.dedup import line_dedup
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        lined = docs.withColumn(
+            "text",
+            bind_once(
+                F.split(F.col("text"), " "),
+                lambda ws: F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.ceil(F.size(ws) / F.lit(5)).cast("int") - 1,
+                        ),
+                        lambda i: F.concat_ws(" ", F.slice(ws, i * 5 + 1, 5)),
+                    ),
+                ),
+            ),
+        )
+        return line_dedup(lined).select(
+            "doc_id", "text_dedup", "n_lines", "n_removed"
+        )
+
+    def q_pii_scrub(spark, sf_dir):
+        # PII redaction over docs salted with deterministic synthetic
+        # emails / IPv4s / SSNs (the raw corpus has none); counts are on
+        # the pre-scrub text, replacements applied in pattern order —
+        # all pure-JVM regexp, recomputed exactly in the DuckDB oracle.
+        from gbdc_spark.operators.quality import with_pii_scrub
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        salted = docs.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(
+                        F.lit(" from 10.1."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".7"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(" id 123-45-6789"))
+                .otherwise(F.lit("")),
+            ),
+        )
+        return with_pii_scrub(salted).select(
+            "doc_id", "text_scrubbed", "n_pii_email", "n_pii_ipv4", "n_pii_ssn"
+        )
+
     def q_pack_next_fit(spark, sf_dir):
         # context-window packing: per-source next-fit at 1024 tokens,
         # deterministic doc_id order — oracled by a recursive CTE that
@@ -1142,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": q_quality_signals,
         "ngram_contamination": q_ngram_contamination,
         "lm_perplexity": q_lm_perplexity,
+        "line_dedup": q_line_dedup,
+        "pii_scrub": q_pii_scrub,
         "stream_dedup": q_stream_dedup,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
@@ -1679,6 +1746,39 @@ def _duck_wcnf_features_sql() -> str:
     """
 
 
+def _duck_pii_sql() -> str:
+    """Oracle for ``pii_scrub``: regenerates the SAME deterministic PII
+    salt the Spark query appends, then replays count-then-replace with
+    the patterns imported from the operator module (one source of
+    truth; the pattern subset is Java-regex/RE2 compatible by
+    construction — quality.py PII_PATTERNS)."""
+    from gbdc_spark.operators.quality import PII_PATTERNS
+
+    salt = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.1.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-6789' ELSE '' END"
+    )
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS n_pii_{name}"
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for _, (pat, rep) in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{rep}', 'g')"
+    return f"""
+            WITH s AS (SELECT doc_id, {salt} AS text FROM documents)
+            SELECT doc_id,
+                   {scrub} AS text_scrubbed,
+                   {counts}
+            FROM s
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "asof_join": """
@@ -1892,6 +1992,37 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(s.h), 6) AS perplexity
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
+        "line_dedup": """
+            WITH c AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, CAST(ceil(len(ws) / 5.0) AS INTEGER)),
+                           i -> array_to_string(
+                               list_slice(ws, CAST(i AS INTEGER) * 5 + 1,
+                                          CAST(i AS INTEGER) * 5 + 5), ' ')) AS chunks
+                FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)),
+            l AS (
+                SELECT doc_id, unnest(chunks) AS line,
+                       generate_subscripts(chunks, 1) - 1 AS pos
+                FROM c),
+            fst AS (
+                SELECT doc_id, pos, line FROM (
+                    SELECT doc_id, pos, line,
+                           row_number() OVER (
+                               PARTITION BY line ORDER BY doc_id, pos) AS rn
+                    FROM l) WHERE rn = 1),
+            kept AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+                       count(*) AS n_kept
+                FROM fst GROUP BY doc_id)
+            SELECT c.doc_id,
+                   coalesce(k.text_dedup, '') AS text_dedup,
+                   CAST(len(c.chunks) AS BIGINT) AS n_lines,
+                   CAST(len(c.chunks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+            FROM c LEFT JOIN kept k USING (doc_id)
+        """,
+        "pii_scrub": _duck_pii_sql(),
         "pack_next_fit": f"""
             WITH RECURSIVE d AS (
                 SELECT doc_id, source, n_tok,

@@ -32,6 +32,7 @@ __all__ = [
     "simhash_near_dups",
     "ngram_jaccard_pairs",
     "winnow_overlap_pairs",
+    "line_dedup",
     "embedding_near_dups",
     "auto_sign_bits",
     "sign_hyperplanes",
@@ -472,6 +473,65 @@ def winnow_overlap_pairs(df: DataFrame, key: str = "doc_id",
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def line_dedup(df: DataFrame, key: str = "doc_id",
+               text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Corpus-wide exact line deduplication (the C4 cleaning rule,
+    Raffel et al. JMLR'20): every distinct line survives only in its
+    FIRST occurrence corpus-wide — smallest ``(key, position)`` — and
+    every later occurrence (in the same doc or any other) is dropped;
+    surviving lines are re-joined in original order.  Sub-document
+    granularity complements the whole-doc (exact/MinHash/SimHash) and
+    passage (winnowing) families: it strips repeated boilerplate lines
+    without discarding the documents that carry them.
+
+    Returns (key, text_dedup, n_lines, n_removed) — row-preserving
+    (a doc whose every line is a repeat comes back with empty text).
+
+    Scale shape: posexplode -> one hash shuffle on the line value to
+    pick the global keeper (min-struct partial agg map-side) -> one
+    equi-join back on the line -> one regroup by doc.  Three shuffles,
+    all on bounded rows (lines), no window over the whole corpus, no
+    skew cliff: a line repeated a billion times is one group whose agg
+    is a map-side-combined min.
+    """
+    lines = df.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    # first corpus-wide occurrence of each line value
+    first = lines.groupBy("line").agg(
+        F.min(F.struct(F.col(key), F.col("pos"))).alias("first")
+    )
+    kept = (
+        lines.join(first, "line")
+        .filter((F.col("first." + key) == F.col(key))
+                & (F.col("first.pos") == F.col("pos")))
+        .groupBy(key)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_dedup"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    n_lines = F.size(F.split(F.col(text_col), sep)).cast("long")
+    return (
+        df.select(F.col(key), n_lines.alias("n_lines"))
+        .join(kept, key, "left")
+        .select(
+            F.col(key),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.col("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
     )
 
 

@@ -19,7 +19,17 @@ from pyspark.sql import functions as F
 
 from ..functions import bind_once as _bind
 
-__all__ = ["with_quality_signals", "ngram_contamination", "lm_perplexity"]
+__all__ = ["with_quality_signals", "ngram_contamination", "lm_perplexity",
+           "PII_PATTERNS", "with_pii_scrub"]
+
+# Redaction rules: name -> (regex, replacement token).  Patterns are
+# restricted to the syntax subset where Java regex (Spark) and RE2
+# (DuckDB oracles) agree: no backreferences, no lookaround, ASCII \b.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
 
 
 def _words(text_col: str) -> Column:
@@ -218,3 +228,31 @@ def lm_perplexity(
             F.round(F.exp("h"), 6).alias("perplexity"),
         )
     )
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text",
+                   out: str = "text_scrubbed",
+                   patterns: dict[str, tuple[str, str]] | None = None) -> DataFrame:
+    """PII redaction — the privacy-filter stage every published
+    training-data pipeline runs before tokenization (cf. RefinedWeb
+    §3.6, the C4 blocklist step): replace emails / IPv4 addresses /
+    SSN-shaped ids with typed placeholder tokens and count the
+    redactions per document (the counts feed quality gates and audit
+    metrics; documents over a PII budget get dropped, not scrubbed).
+
+    Adds ``out`` (scrubbed text) and one ``n_pii_<name>`` count per
+    pattern, counted on the ORIGINAL text; replacements are then
+    applied in dict order.  Pure JVM ``regexp_replace``/
+    ``regexp_count`` — a projection over the scan, no shuffle, no
+    Python workers, so it runs at scan speed at any corpus size.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    for name, (pat, _) in pats.items():
+        df = df.withColumn(
+            f"n_pii_{name}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+        )
+    scrubbed = F.col(text_col)
+    for _, (pat, rep) in pats.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    return df.withColumn(out, scrubbed)

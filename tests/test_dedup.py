@@ -272,3 +272,32 @@ def test_winnow_overlap_pairs_max_df_drops_boilerplate(spark):
     assert len(winnow_overlap_pairs(df, min_shared=1, max_df=None).collect()) == 10
     # cap at df<=2: prints shared by all 5 docs are dropped pre-join
     assert winnow_overlap_pairs(df, min_shared=1, max_df=2).collect() == []
+
+
+def test_line_dedup_keeps_first_occurrence_corpus_wide(spark):
+    from gbdc_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "alpha\nshared\nbeta"),
+        (2, "shared\ngamma"),        # 'shared' already seen in doc 1
+        (3, "delta\ndelta\ndelta"),  # intra-doc repeats collapse too
+        (4, "shared"),               # doc losing every line stays, empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["text_dedup"] == "alpha\nshared\nbeta"
+    assert out[2]["text_dedup"] == "gamma" and out[2]["n_removed"] == 1
+    assert out[3]["text_dedup"] == "delta" and out[3]["n_removed"] == 2
+    assert out[4]["text_dedup"] == "" and out[4]["n_removed"] == 1
+    assert all(out[i]["n_lines"] == len(rows[i - 1][1].split("\n")) for i in out)
+
+
+def test_line_dedup_order_preserved(spark):
+    from gbdc_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "z\na\nm"), (2, "q\na\nz\nr")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["text_dedup"] for r in line_dedup(df).collect()}
+    assert out[1] == "z\na\nm"
+    assert out[2] == "q\nr"

@@ -114,3 +114,30 @@ def test_lm_perplexity_plan_is_jvm_only(spark):
     )
     plan = lm_perplexity(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_pii_scrub_counts_and_replaces(spark):
+    from gbdc_spark.operators.quality import with_pii_scrub
+
+    rows = [
+        (1, "mail bob.smith@corp.example.com or 10.0.0.1 ssn 123-45-6789 end"),
+        (2, "two mails a@b.io c.d@e.org and 255.255.255.255"),
+        (3, "clean text with digits 1 -2 3 0 and word-dash-word"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_pii_scrub(df).collect()}
+    assert (out[1]["n_pii_email"], out[1]["n_pii_ipv4"], out[1]["n_pii_ssn"]) == (1, 1, 1)
+    assert out[1]["text_scrubbed"] == "mail <EMAIL> or <IP> ssn <SSN> end"
+    assert (out[2]["n_pii_email"], out[2]["n_pii_ipv4"]) == (2, 1)
+    assert out[2]["text_scrubbed"] == "two mails <EMAIL> <EMAIL> and <IP>"
+    # CNF-ish digit runs and dashes must not false-positive
+    assert (out[3]["n_pii_email"], out[3]["n_pii_ipv4"], out[3]["n_pii_ssn"]) == (0, 0, 0)
+    assert out[3]["text_scrubbed"] == rows[2][1]
+
+
+def test_pii_scrub_plan_is_jvm_only(spark):
+    from gbdc_spark.operators.quality import with_pii_scrub
+
+    df = spark.createDataFrame([(1, "x@y.zz")], "doc_id long, text string")
+    plan = with_pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
