@@ -386,6 +386,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "text_scrubbed", "n_pii_email", "n_pii_ipv4", "n_pii_ssn"
         )
 
+    def q_dsir_weights(spark, sf_dir):
+        # DSIR data selection: source 'src0' docs are the target set,
+        # the rest are the raw corpus; hashed-unigram log-likelihood
+        # ratio per doc — md5 bucket hash shared with the oracle
+        from gbdc_spark.operators.quality import dsir_weights
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+        target = docs.filter(F.col("source") == "src0")
+        corpus = docs.filter(F.col("source") != "src0")
+        return dsir_weights(corpus, target)
+
+    def q_source_temperature(spark, sf_dir):
+        # mT5-style temperature mixing weights per source at T=2
+        from gbdc_spark.operators.quality import temperature_weights
+
+        return temperature_weights(_docs(spark, sf_dir), temperature=2.0)
+
     def q_pack_next_fit(spark, sf_dir):
         # context-window packing: per-source next-fit at 1024 tokens,
         # deterministic doc_id order — oracled by a recursive CTE that
@@ -1209,6 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
+        "dsir_weights": q_dsir_weights,
+        "source_temperature": q_source_temperature,
         "stream_dedup": q_stream_dedup,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
@@ -1746,6 +1765,18 @@ def _duck_wcnf_features_sql() -> str:
     """
 
 
+def _duck_md5_bucket(expr: str, n_buckets: int) -> str:
+    """DuckDB twin of quality._md5_bucket: value of the first 8 hex
+    digits of md5(expr), mod n_buckets (hexdigit positional sum — the
+    same construction the ngram_contamination oracle uses)."""
+    return (
+        f"(CAST(list_sum(list_transform(range(0, 8), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), "
+        f"CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT) "
+        f"* CAST(pow(16, 7 - i) AS BIGINT))) AS BIGINT) % {n_buckets})"
+    )
+
+
 def _duck_pii_sql() -> str:
     """Oracle for ``pii_scrub``: regenerates the SAME deterministic PII
     salt the Spark query appends, then replays count-then-replace with
@@ -2023,6 +2054,46 @@ def oracle_sql() -> dict[str, str]:
             FROM c LEFT JOIN kept k USING (doc_id)
         """,
         "pii_scrub": _duck_pii_sql(),
+        "dsir_weights": f"""
+            WITH w AS (
+                SELECT doc_id, source, unnest(str_split(text, ' ')) AS w
+                FROM documents),
+            b AS (
+                SELECT doc_id, source, {_duck_md5_bucket("w", 1024)} AS b
+                FROM w),
+            tgt AS (SELECT b, count(*) AS tc FROM b
+                    WHERE source = 'src0' GROUP BY b),
+            rawc AS (SELECT b, count(*) AS rc FROM b
+                     WHERE source <> 'src0' GROUP BY b),
+            tots AS (SELECT (SELECT sum(tc) FROM tgt) AS t_tot,
+                            (SELECT sum(rc) FROM rawc) AS r_tot),
+            lr AS (
+                SELECT coalesce(t.b, r.b) AS b,
+                       ln((coalesce(t.tc, 0) + 1)
+                          / CAST(tots.t_tot + 1024 AS DOUBLE))
+                     - ln((coalesce(r.rc, 0) + 1)
+                          / CAST(tots.r_tot + 1024 AS DOUBLE)) AS lr
+                FROM tgt t FULL JOIN rawc r ON t.b = r.b CROSS JOIN tots)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   round(avg(l.lr), 6) AS dsir_score
+            FROM b JOIN lr l USING (b)
+            WHERE source <> 'src0'
+            GROUP BY doc_id
+        """,
+        "source_temperature": """
+            WITH c AS (
+                SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+            t AS (SELECT sum(n_docs) AS n_total FROM c),
+            p AS (SELECT source, n_docs,
+                         n_docs / CAST(n_total AS DOUBLE) AS p_raw
+                  FROM c CROSS JOIN t),
+            z AS (SELECT sum(pow(p_raw, 0.5)) AS z FROM p)
+            SELECT source, n_docs,
+                   round(p_raw, 6) AS p_raw,
+                   round(pow(p_raw, 0.5) / z, 6) AS p_sampled,
+                   round(pow(p_raw, 0.5) / z / p_raw, 6) AS boost
+            FROM p CROSS JOIN z
+        """,
         "pack_next_fit": f"""
             WITH RECURSIVE d AS (
                 SELECT doc_id, source, n_tok,

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from ..functions import bind_once as _bind
 
 __all__ = ["with_quality_signals", "ngram_contamination", "lm_perplexity",
-           "PII_PATTERNS", "with_pii_scrub"]
+           "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
+           "temperature_weights"]
 
 # Redaction rules: name -> (regex, replacement token).  Patterns are
 # restricted to the syntax subset where Java regex (Spark) and RE2
@@ -256,3 +257,112 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text",
     for _, (pat, rep) in pats.items():
         scrubbed = F.regexp_replace(scrubbed, pat, rep)
     return df.withColumn(out, scrubbed)
+
+
+def _md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Stable word -> [0, n_buckets) hash shared with the DuckDB
+    oracles: value of the first 8 hex digits of md5, mod n_buckets.
+    (``F.hash`` is murmur3, which DuckDB cannot reproduce.)"""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def dsir_weights(corpus: DataFrame, target: DataFrame,
+                 text_col: str = "text", key: str = "doc_id",
+                 n_buckets: int = 1024) -> DataFrame:
+    """DSIR-style data-selection scores (Xie et al., NeurIPS'23):
+    rank raw-corpus documents by how target-like they are, using the
+    log-likelihood ratio of hashed unigram features under add-one
+    bucket distributions estimated from the target vs the raw corpus.
+    Per doc: ``dsir_score`` = mean over its words of
+    ``ln p_target(bucket) - ln p_corpus(bucket)`` (positive = looks
+    like the target; resampling keeps the top slice or samples
+    proportionally to exp(score)).
+
+    Returns (key, n_words, dsir_score), one row per corpus doc.
+
+    Scale shape: both count tables have at most ``n_buckets`` rows, so
+    the log-ratio table is broadcast; the corpus explodes to words,
+    map-side-combines per (partition, doc) and shuffles only the final
+    per-doc partials on ``key``.  Nothing all-pairs, nothing driver
+    side, no Python workers.
+    """
+    def words(df: DataFrame):
+        return df.select(
+            F.col(key),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+
+    tw = words(target).select(_md5_bucket(F.col("w"), n_buckets).alias("b"))
+    cw = words(corpus).select(
+        F.col(key), _md5_bucket(F.col("w"), n_buckets).alias("b")
+    )
+    tgt = tw.groupBy("b").agg(F.count("*").alias("tc"))
+    raw = cw.groupBy("b").agg(F.count("*").alias("rc"))
+    tots = (
+        tgt.agg(F.sum("tc").alias("t_tot"))
+        .crossJoin(raw.agg(F.sum("rc").alias("r_tot")))
+    )
+    lr = (
+        tgt.join(raw, "b", "full_outer")
+        .na.fill({"tc": 0, "rc": 0})
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log((F.col("tc") + 1)
+                      / (F.col("t_tot") + F.lit(float(n_buckets))))
+                - F.log((F.col("rc") + 1)
+                        / (F.col("r_tot") + F.lit(float(n_buckets))))
+            ).alias("lr"),
+        )
+    )
+    return (
+        cw.join(F.broadcast(lr), "b")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg("lr"), 6).alias("dsir_score"),
+        )
+    )
+
+
+def temperature_weights(df: DataFrame, source_col: str = "source",
+                        temperature: float = 2.0) -> DataFrame:
+    """Temperature-scaled source sampling weights (the multilingual /
+    multi-source mixing rule of mT5, Xue et al. 2021): a source holding
+    raw share p gets sampling probability proportional to p^(1/T) —
+    T=1 keeps natural proportions, T→∞ approaches uniform, so
+    low-resource sources are up-sampled without ever dominating.
+
+    Returns (source, n_docs, p_raw, p_sampled, boost) where ``boost``
+    = p_sampled / p_raw is the per-doc duplication factor a sampler
+    would apply.
+
+    Scale shape: one map-side-combined count per source (the only
+    shuffle, cardinality = #sources), then two single-row broadcast
+    totals — the corpus itself is never reshuffled.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n_total"))
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        source_col, "n_docs",
+        (F.col("n_docs") / F.col("n_total")).alias("p_raw"),
+    )
+    z = p.agg(
+        F.sum(F.pow(F.col("p_raw"), 1.0 / temperature)).alias("z")
+    )
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            source_col,
+            "n_docs",
+            F.round("p_raw", 6).alias("p_raw"),
+            F.round(
+                F.pow(F.col("p_raw"), 1.0 / temperature) / F.col("z"), 6
+            ).alias("p_sampled"),
+            F.round(
+                F.pow(F.col("p_raw"), 1.0 / temperature)
+                / F.col("z") / F.col("p_raw"), 6
+            ).alias("boost"),
+        )
+    )

@@ -141,3 +141,58 @@ def test_pii_scrub_plan_is_jvm_only(spark):
     df = spark.createDataFrame([(1, "x@y.zz")], "doc_id long, text string")
     plan = with_pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from gbdc_spark.operators.quality import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "spark shuffle join agg") for i in range(4)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "spark shuffle join scan"),
+         (2, "banana apple pear plum")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(corpus, target).collect()}
+    assert out[1]["dsir_score"] > out[2]["dsir_score"]
+    assert out[1]["n_words"] == 4 and out[2]["n_words"] == 4
+    # target-like words carry positive log-ratio, unseen ones negative
+    assert out[1]["dsir_score"] > 0 > out[2]["dsir_score"]
+
+
+def test_dsir_weights_plan_is_jvm_broadcast(spark):
+    from gbdc_spark.operators.quality import dsir_weights
+
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                               "doc_id long, text string")
+    plan = dsir_weights(df, df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # the log-ratio table joins the exploded corpus via broadcast only
+    assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_weights_math(spark):
+    from gbdc_spark.operators.quality import temperature_weights
+
+    rows = [(i, "s_big") for i in range(9)] + [(9, "s_small")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in temperature_weights(df, temperature=2.0).collect()}
+    assert out["s_big"]["n_docs"] == 9 and out["s_small"]["n_docs"] == 1
+    # p^(1/2) renormalized: 0.9487.. / 1.2649.. = 0.75, 0.3162../1.2649.. = 0.25
+    assert abs(out["s_big"]["p_sampled"] - 0.75) < 1e-6
+    assert abs(out["s_small"]["p_sampled"] - 0.25) < 1e-6
+    # low-resource source boosted, dominant source damped
+    assert out["s_small"]["boost"] > 1 > out["s_big"]["boost"]
+    assert abs(sum(r["p_sampled"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_temperature_one_is_identity(spark):
+    from gbdc_spark.operators.quality import temperature_weights
+
+    rows = [(i, f"s{i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for r in temperature_weights(df, temperature=1.0).collect():
+        assert abs(r["p_sampled"] - r["p_raw"]) < 1e-6
+        assert abs(r["boost"] - 1.0) < 1e-6
