@@ -105,6 +105,33 @@ CHECKS = {
         ("unigram model cached (vocab count reads it, not the corpus)",
          r"InMemoryTableScan"),
     ],
+    "line_dedup": [
+        ("all JVM-side (explode/agg/join, no Python)",
+         r"^(?!.*ArrowEvalPython)"),
+        ("keeper pick is a map-side-combined partial agg",
+         r"partial_min|HashAggregate"),
+        ("line join-back is a real equi-join (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
+    "pii_scrub": [
+        ("pure projection over the scan — codegen, no shuffle",
+         r"codegen id"),
+        ("no exchange anywhere in the scrub",
+         r"^(?!.*Exchange)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "dsir_weights": [
+        ("log-ratio table broadcast to the corpus words",
+         r"BroadcastHashJoin"),
+        ("per-doc score is a map-side-combined partial agg",
+         r"partial_count|partial_avg|HashAggregate"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "source_temperature": [
+        ("single count-per-source shuffle, totals broadcast",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
 }
 
 
