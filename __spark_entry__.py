@@ -808,6 +808,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", "cell", F.round("cell_cosine", 6).alias("cell_cosine")
         )
 
+    def q_semantic_dedup(spark, sf_dir):
+        # SemDeDup keep-first semantic dedup: first-8-rows centroids
+        # (same deterministic cells as ivf_assign), tau=0.4 drops the
+        # in-cell near-duplicate tail at this SF
+        e = _emb(spark, sf_dir)
+        cents = similarity.centroids_from_rows(e, list(range(8)))
+        return dedup.semantic_dedup(e, cents, threshold=0.4).select(
+            "vec_id", "cell",
+            F.round("max_sim_earlier", 6).alias("max_sim_earlier"),
+            "keep",
+        )
+
     def q_embedding_near_dups(spark, sf_dir):
         # auto-bits path: bit width derived from the corpus size, buckets
         # from seeded Gaussian hyperplanes — the oracle regenerates the
@@ -1262,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
         "ivf_recall": q_ivf_recall,
@@ -2507,6 +2520,29 @@ def oracle_sql() -> dict[str, str]:
                                                   CAST(i * 16 + 16 AS INTEGER))) AS DOUBLE)
                          / 16, 6) AS frame_mean
             FROM fr
+        """,
+        "semantic_dedup": f"""
+            WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
+                       FROM embeddings WHERE vec_id < 8),
+            a AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               {_duck_cos("CAST(e.embedding AS DOUBLE[])", "c.centroid")}
+                               DESC, c.cell) AS rn
+                    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+            ms AS (
+                SELECT l.vec_id,
+                       max({_duck_cos("CAST(le.embedding AS DOUBLE[])",
+                                      "CAST(re.embedding AS DOUBLE[])")}) AS m
+                FROM a l JOIN a r ON l.cell = r.cell AND r.vec_id < l.vec_id
+                JOIN embeddings le ON le.vec_id = l.vec_id
+                JOIN embeddings re ON re.vec_id = r.vec_id
+                GROUP BY l.vec_id)
+            SELECT a.vec_id, a.cell,
+                   round(ms.m, 6) AS max_sim_earlier,
+                   CAST(CASE WHEN ms.m >= 0.4 THEN 0 ELSE 1 END AS INTEGER) AS keep
+            FROM a LEFT JOIN ms USING (vec_id)
         """,
         "ivf_topk": f"""
             WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid

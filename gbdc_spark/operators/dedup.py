@@ -33,6 +33,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "winnow_overlap_pairs",
     "line_dedup",
+    "semantic_dedup",
     "embedding_near_dups",
     "auto_sign_bits",
     "sign_hyperplanes",
@@ -628,4 +629,55 @@ def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embe
         .filter(F.col("cosine") >= threshold)
         .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"), "cosine")
         .distinct()
+    )
+
+
+def semantic_dedup(df: DataFrame, centroids: DataFrame, key: str = "vec_id",
+                   vec_col: str = "embedding",
+                   threshold: float = 0.95) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — cluster vectors to their
+    max-cosine centroid cell, then WITHIN each cell drop every vector
+    that has an earlier (smaller ``key``) cell-mate with cosine
+    similarity >= ``threshold``.  Keep-first-occurrence semantics, the
+    embedding-space analogue of ``line_dedup``: no transitive closure,
+    one deterministic pass.
+
+    Returns (key, cell, max_sim_earlier, keep) — row-preserving;
+    ``max_sim_earlier`` is null for the first vector of a cell /
+    vectors with no earlier cell-mate, ``keep`` is 1/0.
+
+    Scale shape: assignment broadcasts the k-row centroid table; the
+    in-cell self-join is an equi-join on cell whose cost is
+    sum(cell_size^2) — the SemDeDup regime, where k is chosen
+    proportional to n so cells stay O(n/k) bounded (the paper runs
+    k=11k on 100M embeddings).  Skewed cells would re-cluster with a
+    larger k; nothing here is corpus-quadratic.
+    """
+    from .similarity import cosine_similarity, ivf_assign, _to_double
+
+    assigned = ivf_assign(df, centroids, key=key, vec_col=vec_col).select(
+        F.col(key), F.col("cell")
+    )
+    vecs = df.select(F.col(key), _to_double(F.col(vec_col)).alias("v"))
+    left = assigned.join(vecs, key)
+    right = left.select(
+        F.col(key).alias("rkey"), F.col("cell").alias("rcell"),
+        F.col("v").alias("rv"),
+    )
+    earlier_sims = (
+        left.join(right, (F.col("cell") == F.col("rcell"))
+                  & (F.col("rkey") < F.col(key)))
+        .groupBy(key)
+        .agg(F.max(cosine_similarity(F.col("v"), F.col("rv")))
+             .alias("max_sim_earlier"))
+    )
+    return (
+        assigned.join(earlier_sims, key, "left")
+        .select(
+            F.col(key), F.col("cell"),
+            F.col("max_sim_earlier"),
+            F.when(F.col("max_sim_earlier") >= threshold, F.lit(0))
+            .otherwise(F.lit(1)).alias("keep"),
+        )
     )

@@ -301,3 +301,46 @@ def test_line_dedup_order_preserved(spark):
     out = {r["doc_id"]: r["text_dedup"] for r in line_dedup(df).collect()}
     assert out[1] == "z\na\nm"
     assert out[2] == "q\nr"
+
+
+def test_semantic_dedup_drops_later_near_duplicates(spark):
+    from gbdc_spark.operators.dedup import semantic_dedup
+    from gbdc_spark.operators.similarity import centroids_from_rows
+
+    rows = [
+        (0, [1.0, 0.0]),     # centroid 0, first in its cell -> keep
+        (1, [0.0, 1.0]),     # centroid 1, first in its cell -> keep
+        (2, [0.96, 0.28]),   # cell 0, cos(v0,v2)=0.96 >= 0.95 -> drop
+        (3, [0.1, 0.995]),   # cell 1, cos(v1,v3)~0.995 -> drop
+        (4, [0.7, 0.714]),   # cell 1 (barely), dissimilar enough -> keep
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = centroids_from_rows(df, [0, 1])
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, cents, threshold=0.95).collect()}
+    assert [out[i]["keep"] for i in range(5)] == [1, 1, 0, 0, 1]
+    assert out[0]["max_sim_earlier"] is None
+    assert out[1]["max_sim_earlier"] is None
+    assert out[2]["max_sim_earlier"] >= 0.95
+    assert out[2]["cell"] == 0 and out[3]["cell"] == 1
+
+
+def test_semantic_dedup_keep_first_not_transitive(spark):
+    # chain a-b-c where cos(a,b)>=t, cos(b,c)>=t but cos(a,c)<t:
+    # b drops via a; c also drops via b, because keep-first compares
+    # against ALL earlier cell-mates, dropped or not (a "compare only
+    # against kept" variant would keep c — that is not SemDeDup)
+    from gbdc_spark.operators.dedup import semantic_dedup
+    from gbdc_spark.operators.similarity import centroids_from_rows
+    import math
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [(0, unit(0)), (1, unit(20)), (2, unit(40))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = centroids_from_rows(df, [0])
+    t = math.cos(math.radians(25))  # 20-degree gaps pass, 40 fails
+    out = {r["vec_id"]: r["keep"] for r in
+           semantic_dedup(df, cents, threshold=t).collect()}
+    assert out == {0: 1, 1: 0, 2: 0}  # c dropped via b even though b dropped

@@ -127,6 +127,13 @@ CHECKS = {
          r"partial_count|partial_avg|HashAggregate"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "semantic_dedup": [
+        ("centroid table broadcast for assignment",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("in-cell pair scan is a real equi-join on cell (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "source_temperature": [
         ("single count-per-source shuffle, totals broadcast",
          r"BroadcastNestedLoopJoin|BroadcastExchange"),
