@@ -386,6 +386,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "text_scrubbed", "n_pii_email", "n_pii_ipv4", "n_pii_ssn"
         )
 
+    def q_chunk_sequences(spark, sf_dir):
+        # sliding-window context chunking at 32 tokens, 8 overlap;
+        # token arrays projected to md5 (array cells crash the driver
+        # canonicalizer)
+        from gbdc_spark.operators.packing import chunk_sequences
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "tokens"
+        )
+        return chunk_sequences(seqs, max_len=32, overlap=8).select(
+            "doc_id", "chunk_idx", "start", "chunk_len",
+            F.md5(F.concat_ws(
+                ",", F.transform(F.col("chunk_tokens"),
+                                 lambda x: x.cast("string")),
+            )).alias("chunk_md5"),
+        )
+
     def q_dsir_weights(spark, sf_dir):
         # DSIR data selection: source 'src0' docs are the target set,
         # the rest are the raw corpus; hashed-unigram log-likelihood
@@ -1240,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "dsir_weights": q_dsir_weights,
         "source_temperature": q_source_temperature,
+        "chunk_sequences": q_chunk_sequences,
         "stream_dedup": q_stream_dedup,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
@@ -2092,6 +2110,29 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN lr l USING (b)
             WHERE source <> 'src0'
             GROUP BY doc_id
+        """,
+        "chunk_sequences": f"""
+            WITH s AS (
+                SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM s),
+            c AS (
+                SELECT doc_id, toks,
+                       CASE WHEN n_tok <= 32 THEN 1
+                            ELSE CAST(ceil((n_tok - 32) / 24.0) AS INTEGER) + 1
+                       END AS n_chunks
+                FROM n),
+            e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM c)
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   CAST(i * 24 AS INTEGER) AS start,
+                   CAST(len(list_slice(toks, CAST(i * 24 + 1 AS INTEGER),
+                                       CAST(i * 24 + 32 AS INTEGER)))
+                        AS INTEGER) AS chunk_len,
+                   md5(array_to_string(
+                       list_slice(toks, CAST(i * 24 + 1 AS INTEGER),
+                                  CAST(i * 24 + 32 AS INTEGER)), ',')) AS chunk_md5
+            FROM e
         """,
         "source_temperature": """
             WITH c AS (

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pack_next_fit", "stratified_sample"]
+__all__ = ["pack_next_fit", "stratified_sample", "chunk_sequences"]
 
 
 def pack_next_fit(
@@ -100,3 +100,49 @@ def stratified_sample(
     for stratum, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == F.lit(stratum), F.lit(float(f))).otherwise(frac)
     return df.filter(u < frac * F.lit(float(1 << 32)))
+
+
+def chunk_sequences(df: DataFrame, max_len: int, overlap: int = 0,
+                    key: str = "doc_id",
+                    tokens_col: str = "tokens") -> DataFrame:
+    """Context-window chunking — the splitting counterpart of
+    ``pack_next_fit``: cut every token sequence into windows of at most
+    ``max_len`` tokens whose starts advance by ``max_len - overlap``
+    (standard sliding-window tokenizer layout; ``overlap`` carries
+    context across chunk boundaries).  A doc that fits in one window
+    yields exactly one chunk; the final chunk may be short.
+
+    Returns (key, chunk_idx, start, chunk_len, chunk_tokens), one row
+    per chunk, chunk_idx and start 0-based.
+
+    Scale shape: a pure per-row array transform + explode — no
+    shuffle, no Python; output row count is ~n_tok/stride per doc and
+    each token is duplicated at most ``ceil(max_len/stride)`` times.
+    """
+    if not 0 <= overlap < max_len:
+        raise ValueError("need 0 <= overlap < max_len")
+    stride = max_len - overlap
+    toks = F.col(tokens_col)
+    n_tok = F.size(toks)
+    n_chunks = (
+        F.when(n_tok <= max_len, F.lit(1))
+        .otherwise(F.ceil((n_tok - max_len) / F.lit(float(stride))) + 1)
+        .cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * stride).cast("int").alias("start"),
+            F.slice(toks, i * stride + 1, max_len).alias("chunk_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(key), F.explode(chunks).alias("c")
+    ).select(
+        F.col(key),
+        F.col("c.chunk_idx"),
+        F.col("c.start"),
+        F.size("c.chunk_tokens").alias("chunk_len"),
+        F.col("c.chunk_tokens"),
+    )

@@ -75,3 +75,47 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     assert by.get("src0", 0) == pytest.approx(500, rel=0.15)
     assert by.get("src1", 0) == pytest.approx(100, rel=0.4)
     assert by.get("src2", 0) == pytest.approx(20, abs=15)
+
+
+def test_chunk_sequences_windows_and_overlap(spark):
+    from gbdc_spark.operators.packing import chunk_sequences
+
+    df = spark.createDataFrame(
+        [("a", list(range(10))), ("b", [1, 2, 3]), ("c", [7, 8, 9, 10])],
+        "doc_id string, tokens array<int>",
+    )
+    out = chunk_sequences(df, max_len=4, overlap=1).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    a = sorted(by["a"], key=lambda r: r["chunk_idx"])
+    # stride 3: starts 0, 3, 6 — every token covered, boundaries overlap
+    assert [(r["start"], r["chunk_len"]) for r in a] == [(0, 4), (3, 4), (6, 4)]
+    assert a[0]["chunk_tokens"] == [0, 1, 2, 3]
+    assert a[1]["chunk_tokens"] == [3, 4, 5, 6]   # overlap token 3
+    assert a[2]["chunk_tokens"] == [6, 7, 8, 9]
+    # short doc -> single short chunk; exact-fit doc -> single full chunk
+    assert [(r["chunk_idx"], r["chunk_len"]) for r in by["b"]] == [(0, 3)]
+    assert [(r["chunk_idx"], r["chunk_len"]) for r in by["c"]] == [(0, 4)]
+
+
+def test_chunk_sequences_no_overlap_partitions_exactly(spark):
+    from gbdc_spark.operators.packing import chunk_sequences
+
+    df = spark.createDataFrame(
+        [("a", list(range(9)))], "doc_id string, tokens array<int>"
+    )
+    out = sorted(chunk_sequences(df, max_len=4, overlap=0).collect(),
+                 key=lambda r: r["chunk_idx"])
+    # disjoint cover: 4 + 4 + 1
+    assert [r["chunk_len"] for r in out] == [4, 4, 1]
+    assert [t for r in out for t in r["chunk_tokens"]] == list(range(9))
+
+
+def test_chunk_sequences_rejects_bad_overlap(spark):
+    import pytest
+    from gbdc_spark.operators.packing import chunk_sequences
+
+    df = spark.createDataFrame([("a", [1])], "doc_id string, tokens array<int>")
+    with pytest.raises(ValueError):
+        chunk_sequences(df, max_len=4, overlap=4)

@@ -127,6 +127,13 @@ CHECKS = {
          r"partial_count|partial_avg|HashAggregate"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "chunk_sequences": [
+        # the only exchange is ensure_parallelism's deliberate
+        # round-robin input-split fix — never a key shuffle
+        ("no hash/range shuffle (transform+explode is per-row)",
+         r"^(?!.*(hashpartitioning|rangepartitioning))"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "semantic_dedup": [
         ("centroid table broadcast for assignment",
          r"BroadcastNestedLoopJoin|BroadcastExchange"),
