@@ -28,6 +28,8 @@ __all__ = [
     "exact_dedup_groups",
     "with_minhash_signature",
     "minhash_candidate_pairs",
+    "with_token_minhash_signature",
+    "token_minhash_pairs",
     "with_simhash",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
@@ -90,17 +92,11 @@ def with_minhash_signature(
     return df.withColumn(out, sig)
 
 
-def minhash_candidate_pairs(
-    df: DataFrame, key: str = "doc_id", text_col: str = "text",
-    num_perm: int = 8, bands: int = 4, shingle_n: int = 3,
-) -> DataFrame:
-    """LSH banding: docs sharing any band of the signature become a
-    candidate pair (a < b).  Equi-join on the band key — shuffle is on
-    band hashes, never a cross join."""
+def _band_pairs(sig: DataFrame, key: str, num_perm: int, bands: int) -> DataFrame:
+    """LSH banding over a (key, minhash) frame: keys sharing any band of
+    the signature become a candidate pair (a < b).  Equi-join on the band
+    key — shuffle is on band hashes, never a cross join."""
     rows_per_band = num_perm // bands
-    sig = with_minhash_signature(
-        ensure_parallelism(df), text_col, num_perm, shingle_n
-    ).select(key, "minhash")
     # build the band structs inside a bound lambda: referencing the
     # `minhash` column directly 2×bands times would make project-collapse
     # inline (and re-evaluate) the whole signature expression per reference
@@ -134,6 +130,69 @@ def minhash_candidate_pairs(
         .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"))
         .distinct()
     )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    num_perm: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over a text column (see _band_pairs)."""
+    sig = with_minhash_signature(
+        ensure_parallelism(df), text_col, num_perm, shingle_n
+    ).select(key, "minhash")
+    return _band_pairs(sig, key, num_perm, bands)
+
+
+def _token_shingles(tokens_col: str, n: int) -> Column:
+    """n-token shingles over an array<int> column — the pre-tokenized
+    sequences shape.  Same construction as the word shingles: stringify
+    once (bound — the cast array is materialized, not re-derived per
+    shingle), then slice+join."""
+
+    def body(toks: Column) -> Column:
+        k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+
+    return _bind(
+        F.transform(F.col(tokens_col), lambda x: x.cast("string")), body
+    )
+
+
+def with_token_minhash_signature(
+    df: DataFrame, tokens_col: str = "tokens", num_perm: int = 8,
+    shingle_n: int = 3, out: str = "minhash",
+) -> DataFrame:
+    """MinHash signature over token-id shingles (array<int> input): the
+    dedup primitive for pre-tokenized training sequences, where the text
+    is gone and near-duplicate detection must run on token n-grams.
+    Same md5-as-permutation scheme as the text variant, so the DuckDB
+    oracles replicate it verbatim."""
+
+    def perm(j: int):
+        # unary lambda — a 2-arg lambda would bind the element INDEX
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    sig = _bind(
+        _token_shingles(tokens_col, shingle_n),
+        lambda sh: F.array(
+            *[F.array_min(F.transform(sh, perm(j))) for j in range(num_perm)]
+        ),
+    )
+    return df.withColumn(out, sig)
+
+
+def token_minhash_pairs(
+    df: DataFrame, key: str = "doc_id", tokens_col: str = "tokens",
+    num_perm: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over pre-tokenized sequences."""
+    sig = with_token_minhash_signature(
+        ensure_parallelism(df), tokens_col, num_perm, shingle_n
+    ).select(key, "minhash")
+    return _band_pairs(sig, key, num_perm, bands)
 
 
 # bit j of the final hash sits at position 63-j (j=0 is the sign bit);

@@ -344,3 +344,43 @@ def test_semantic_dedup_keep_first_not_transitive(spark):
     out = {r["vec_id"]: r["keep"] for r in
            semantic_dedup(df, cents, threshold=t).collect()}
     assert out == {0: 1, 1: 0, 2: 0}  # c dropped via b even though b dropped
+
+
+def test_token_minhash_matches_python_reference(spark):
+    # signature over token-id shingles == an independent Python md5
+    # reference; identical token arrays must become a candidate pair
+    import hashlib
+
+    rows = [
+        ("d1", [1, -2, 3, 0, 4]),
+        ("d2", [1, -2, 3, 0, 4]),   # identical to d1
+        ("d3", [5]),                # shorter than the shingle width
+        ("d4", [-7, 8, -9, 1, 0, 2, 3]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {
+        r["doc_id"]: list(r["minhash"])
+        for r in dedup.with_token_minhash_signature(
+            df, num_perm=4, shingle_n=3
+        ).collect()
+    }
+
+    def ref_sig(toks, num_perm=4, n=3):
+        s = [str(t) for t in toks]
+        k = max(len(s) - n + 1, 1)
+        shingles = [" ".join(s[i : i + n]) for i in range(k)]
+        return [
+            min(hashlib.md5(f"{j}:{sh}".encode()).hexdigest() for sh in shingles)
+            for j in range(num_perm)
+        ]
+
+    for doc_id, toks in rows:
+        assert out[doc_id] == ref_sig(toks), doc_id
+
+    pairs = {
+        (r["a"], r["b"])
+        for r in dedup.token_minhash_pairs(
+            df, num_perm=8, bands=4, shingle_n=3
+        ).collect()
+    }
+    assert pairs == {("d1", "d2")}
