@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 from ..functions import bind_once as _bind
 
-__all__ = ["with_quality_signals", "ngram_contamination", "lm_perplexity",
+__all__ = ["with_quality_signals", "ngram_contamination",
+           "token_ngram_contamination", "lm_perplexity",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
            "temperature_weights"]
 
@@ -57,15 +58,34 @@ def with_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
         )
+        # max bigram multiplicity in O(n log n): sort, then one
+        # aggregate pass tracking the longest run of equal neighbours.
+        # (The obvious distinct×filter form is O(n²) per doc — a long-doc
+        # scale trap at corpus sizes.)
+        def _max_run(bg: Column) -> Column:
+            return F.aggregate(
+                F.array_sort(bg),
+                F.struct(
+                    F.lit("\x00init\x00").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"),
+                ),
+                lambda acc, x: F.struct(
+                    x.alias("prev"),
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1))
+                    .alias("run"),
+                    F.greatest(
+                        acc["best"],
+                        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                    ).alias("best"),
+                ),
+                lambda acc: acc["best"],
+            )
+
         top_bigram = _bind(
             bigrams,
-            lambda bg: F.array_max(
-                F.transform(
-                    F.array_distinct(bg),
-                    lambda d: F.size(F.filter(bg, lambda x: x == d)),
-                )
-            )
-            / F.greatest(F.size(bg), F.lit(1)),
+            lambda bg: _max_run(bg) / F.greatest(F.size(bg), F.lit(1)),
         )
         dup_words = (n - F.size(F.array_distinct(ws))) / F.greatest(n, F.lit(1))
         mean_len = F.aggregate(
@@ -120,6 +140,48 @@ def ngram_contamination(
                     F.transform(
                         F.sequence(F.lit(1), F.size(w) - (n - 1)),
                         lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        return df.select(F.col(key), F.explode(arr).alias("gram"))
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(key)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def token_ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination over PRE-TOKENIZED sequences: flag
+    every corpus sequence sharing at least one token ``n``-gram with the
+    eval set.  The token-side twin of ``ngram_contamination`` — after
+    tokenization the text is gone, and eval leakage must be detected on
+    token-id windows (the form the model actually trains on).
+
+    Same scale shape: both sides explode to distinct n-gram rows; the
+    eval side is tiny so the equi-join broadcasts it and the corpus
+    streams map-side — no corpus shuffle.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        arr = _bind(
+            F.transform(F.col(tokens_col), lambda x: x.cast("string")),
+            lambda s: F.when(
+                F.size(s) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(s) - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(s, i, n)),
                     )
                 ),
             ).otherwise(F.array().cast("array<string>")),

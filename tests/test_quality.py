@@ -196,3 +196,26 @@ def test_temperature_one_is_identity(spark):
     for r in temperature_weights(df, temperature=1.0).collect():
         assert abs(r["p_sampled"] - r["p_raw"]) < 1e-6
         assert abs(r["boost"] - 1.0) < 1e-6
+
+
+def test_token_ngram_contamination_hand_case(spark):
+    from gbdc_spark.operators.quality import token_ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            ("c1", list(range(10))),        # windows 0-7, 1-8, 2-9
+            ("c2", list(range(100, 110))),  # disjoint from the eval set
+            ("c3", [0, 1, 2, 3, 4, 5, 6, 7]),  # exactly one shared window
+            ("c4", [0, 1, 2]),              # shorter than n -> no grams
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    bench = spark.createDataFrame(
+        [("b1", list(range(0, 9)))],        # windows 0-7 and 1-8
+        "doc_id string, tokens array<int>",
+    )
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in token_ngram_contamination(corpus, bench, n=8).collect()
+    }
+    assert out == {"c1": 2, "c3": 1}
