@@ -313,6 +313,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
         return ngram_contamination(corpus, bench, n=8)
 
+    def q_token_ngram_contamination(spark, sf_dir):
+        # decontamination on the pre-tokenized sequences: a 5% md5-slice
+        # of the sequences is the "eval set"; flag sequences sharing any
+        # 8-token window with it
+        from gbdc_spark.operators.packing import stratified_sample
+        from gbdc_spark.operators.quality import token_ngram_contamination
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "tokens", "source"
+        )
+        bench = stratified_sample(
+            seqs, {}, strata_col="source", key="doc_id", default_fraction=0.05
+        )
+        corpus = seqs.join(bench.select("doc_id"), "doc_id", "left_anti")
+        return token_ngram_contamination(corpus, bench, n=8)
+
     def q_lm_perplexity(spark, sf_dir):
         # CCNet-style LM quality scoring: self-trained add-one bigram
         # LM, per-doc cross-entropy/perplexity — all JVM expressions,
@@ -778,6 +794,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_pairs(spark, sf_dir):
         return dedup.minhash_candidate_pairs(
             _docs(spark, sf_dir), key="doc_id", num_perm=8, bands=4, shingle_n=3
+        )
+
+    def q_token_minhash_sig(spark, sf_dir):
+        # MinHash over token-id shingles — dedup primitive for the
+        # pre-tokenized sequences shape (north-rule input), where the
+        # text is gone and near-dup detection runs on token n-grams
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        out = dedup.with_token_minhash_signature(seqs, num_perm=4, shingle_n=3)
+        return out.select(
+            "doc_id",
+            *[F.col("minhash")[j].alias(f"mh{j}") for j in range(4)],
+        )
+
+    def q_token_minhash_pairs(spark, sf_dir):
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        return dedup.token_minhash_pairs(
+            seqs, key="doc_id", num_perm=8, bands=4, shingle_n=3
         )
 
     def q_dedup_clusters(spark, sf_dir):
@@ -1252,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "quality_signals": q_quality_signals,
         "ngram_contamination": q_ngram_contamination,
+        "token_ngram_contamination": q_token_ngram_contamination,
         "lm_perplexity": q_lm_perplexity,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
@@ -1285,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_len_quantiles": q_source_len_quantiles,
         "minhash_sig": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
+        "token_minhash_sig": q_token_minhash_sig,
+        "token_minhash_pairs": q_token_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2027,6 +2063,39 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g JOIN bgrams b USING (gram)
             GROUP BY g.doc_id
         """,
+        "token_ngram_contamination": f"""
+            WITH t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                       FROM documents),
+            u AS (
+                SELECT doc_id, toks,
+                       list_sum(list_transform(range(0, 8), i ->
+                           CAST(strpos('0123456789abcdef',
+                                substr(md5(doc_id), CAST(i AS INTEGER) + 1, 1)) - 1
+                                AS BIGINT)
+                           * CAST(pow(16, 7 - i) AS BIGINT))) AS h
+                FROM t),
+            bench AS (SELECT doc_id, toks FROM u WHERE h < 0.05 * 4294967296.0),
+            corpus AS (SELECT doc_id, toks FROM u WHERE h >= 0.05 * 4294967296.0),
+            grams AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, len(toks) - 7 + 1),
+                           i -> array_to_string(
+                               list_transform(list_slice(toks, i, i + 7),
+                                              x -> CAST(x AS VARCHAR)),
+                               ' ')))) AS gram
+                FROM corpus WHERE len(toks) >= 8),
+            bgrams AS (
+                SELECT DISTINCT unnest(list_distinct(list_transform(
+                           range(1, len(toks) - 7 + 1),
+                           i -> array_to_string(
+                               list_transform(list_slice(toks, i, i + 7),
+                                              x -> CAST(x AS VARCHAR)),
+                               ' ')))) AS gram
+                FROM bench WHERE len(toks) >= 8)
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM grams g JOIN bgrams b USING (gram)
+            GROUP BY g.doc_id
+        """,
         "lm_perplexity": """
             WITH w AS (
                 SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
@@ -2458,6 +2527,51 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": f"""
             WITH {_DUCK_MINHASH_CAND}
             SELECT a, b FROM cand
+        """,
+        "token_minhash_sig": f"""
+            WITH t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                       FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(
+                               list_transform(list_slice(toks, i, i + 2),
+                                              x -> CAST(x AS VARCHAR)),
+                               ' ')) AS shingles
+                FROM t)
+            SELECT doc_id,
+                   list_min(list_transform(shingles, s -> md5(concat('0:', s)))) AS mh0,
+                   list_min(list_transform(shingles, s -> md5(concat('1:', s)))) AS mh1,
+                   list_min(list_transform(shingles, s -> md5(concat('2:', s)))) AS mh2,
+                   list_min(list_transform(shingles, s -> md5(concat('3:', s)))) AS mh3
+            FROM sh
+        """,
+        "token_minhash_pairs": f"""
+            WITH t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                       FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(
+                               list_transform(list_slice(toks, i, i + 2),
+                                              x -> CAST(x AS VARCHAR)),
+                               ' ')) AS shingles
+                FROM t),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 8), j ->
+                           list_min(list_transform(shingles,
+                               s -> md5(concat(CAST(j AS VARCHAR), ':', s))))) AS mh
+                FROM sh),
+            banded AS (
+                SELECT doc_id, b.band,
+                       concat(mh[b.band * 2 + 1], '|', mh[b.band * 2 + 2]) AS bkey
+                FROM sig, (SELECT unnest(range(0, 4)) AS band) b)
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_DUCK_MINHASH_CAND},
