@@ -49,11 +49,20 @@ def main() -> None:
     # only 1 — any host jitter on one core stalled a whole stage at 4N
     # while averaging out at N, systematically deflating measured
     # efficiency.  (Output hash is partitioning-invariant — verified.)
+    # heap scales with cores (1.5 GiB/core): N vs 4N *executors* on a
+    # real cluster each bring their own heap, so total memory scales 4x
+    # between the levels; a fixed local heap would give the 4N level 4x
+    # the task concurrency in the SAME heap — GC pressure the real
+    # cluster comparison does not have, systematically deflating
+    # measured efficiency (protocol v3, campaign #9 onward).
     spark = get_spark(
         app_name=f"scaling-{args.cores}",
         cores=args.cores,
         shuffle_partitions=max(4 * args.cores, 8),
-        extra={"spark.ui.showConsoleProgress": "false"},
+        extra={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": f"{max(3 * args.cores // 2, 2)}g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
