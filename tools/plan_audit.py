@@ -49,6 +49,18 @@ CHECKS = {
         ("band equi-join is a real join (never cross)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("signature computed JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "token_minhash_pairs": [
+        ("band equi-join is a real join (never cross)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("token signature computed JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "token_ngram_contamination": [
+        ("eval-set gram side broadcast", r"BroadcastHashJoin"),
+        ("gram explode JVM-side (no Python)", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "quality_signals": [
+        ("whole-stage codegen (no Python anywhere)", r"codegen id"),
+        ("no Arrow eval in plan", r"^(?!.*ArrowEvalPython)"),
+    ],
     "base_features_docs": [
         ("one Arrow crossing for the 58-feature extraction", r"ArrowEvalPython|MapInPandas|PythonUDF"),
     ],
