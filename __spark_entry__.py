@@ -813,6 +813,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             seqs, key="doc_id", num_perm=8, bands=4, shingle_n=3
         )
 
+    def q_substring_dedup(spark, sf_dir):
+        # token-level ExactSubstr dedup (Lee et al. 2022): every
+        # 12-token span occurring >1 time corpus-wide is removed from
+        # all but its globally-first (doc_id, pos) occurrence; the
+        # md5 projection stands in for the kept array (array cells
+        # crash the driver canonicalizer)
+        seqs = tables.documents_as_sequences(spark, sf_dir)
+        out = dedup.substring_dedup(seqs, l=12)
+        kept = F.col("tokens_dedup")
+        return out.select(
+            "doc_id",
+            F.size("tokens").cast("int").alias("n_tok"),
+            F.size(kept).cast("int").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.transform(kept, lambda x: x.cast("string"))
+                )
+            ).alias("kept_hash"),
+        )
+
     def q_dedup_clusters(spark, sf_dir):
         # candidate pairs -> connected components -> (doc_id, keeper)
         pairs = dedup.minhash_candidate_pairs(
@@ -1321,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "token_minhash_sig": q_token_minhash_sig,
         "token_minhash_pairs": q_token_minhash_pairs,
+        "substring_dedup": q_substring_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2572,6 +2593,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+        """,
+        "substring_dedup": f"""
+            WITH t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                       FROM documents),
+            g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(
+                           list_transform(list_slice(toks, i, i + 11),
+                                          x -> CAST(x AS VARCHAR)),
+                           ' ')) AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 11, 0) + 1)) AS i
+                      FROM t)),
+            r AS (SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY g
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM g),
+            cov AS (
+                SELECT DISTINCT doc_id, pos + j AS p
+                FROM (SELECT doc_id, pos, unnest(range(0, 12)) AS j
+                      FROM r WHERE rn > 1)),
+            tp AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p,
+                          unnest(toks) AS tok
+                   FROM t)
+            SELECT tp.doc_id,
+                   CAST(count(*) AS INT) AS n_tok,
+                   CAST(count(*) FILTER (WHERE cov.p IS NULL) AS INT) AS n_kept,
+                   md5(coalesce(
+                       string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY tp.p)
+                           FILTER (WHERE cov.p IS NULL),
+                       '')) AS kept_hash
+            FROM tp LEFT JOIN cov
+              ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+            GROUP BY tp.doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_DUCK_MINHASH_CAND},

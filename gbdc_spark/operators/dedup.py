@@ -35,6 +35,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "winnow_overlap_pairs",
     "line_dedup",
+    "substring_dedup",
     "semantic_dedup",
     "embedding_near_dups",
     "auto_sign_bits",
@@ -592,6 +593,98 @@ def line_dedup(df: DataFrame, key: str = "doc_id",
             (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
             .cast("long").alias("n_removed"),
         )
+    )
+
+
+def substring_dedup(df: DataFrame, key: str = "doc_id",
+                    tokens_col: str = "tokens", l: int = 12) -> DataFrame:
+    """Token-level exact substring deduplication (cf. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr rule): any ``l``-token span that occurs more than once
+    corpus-wide survives only at its globally FIRST occurrence
+    (smallest ``(key, position)``); every later occurrence — in the
+    same doc or any other — has its covered positions removed.  A
+    repeated region longer than ``l`` yields overlapping duplicated
+    grams whose interval union removes the whole region, which is
+    exactly the suffix-array behaviour the paper implements on one
+    machine; here the same contract is a distributed explode+agg.
+
+    Returns the input rows with ``tokens_dedup`` (array<int>, original
+    order preserved) and ``n_removed`` added — row-preserving: a doc
+    that is a verbatim repeat comes back with an empty token array,
+    not dropped.
+
+    Scale shape (never a suffix array, never all-pairs): ONE explode
+    to (key, pos, md5-of-l-gram) — the md5 is computed JVM-side from a
+    once-bound stringified token array; one hash shuffle on the gram
+    to pick the global keeper (min-struct, map-side combined — a gram
+    repeated 10⁹ times is ONE group); one equi-join back on the gram
+    (each occurrence matches exactly one keeper row, no blowup); one
+    regroup by doc whose ``collect_list`` is bounded by n_tok.  The
+    coverage mask and filtered array are pure JVM array ops
+    (``array_except`` is hash-based, ~O(n + covered)).
+    """
+    df = ensure_parallelism(df)
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+
+    def gram_hashes(ts: Column) -> Column:
+        # guard: sequence(1, k) with k < 1 would run DOWNWARD (default
+        # step -1); docs shorter than l simply have no grams
+        return F.when(
+            F.size(ts) >= l,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - F.lit(l - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, l))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = _bind(
+        F.transform(toks, lambda x: x.cast("string")), gram_hashes
+    )
+    occ = df.select(
+        F.col(key), F.posexplode(grams).alias("pos", "g")
+    )
+    first = occ.groupBy("g").agg(
+        F.min(F.struct(F.col(key), F.col("pos"))).alias("first")
+    )
+    dup_starts = (
+        occ.join(first, "g")
+        .filter(
+            (F.col("first." + key) != F.col(key))
+            | (F.col("first.pos") != F.col("pos"))
+        )
+        .groupBy(key)
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + F.lit(l - 1)),
+            )
+        )
+    )
+    # array_except preserves left-operand order, so kept positions come
+    # out ascending and the transform rebuilds the sequence in order
+    kept = _bind(
+        covered,
+        lambda cov: F.transform(
+            F.array_except(
+                F.when(n > 0, F.sequence(F.lit(0), n - 1))
+                .otherwise(F.array().cast("array<int>")),
+                cov,
+            ),
+            lambda p: F.element_at(toks, p + F.lit(1)),
+        ),
+    )
+    return (
+        df.join(dup_starts, key, "left")
+        .withColumn("tokens_dedup", kept)
+        .withColumn(
+            "n_removed", (n - F.size(F.col("tokens_dedup"))).cast("int")
+        )
+        .drop("_starts")
     )
 
 

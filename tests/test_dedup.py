@@ -384,3 +384,44 @@ def test_token_minhash_matches_python_reference(spark):
         ).collect()
     }
     assert pairs == {("d1", "d2")}
+
+
+def test_substring_dedup_exactsubstr_contract(spark):
+    # Lee et al. 2022 ExactSubstr: an l-gram occurring >1 time
+    # corpus-wide survives only at the smallest (doc_id, pos); overlap
+    # unions cover repeated regions longer than l.
+    A = [101, 102, 103, 104, 105, 106, 107, 108]
+    B = [201, 202, 203, 204, 205, 206, 207, 208]
+    rows = [
+        ("d1", list(range(1, 13))),   # unique content, untouched
+        ("d2", A + [9, 9, 9]),        # globally-first copy of A
+        ("d3", [55, 56] + A + [77]),  # later copy -> span removed
+        ("d4", list(range(1, 13))),   # verbatim repeat of d1 -> emptied
+        ("d5", [1, 2, 3]),            # shorter than l: no grams, kept
+        ("d6", B + [42] + B),         # in-doc repeat: 2nd B removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {
+        r["doc_id"]: (r["tokens_dedup"], r["n_removed"])
+        for r in dedup.substring_dedup(df, l=8).collect()
+    }
+    assert out["d1"] == (list(range(1, 13)), 0)
+    assert out["d2"] == (A + [9, 9, 9], 0)
+    assert out["d3"] == ([55, 56, 77], 8)
+    assert out["d4"] == ([], 12)          # row-preserving, not dropped
+    assert out["d5"] == ([1, 2, 3], 0)
+    assert out["d6"] == (B + [42], 8)     # first B is the global keeper
+
+
+def test_substring_dedup_long_repeat_interval_union(spark):
+    # a repeated region of length m > l is covered by its m-l+1
+    # overlapping duplicated grams: the WHOLE region goes, not just l
+    R = list(range(300, 312))  # 12-token repeated region
+    rows = [("a", R + [1, 2]), ("b", [7, 8, 9] + R + [4])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {
+        r["doc_id"]: r["tokens_dedup"]
+        for r in dedup.substring_dedup(df, l=8).collect()
+    }
+    assert out["a"] == R + [1, 2]
+    assert out["b"] == [7, 8, 9, 4]

@@ -49,6 +49,11 @@ CHECKS = {
         ("band equi-join is a real join (never cross)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("signature computed JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "substring_dedup": [
+        ("gram hashing JVM-side (no Python workers)", r"^(?!.*ArrowEvalPython)"),
+        ("global keeper pick is a map-side-combined partial agg", r"partial_min"),
+        ("occurrence->keeper join is a real equi-join (never cross)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
     "token_minhash_pairs": [
         ("band equi-join is a real join (never cross)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("token signature computed JVM-side", r"^(?!.*ArrowEvalPython)"),
