@@ -930,6 +930,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = similarity.kmeans_fit(e, k=4, iters=2)
         return similarity.ivf_topk(e, cents, _query_vec(spark, sf_dir), k=5, n_probe=2)
 
+    def _pq_codebook(spark, sf_dir):
+        # deterministic m=4 × k=8 codebook: subvectors of the first 8
+        # rows (oracle-reproducible; a per-subspace k-means would slot
+        # in on a real corpus with everything downstream unchanged)
+        return similarity.pq_codebook_from_rows(
+            _emb(spark, sf_dir), list(range(8)), m=4
+        )
+
+    def q_pq_codes(spark, sf_dir):
+        # product-quantization encoding: 64 dims -> 4 bytes/vector
+        codes = similarity.pq_encode(
+            _emb(spark, sf_dir), _pq_codebook(spark, sf_dir), m=4
+        )
+        return codes.groupBy("vec_id").agg(
+            *[
+                F.max(F.when(F.col("j") == j, F.col("code")))
+                .cast("int")
+                .alias(f"code{j}")
+                for j in range(4)
+            ]
+        )
+
+    def q_pq_adc_topk(spark, sf_dir):
+        # asymmetric-distance top-5 over the PQ codes — the memory-scale
+        # ANN path (1 byte per subspace instead of 4·d bytes)
+        e = _emb(spark, sf_dir)
+        cb = _pq_codebook(spark, sf_dir)
+        codes = similarity.pq_encode(e, cb, m=4)
+        return similarity.pq_adc_topk(
+            codes, cb, _query_vec(spark, sf_dir), k=5, m=4
+        )
+
+    def q_pq_recall(spark, sf_dir):
+        # ADC quality metric: recall@5 vs the exact squared-L2 top-5
+        e = _emb(spark, sf_dir)
+        cb = _pq_codebook(spark, sf_dir)
+        codes = similarity.pq_encode(e, cb, m=4)
+        qv = _query_vec(spark, sf_dir)
+        adc = similarity.pq_adc_topk(codes, cb, qv, k=5, m=4).select("vec_id")
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        exact = (
+            e.select(
+                "vec_id",
+                F.round(similarity._l2sq(v, q), 6).alias("d"),
+            )
+            .orderBy("d", "vec_id")
+            .limit(5)
+            .select("vec_id")
+        )
+        return exact.join(adc, "vec_id", "left_semi").agg(
+            (F.count("*") / F.lit(5.0)).alias("recall_at_5")
+        )
+
     # --------------- sequences (tokens) — reference ops ----------------
     def q_gbdhash_docs(spark, sf_dir):
         seqs = tables.documents_as_sequences(spark, sf_dir)
@@ -1354,6 +1408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_recall": q_ivf_recall,
         "ivf_trained_topk": q_ivf_trained_topk,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
+        "pq_recall": q_pq_recall,
         "gbdhash_docs": q_gbdhash_docs,
         "normalize_docs": q_normalize_docs,
         "base_counts_docs": q_base_counts_docs,
@@ -1438,6 +1495,46 @@ def _duck_cos(a: str, b: str) -> str:
         f"round(list_dot_product({a}, {b}) / "
         f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
     )
+
+
+# product-quantization CTE chain shared by the pq_* oracles: m=4
+# subspaces of 16 dims, codebook = subvectors of vec_id < 8, argmin by
+# (round(L2², 6), code) — mirrors pq_codebook_from_rows/pq_encode
+_DUCK_PQ_CODES = """
+    cb AS (
+        SELECT j, CAST(vec_id AS INT) AS code,
+               list_transform(embedding[j*16+1 : j*16+16],
+                              x -> CAST(x AS DOUBLE)) AS sc
+        FROM (SELECT vec_id, embedding, unnest(range(0, 4)) AS j
+              FROM embeddings WHERE vec_id < 8)),
+    sv AS (
+        SELECT vec_id, j,
+               list_transform(embedding[j*16+1 : j*16+16],
+                              x -> CAST(x AS DOUBLE)) AS sub
+        FROM (SELECT vec_id, embedding, unnest(range(0, 4)) AS j
+              FROM embeddings)),
+    pqdist AS (
+        SELECT sv.vec_id, sv.j, cb.code,
+               round(list_sum(list_transform(range(1, 17),
+                     i -> (sub[i] - sc[i]) * (sub[i] - sc[i]))), 6) AS dist
+        FROM sv JOIN cb ON sv.j = cb.j),
+    pqcodes AS (
+        SELECT vec_id, j, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                         ORDER BY dist, code) AS rn
+            FROM pqdist)
+        WHERE rn = 1),
+    dt AS (
+        SELECT cb.j, cb.code,
+               round(list_sum(list_transform(range(1, 17),
+                     i -> (qs.sub[i] - sc[i]) * (qs.sub[i] - sc[i]))), 6) AS dj
+        FROM cb JOIN (SELECT j, sub FROM sv WHERE vec_id = 0) qs
+          ON qs.j = cb.j),
+    adc AS (
+        SELECT c.vec_id, round(sum(dj), 6) AS adist
+        FROM pqcodes c JOIN dt ON c.j = dt.j AND c.code = dt.code
+        GROUP BY c.vec_id)
+"""
 
 
 def _duck_ivf_round(cin: str, aout: str, mout: str, cout: str) -> str:
@@ -2792,6 +2889,36 @@ def oracle_sql() -> dict[str, str]:
             {_duck_ivf_round("c0", "a1", "m1", "c1")},
             {_duck_ivf_round("c1", "a2", "m2", "c2")},
             {_duck_ivf_topk_tail("c2")}
+        """,
+        "pq_codes": f"""
+            WITH {_DUCK_PQ_CODES}
+            SELECT vec_id,
+                   CAST(max(CASE WHEN j = 0 THEN code END) AS INT) AS code0,
+                   CAST(max(CASE WHEN j = 1 THEN code END) AS INT) AS code1,
+                   CAST(max(CASE WHEN j = 2 THEN code END) AS INT) AS code2,
+                   CAST(max(CASE WHEN j = 3 THEN code END) AS INT) AS code3
+            FROM pqcodes GROUP BY vec_id
+        """,
+        "pq_adc_topk": f"""
+            WITH {_DUCK_PQ_CODES}
+            SELECT vec_id, adist FROM adc ORDER BY adist, vec_id LIMIT 5
+        """,
+        "pq_recall": f"""
+            WITH {_DUCK_PQ_CODES},
+            qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+                   FROM embeddings WHERE vec_id = 0),
+            exact AS (
+                SELECT vec_id FROM (
+                    SELECT vec_id,
+                           round(list_sum(list_transform(range(1, 65),
+                                 i -> (CAST(embedding[i] AS DOUBLE) - q[i])
+                                    * (CAST(embedding[i] AS DOUBLE) - q[i]))),
+                                 6) AS d
+                    FROM embeddings, qv)
+                ORDER BY d, vec_id LIMIT 5),
+            adctop AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 5)
+            SELECT count(*) / 5.0 AS recall_at_5
+            FROM exact SEMI JOIN adctop ON exact.vec_id = adctop.vec_id
         """,
         "flagship_docs": f"""
             WITH base AS (

@@ -25,6 +25,9 @@ __all__ = [
     "ivf_probe",
     "centroids_from_rows",
     "kmeans_fit",
+    "pq_codebook_from_rows",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -139,6 +142,117 @@ def ivf_probe(spark: SparkSession, path: str, centroids: DataFrame,
     cells = _probe_cells(centroids, query, n_probe)
     cand = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     return cosine_topk(cand, query, k, key, vec_col)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 as the same sequential left-fold sum the DuckDB
+    oracles use (list_sum over list_transform) — byte-for-byte float
+    parity at the 6-decimal rounding the comparisons apply."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvectors(v: Column, m: int, sub: int) -> Column:
+    """array of m structs (j, sub): the PQ subspace split of one vector."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice(v, j * sub + 1, sub).alias("sub"),
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def pq_codebook_from_rows(df: DataFrame, ids: list[int], m: int = 4,
+                          key: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Deterministic product-quantization codebook (Jégou et al.
+    TPAMI'11): split the d-dim space into ``m`` subspaces and take the
+    subvectors of fixed row ids as the per-subspace code centroids —
+    the same oracle-reproducible stand-in for a trained codebook that
+    :func:`centroids_from_rows` uses for IVF (a per-subspace k-means
+    would slot in here on a real corpus; every downstream op is
+    unchanged).  Returns (j, code, subcentroid) — m × len(ids) rows,
+    always broadcast-sized."""
+    d_over_m = F.floor(F.size(F.col(vec_col)) / m).cast("int")
+    v = _to_double(F.col(vec_col))
+    rows = df.filter(F.col(key).isin(ids)).select(
+        F.col(key).cast("int").alias("code"), v.alias("v"),
+        d_over_m.alias("sub"),
+    )
+    return rows.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("j"),
+                    F.slice(
+                        F.col("v"), j * F.col("sub") + 1, F.col("sub")
+                    ).alias("subcentroid"),
+                ),
+            )
+        ).alias("e"),
+        F.col("code"),
+    ).select(F.col("e.j").alias("j"), "code", F.col("e.subcentroid").alias("subcentroid"))
+
+
+def pq_encode(df: DataFrame, codebook: DataFrame, m: int = 4,
+              key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ-encode every vector: nearest codebook entry per subspace by
+    squared L2 (rounded to 6 decimals; ties to the smallest code — the
+    determinism contract every oracle-checked argmin here uses).
+
+    Returns the LONG form (key, j, code) — m rows per vector, the shape
+    ADC consumes directly.  Scale: one explode (×m), a broadcast join
+    against the m×k codebook, and one min-struct argmin groupBy — all
+    map-side combinable, no window over the corpus, no Python."""
+    sub = codebook.select(F.size("subcentroid").alias("s")).first()["s"]
+    vecs = df.select(
+        F.col(key),
+        F.explode(_subvectors(_to_double(F.col(vec_col)), m, sub)).alias("e"),
+    ).select(key, F.col("e.j").alias("j"), F.col("e.sub").alias("sub"))
+    scored = vecs.join(F.broadcast(codebook), "j").withColumn(
+        "dist", F.round(_l2sq(F.col("sub"), F.col("subcentroid")), 6)
+    )
+    return (
+        scored.groupBy(key, "j")
+        .agg(F.min(F.struct("dist", "code")).alias("best"))
+        .select(key, "j", F.col("best.code").alias("code"),
+                F.col("best.dist").alias("dist"))
+    )
+
+
+def pq_adc_topk(codes: DataFrame, codebook: DataFrame, query: list[float],
+                k: int = 5, m: int = 4, key: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query is split into
+    subvectors, its distance to every codebook entry forms the m×k ADC
+    lookup table (a tiny Spark job, broadcast), and each encoded vector
+    is scored as the sum of its m table entries — the memory-scale ANN
+    path where the corpus is 1 byte/subspace instead of 4·d bytes.
+    Approximate distances ascending, ties to the smallest key."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sub = codebook.select(F.size("subcentroid").alias("s")).first()["s"]
+    dtable = codebook.select(
+        "j", "code",
+        F.round(
+            _l2sq(
+                F.slice(q, F.col("j") * sub + 1, sub),
+                F.col("subcentroid"),
+            ),
+            6,
+        ).alias("dj"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["j", "code"])
+        .groupBy(key)
+        .agg(F.round(F.sum("dj"), 6).alias("adist"))
+    )
+    return scored.orderBy(F.col("adist"), F.col(key)).limit(k)
 
 
 def kmeans_fit(

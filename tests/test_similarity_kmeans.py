@@ -83,3 +83,33 @@ def test_ivf_topk_reuses_precomputed_assignment(spark, emb):
     a = sim.ivf_topk(emb, cents, q, k=5, n_probe=2).collect()
     b = sim.ivf_topk(emb, cents, q, k=5, n_probe=2, assigned=assigned).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pq_encode_matches_numpy_and_self_distance_zero(spark, emb):
+    cb = sim.pq_codebook_from_rows(emb, list(range(8)), m=4)
+    assert cb.count() == 32  # m=4 subspaces x 8 codes
+    codes = sim.pq_encode(emb, cb, m=4).collect()
+    got = {(r.vec_id, r.j): (r.code, r.dist) for r in codes}
+    rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()
+    )
+    V = np.array([v for _, v in rows], dtype=np.float64).reshape(-1, 4, 16)
+    CB = V[:8]  # codebook rows are vec_id 0..7
+    for i, (vid, _) in enumerate(rows):
+        for j in range(4):
+            d = np.round(((V[i, j] - CB[:, j]) ** 2).sum(-1), 6)
+            code = int(d.argmin())  # first min = smallest code, the tie rule
+            assert got[(vid, j)][0] == code, (vid, j)
+    # a codebook member quantizes to itself with distance 0 everywhere
+    for j in range(4):
+        assert got[(3, j)] == (3, 0.0)
+
+
+def test_pq_adc_ranks_query_vector_first(spark, emb):
+    cb = sim.pq_codebook_from_rows(emb, list(range(8)), m=4)
+    codes = sim.pq_encode(emb, cb, m=4)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = sim.pq_adc_topk(codes, cb, q, k=5, m=4).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["adist"] == 0.0
+    adists = [r["adist"] for r in top]
+    assert adists == sorted(adists)

@@ -49,6 +49,11 @@ CHECKS = {
         ("band equi-join is a real join (never cross)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("signature computed JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "pq_adc_topk": [
+        ("ADC lookup table broadcast to the codes", r"BroadcastHashJoin"),
+        ("per-vector sum is a map-side-combined partial agg", r"partial"),
+        ("no Python workers anywhere", r"^(?!.*ArrowEvalPython)"),
+    ],
     "substring_dedup": [
         ("gram hashing JVM-side (no Python workers)", r"^(?!.*ArrowEvalPython)"),
         ("global keeper pick is a map-side-combined partial agg", r"partial_min"),
