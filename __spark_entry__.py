@@ -462,6 +462,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             key="doc_id", default_fraction=0.1,
         )
 
+    def q_weighted_sample(spark, sf_dir):
+        # Efraimidis–Spirakis weighted sample without replacement:
+        # 25 docs drawn proportional to word count (token-budget
+        # mixture sampling), md5-uniform so the draw has no RNG state
+        from gbdc_spark.operators.packing import weighted_sample
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("int").alias("w"),
+        )
+        return weighted_sample(docs, k=25, weight_col="w", key="doc_id")
+
+    def q_epoch_order(spark, sf_dir):
+        # deterministic epoch-1 training order: two-phase global
+        # position (bucketed offsets + parallel in-bucket ranks), no
+        # single-partition window
+        from gbdc_spark.operators.packing import epoch_shuffle
+
+        docs = _docs(spark, sf_dir).select("doc_id")
+        return epoch_shuffle(docs, seed=1, key="doc_id").select(
+            "doc_id", "position"
+        )
+
     def q_stream_session_append(spark, sf_dir):
         # REAL append-mode streaming with a live watermark: events are
         # replayed as THREE ordered files — recent (even users), recent
@@ -1357,6 +1380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_append": q_stream_session_append,
         "pack_next_fit": q_pack_next_fit,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
+        "epoch_order": q_epoch_order,
         "quality_signals": q_quality_signals,
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
@@ -2370,6 +2395,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE h < CASE source WHEN 'src0' THEN 0.5
                                   WHEN 'src1' THEN 0.25
                                   ELSE 0.1 END * 4294967296.0
+        """,
+        "weighted_sample": """
+            WITH b AS (
+                SELECT doc_id, CAST(len(str_split(text, ' ')) AS INT) AS w,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+            u AS (
+                SELECT doc_id, w,
+                       list_sum(list_transform(range(0, 8), i ->
+                           CAST(strpos('0123456789abcdef',
+                                substr(h, CAST(i AS INTEGER) + 1, 1)) - 1
+                                AS BIGINT)
+                           * CAST(pow(16, 7 - i) AS BIGINT))) AS hv
+                FROM b WHERE w > 0)
+            SELECT doc_id, w,
+                   round(ln((hv + 1) / 4294967296.0) / w, 6) AS score
+            FROM u ORDER BY score DESC, doc_id LIMIT 25
+        """,
+        "epoch_order": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY md5(concat('1:', CAST(doc_id AS VARCHAR))),
+                                 doc_id) - 1 AS BIGINT) AS position
+            FROM documents
         """,
         "stream_session_append": """
             WITH r AS (

@@ -27,7 +27,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pack_next_fit", "stratified_sample", "chunk_sequences"]
+__all__ = [
+    "pack_next_fit",
+    "stratified_sample",
+    "weighted_sample",
+    "epoch_shuffle",
+    "chunk_sequences",
+]
 
 
 def pack_next_fit(
@@ -100,6 +106,88 @@ def stratified_sample(
     for stratum, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == F.lit(stratum), F.lit(float(f))).otherwise(frac)
     return df.filter(u < frac * F.lit(float(1 << 32)))
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key: str = "doc_id",
+    by: str | None = None,
+    score_out: str = "score",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    A-ES key (IPL 2006): each row draws a deterministic md5-uniform
+    u ∈ (0, 1] from its key and is ranked by ln(u)/w (the log form of
+    u^(1/w)); the top-``k`` ranks are an exact weighted sample without
+    replacement.  The building block of mixture construction — e.g.
+    sampling docs proportional to token count under a corpus budget —
+    that stays reproducible across engines, retries, and parallelism
+    because there is no RNG stream, only md5.
+
+    Rows with non-positive weight are excluded (the scheme requires
+    w > 0).  Scores are rounded to 6 decimals BEFORE ranking and ties
+    break on the key, so an external oracle ranks identically.
+
+    Scale: the global form plans as TakeOrderedAndProject — every
+    partition keeps its local top-k and only k rows per partition reach
+    the driver-side merge, no full sort, no shuffle of the corpus.  The
+    per-stratum form (``by``) is a bounded window per stratum.
+    """
+    u = (
+        (_md5_uniform(F.col(key)) + F.lit(1)).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    score = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    scored = df.filter(F.col(weight_col) > 0).withColumn(score_out, score)
+    if by is None:
+        return scored.orderBy(F.desc(score_out), F.col(key)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(F.desc(score_out), F.col(key))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def epoch_shuffle(df: DataFrame, seed: int = 0, key: str = "doc_id",
+                  out: str = "position", buckets: int = 256) -> DataFrame:
+    """Deterministic global training-order shuffle for epoch ``seed``:
+    every row's sort key is md5(seed:key), so each epoch is a fresh,
+    engine-independent permutation and re-runs are bit-identical.
+
+    Global row numbering WITHOUT a single-partition window (the naive
+    ``row_number() OVER (ORDER BY h)`` serializes the corpus through
+    one task): rows hash into ``buckets`` ordered ranges by their md5
+    hex prefix (``buckets`` must be a power of 16 so the integer
+    bucket order IS the lexicographic hash order), a tiny per-bucket
+    count aggregate yields cumulative offsets (≤ ``buckets`` rows,
+    broadcast back), and each bucket ranks independently — position =
+    bucket offset + in-bucket rank.  Two bounded shuffles, rank
+    windows parallel across buckets.
+    """
+    from pyspark.sql import Window
+
+    prefix = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(buckets)
+    if prefix is None:
+        raise ValueError("buckets must be one of 16, 256, 4096, 65536")
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string")))
+    scored = df.withColumn("_h", h).withColumn(
+        "_b", F.conv(F.substring(F.col("_h"), 1, prefix), 16, 10).cast("int")
+    )
+    counts = scored.groupBy("_b").agg(F.count("*").alias("_c"))
+    wc = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(wc), F.lit(0))
+    ).select("_b", "_off")
+    wr = Window.partitionBy("_b").orderBy("_h", F.col(key))
+    return (
+        scored.join(F.broadcast(offsets), "_b")
+        .withColumn(out, (F.col("_off") + F.row_number().over(wr) - 1).cast("long"))
+        .drop("_h", "_b", "_off")
+    )
 
 
 def chunk_sequences(df: DataFrame, max_len: int, overlap: int = 0,

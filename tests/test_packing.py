@@ -5,6 +5,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
+from gbdc_spark.operators import packing
 from gbdc_spark.operators.packing import pack_next_fit, stratified_sample
 
 
@@ -119,3 +120,49 @@ def test_chunk_sequences_rejects_bad_overlap(spark):
     df = spark.createDataFrame([("a", [1])], "doc_id string, tokens array<int>")
     with pytest.raises(ValueError):
         chunk_sequences(df, max_len=4, overlap=4)
+
+
+def test_weighted_sample_matches_efraimidis_spirakis_reference(spark):
+    import hashlib
+    import math
+
+    rows = [(i, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    got = [(r.doc_id, r.score) for r in packing.weighted_sample(
+        df, 10, "w", key="doc_id").collect()]
+
+    def score(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1) / 2**32
+        return round(math.log(u) / w, 6)
+
+    ref = sorted(((score(i, w), -i) for i, w in rows), reverse=True)[:10]
+    assert got == [(-ni, s) for s, ni in ref]
+
+
+def test_weighted_sample_excludes_nonpositive_and_per_stratum(spark):
+    rows = [(1, "a", 0), (2, "a", 5), (3, "a", 5), (4, "b", -1), (5, "b", 2)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w int")
+    out = packing.weighted_sample(df, 1, "w", key="doc_id", by="src").collect()
+    by_src = {r.src: r.doc_id for r in out}
+    assert set(by_src) == {"a", "b"}
+    assert by_src["a"] in (2, 3) and by_src["b"] == 5  # w<=0 never sampled
+
+
+def test_epoch_shuffle_is_global_rank_and_seed_sensitive(spark):
+    import hashlib
+
+    rows = [(i,) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    for b in (16, 256):
+        pos = {r.doc_id: r.position
+               for r in packing.epoch_shuffle(df, seed=3, buckets=b).collect()}
+        order = sorted(
+            range(300),
+            key=lambda i: (hashlib.md5(f"3:{i}".encode()).hexdigest(), i),
+        )
+        assert [pos[i] for i in order] == list(range(300))
+    p0 = {r.doc_id: r.position for r in packing.epoch_shuffle(df, seed=0).collect()}
+    assert p0 != pos  # a new epoch is a new permutation
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        packing.epoch_shuffle(df, buckets=100)

@@ -49,6 +49,14 @@ CHECKS = {
         ("band equi-join is a real join (never cross)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("signature computed JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "weighted_sample": [
+        ("global top-k is TakeOrderedAndProject (no full sort)", r"TakeOrderedAndProject"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "epoch_order": [
+        ("bucket offsets broadcast back (no single-partition window over the corpus)", r"BroadcastHashJoin"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "pq_adc_topk": [
         ("ADC lookup table broadcast to the codes", r"BroadcastHashJoin"),
         ("per-vector sum is a map-side-combined partial agg", r"partial"),
