@@ -462,6 +462,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             key="doc_id", default_fraction=0.1,
         )
 
+    def q_training_build(spark, sf_dir):
+        # E2E token-side training-set build: holdout -> ExactSubstr
+        # dedup -> length gate -> decontamination -> A-ES weighted
+        # sample -> next-fit packing -> epoch order; one composed
+        # DuckDB oracle mirrors every stage
+        from gbdc_spark.plans.training_build import build_training_set
+
+        return build_training_set(
+            tables.documents_as_sequences(spark, sf_dir)
+        )
+
     def q_weighted_sample(spark, sf_dir):
         # Efraimidis–Spirakis weighted sample without replacement:
         # 25 docs drawn proportional to word count (token-budget
@@ -1382,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "epoch_order": q_epoch_order,
+        "training_build": q_training_build,
         "quality_signals": q_quality_signals,
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
@@ -1987,6 +1999,17 @@ def _duck_md5_bucket(expr: str, n_buckets: int) -> str:
     )
 
 
+def _duck_md5_u32(expr: str) -> str:
+    """Value of the first 8 hex digits of md5(expr) as a BIGINT in
+    [0, 2^32) — the DuckDB twin of packing._md5_uniform."""
+    return (
+        f"list_sum(list_transform(range(0, 8), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), "
+        f"CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT) "
+        f"* CAST(pow(16, 7 - i) AS BIGINT)))"
+    )
+
+
 def _duck_pii_sql() -> str:
     """Oracle for ``pii_scrub``: regenerates the SAME deterministic PII
     salt the Spark query appends, then replays count-then-replace with
@@ -2419,6 +2442,99 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5(concat('1:', CAST(doc_id AS VARCHAR))),
                                  doc_id) - 1 AS BIGINT) AS position
             FROM documents
+        """,
+        "training_build": f"""
+            WITH RECURSIVE t AS (
+                SELECT {_DOC_KEY} AS doc_id, source, {_DUCK_TOKENS_FLAT} AS toks
+                FROM documents),
+            u AS (SELECT doc_id, source, toks,
+                         {_duck_md5_u32('doc_id')} AS h FROM t),
+            bench AS (SELECT doc_id, toks FROM u
+                      WHERE h < 0.05 * 4294967296.0),
+            corpus AS (SELECT doc_id, source, toks FROM u
+                       WHERE h >= 0.05 * 4294967296.0),
+            g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(list_transform(
+                           list_slice(toks, i, i + 11),
+                           x -> CAST(x AS VARCHAR)), ' ')) AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 11, 0) + 1)) AS i
+                      FROM corpus)),
+            r AS (SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY g
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM g),
+            cov AS (SELECT DISTINCT doc_id, pos + j AS p
+                    FROM (SELECT doc_id, pos, unnest(range(0, 12)) AS j
+                          FROM r WHERE rn > 1)),
+            tp AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p,
+                          unnest(toks) AS tok
+                   FROM corpus),
+            kept AS (
+                SELECT tp.doc_id,
+                       coalesce(list(tok ORDER BY tp.p)
+                                FILTER (WHERE cov.p IS NULL), []) AS ktoks
+                FROM tp LEFT JOIN cov
+                  ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+                GROUP BY tp.doc_id),
+            gated AS (
+                SELECT k.doc_id, c.source,
+                       CAST(len(c.toks) AS INT) AS n_tok,
+                       CAST(len(ktoks) AS INT) AS n_kept, ktoks
+                FROM kept k JOIN corpus c USING (doc_id)
+                WHERE len(ktoks) >= 24),
+            cg AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, len(ktoks) - 7 + 1),
+                           i -> array_to_string(
+                               list_transform(list_slice(ktoks, i, i + 7),
+                                              x -> CAST(x AS VARCHAR)),
+                               ' ')))) AS gram
+                FROM gated WHERE len(ktoks) >= 8),
+            bg AS (
+                SELECT DISTINCT unnest(list_distinct(list_transform(
+                           range(1, len(toks) - 7 + 1),
+                           i -> array_to_string(
+                               list_transform(list_slice(toks, i, i + 7),
+                                              x -> CAST(x AS VARCHAR)),
+                               ' ')))) AS gram
+                FROM bench WHERE len(toks) >= 8),
+            flagged AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+            clean AS (
+                SELECT doc_id, source, n_tok, n_kept FROM gated
+                ANTI JOIN flagged USING (doc_id)),
+            samp AS (
+                SELECT doc_id, source, n_tok, n_kept,
+                       round(ln(({_duck_md5_u32("concat('ws1:', doc_id)")} + 1)
+                                / 4294967296.0) / n_kept, 6) AS score
+                FROM clean WHERE n_kept > 0
+                ORDER BY score DESC, doc_id LIMIT 150),
+            d AS (SELECT *, row_number() OVER (PARTITION BY source
+                                               ORDER BY doc_id) AS rn
+                  FROM samp),
+            p AS (
+                SELECT doc_id, source, n_tok, n_kept, score, rn,
+                       CAST(0 AS BIGINT) AS pack_id,
+                       CAST(n_kept AS BIGINT) AS pack_fill
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.doc_id, d.source, d.n_tok, d.n_kept, d.score, d.rn,
+                       CASE WHEN p.pack_fill + d.n_kept > 256
+                            THEN p.pack_id + 1 ELSE p.pack_id END,
+                       CASE WHEN p.pack_fill + d.n_kept > 256
+                            THEN CAST(d.n_kept AS BIGINT)
+                            ELSE p.pack_fill + d.n_kept END
+                FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1),
+            pos AS (
+                SELECT doc_id,
+                       CAST(row_number() OVER (
+                            ORDER BY md5(concat('1:', doc_id)), doc_id) - 1
+                            AS BIGINT) AS position
+                FROM samp)
+            SELECT p.doc_id, p.source, p.n_tok, p.n_kept, p.score,
+                   p.pack_id, p.pack_fill, pos.position
+            FROM p JOIN pos USING (doc_id)
         """,
         "stream_session_append": """
             WITH r AS (

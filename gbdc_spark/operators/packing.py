@@ -115,6 +115,7 @@ def weighted_sample(
     key: str = "doc_id",
     by: str | None = None,
     score_out: str = "score",
+    salt: str | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
     A-ES key (IPL 2006): each row draws a deterministic md5-uniform
@@ -134,8 +135,13 @@ def weighted_sample(
     the driver-side merge, no full sort, no shuffle of the corpus.  The
     per-stratum form (``by``) is a bounded window per stratum.
     """
+    kexpr = F.col(key).cast("string")
+    if salt is not None:
+        # decorrelate this draw from any other md5(key)-derived uniform
+        # in the pipeline (e.g. an eval-slice holdout split)
+        kexpr = F.concat_ws(":", F.lit(salt), kexpr)
     u = (
-        (_md5_uniform(F.col(key)) + F.lit(1)).cast("double")
+        (_md5_uniform(kexpr) + F.lit(1)).cast("double")
         / F.lit(float(1 << 32))
     )
     score = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)

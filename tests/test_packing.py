@@ -166,3 +166,21 @@ def test_epoch_shuffle_is_global_rank_and_seed_sensitive(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         packing.epoch_shuffle(df, buckets=100)
+
+
+def test_weighted_sample_salt_changes_draw_deterministically(spark):
+    import hashlib
+    import math
+
+    rows = [(i, 3) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    a = [r.doc_id for r in packing.weighted_sample(df, 5, "w").collect()]
+    b = [r.doc_id for r in packing.weighted_sample(df, 5, "w", salt="s1").collect()]
+    assert a != b  # salted draw is a different sample
+
+    def score(keystr, w):
+        u = (int(hashlib.md5(keystr.encode()).hexdigest()[:8], 16) + 1) / 2**32
+        return round(math.log(u) / w, 6)
+
+    ref = sorted(((score(f"s1:{i}", w), -i) for i, w in rows), reverse=True)[:5]
+    assert b == [-ni for _, ni in ref]

@@ -82,3 +82,42 @@ def test_flagship_runs_extraction_once(spark):
     # cache (InMemoryRelation) instead of re-running extraction; only the
     # cached subtree itself contains the cogroup
     assert "InMemoryRelation" in opt
+
+
+def test_training_build_stage_invariants(spark):
+    from gbdc_spark.operators.packing import stratified_sample
+    from gbdc_spark.plans.training_build import build_training_set
+    from gbdc_spark.sources import tables
+
+    seqs = tables.documents_as_sequences(spark, "/root/testdata/sf0.001")
+    out = build_training_set(seqs, k=20, max_tokens=128).collect()
+    assert 0 < len(out) <= 20
+    rows = {r.doc_id: r for r in out}
+    # holdout really held out: no sampled doc is in the 5% bench slice
+    bench = {
+        r.doc_id
+        for r in stratified_sample(
+            seqs, {}, strata_col="source", key="doc_id",
+            default_fraction=0.05,
+        ).collect()
+    }
+    assert not bench & set(rows)
+    for r in out:
+        assert 24 <= r.n_kept <= r.n_tok      # gate + dedup can only shrink
+        assert r.score <= 0.0                  # ln(u)/w with u in (0,1]
+        assert r.pack_fill <= 128 or r.n_kept > 128
+    # positions are a permutation of 0..n-1
+    assert sorted(r.position for r in out) == list(range(len(out)))
+    # packs fill sequentially per source: fill of pack_id p+1 restarts
+    by_src = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    for docs in by_src.values():
+        fill = 0
+        pack = 0
+        for r in docs:
+            if fill > 0 and fill + r.n_kept > 128:
+                pack += 1
+                fill = 0
+            fill += r.n_kept
+            assert (r.pack_id, r.pack_fill) == (pack, fill)

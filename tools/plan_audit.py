@@ -49,6 +49,11 @@ CHECKS = {
         ("band equi-join is a real join (never cross)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("signature computed JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "training_build": [
+        ("packing is the only Python stage (one applyInPandas group map)", r"FlatMapGroupsInPandas"),
+        ("dedup/contamination/sampling all JVM-side (no Arrow eval)", r"^(?!.*ArrowEvalPython)"),
+        ("budget top-k is TakeOrderedAndProject (no full sort)", r"TakeOrderedAndProject"),
+    ],
     "weighted_sample": [
         ("global top-k is TakeOrderedAndProject (no full sort)", r"TakeOrderedAndProject"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
