@@ -473,6 +473,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tables.documents_as_sequences(spark, sf_dir)
         )
 
+    def q_label_balance(spark, sf_dir):
+        # deterministic class rebalancing on the embeddings label:
+        # every label downsampled to the minority-class size by
+        # md5-uniform rank
+        from gbdc_spark.operators.packing import label_balance
+
+        e = _emb(spark, sf_dir).select("vec_id", "label")
+        return label_balance(e, label_col="label", key="vec_id")
+
     def q_weighted_sample(spark, sf_dir):
         # Efraimidis–Spirakis weighted sample without replacement:
         # 25 docs drawn proportional to word count (token-budget
@@ -1394,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "epoch_order": q_epoch_order,
         "training_build": q_training_build,
+        "label_balance": q_label_balance,
         "quality_signals": q_quality_signals,
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
@@ -2435,6 +2445,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, w,
                    round(ln((hv + 1) / 4294967296.0) / w, 6) AS score
             FROM u ORDER BY score DESC, doc_id LIMIT 25
+        """,
+        "label_balance": f"""
+            WITH r AS (
+                SELECT vec_id, label,
+                       row_number() OVER (
+                           PARTITION BY label
+                           ORDER BY {_duck_md5_u32("concat('lb:', CAST(vec_id AS VARCHAR))")},
+                                    vec_id) AS rn
+                FROM embeddings)
+            SELECT vec_id, label FROM r
+            WHERE rn <= (SELECT min(c) FROM (
+                SELECT count(*) AS c FROM embeddings GROUP BY label))
         """,
         "epoch_order": """
             SELECT doc_id,

@@ -31,6 +31,7 @@ __all__ = [
     "pack_next_fit",
     "stratified_sample",
     "weighted_sample",
+    "label_balance",
     "epoch_shuffle",
     "chunk_sequences",
 ]
@@ -155,6 +156,47 @@ def weighted_sample(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def label_balance(
+    df: DataFrame,
+    label_col: str = "label",
+    key: str = "vec_id",
+    per_class: int | None = None,
+    salt: str = "lb",
+) -> DataFrame:
+    """Deterministic class rebalancing: keep the same number of rows
+    per label — each label's md5-uniform rank up to the minority-class
+    size (or an explicit ``per_class`` cap).  The standard
+    downsampling step before training on a skewed label column,
+    RNG-free so re-runs and engines agree row-for-row.
+
+    Scale: one count aggregate (≤ #labels rows, broadcast back) and
+    one rank window per label — parallel across labels.  A single
+    label with 10⁹ rows rank-sorts inside its own window; for that
+    regime swap in the two-phase bucketed rank of
+    :func:`epoch_shuffle` (hash-prefix offsets), which trades one
+    extra small shuffle for per-label parallelism.
+    """
+    from pyspark.sql import Window
+
+    u = _md5_uniform(
+        F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
+    )
+    w = Window.partitionBy(label_col).orderBy(u, F.col(key))
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    if per_class is not None:
+        return ranked.filter(F.col("_rn") <= per_class).drop("_rn")
+    target = (
+        df.groupBy(label_col)
+        .agg(F.count("*").alias("_c"))
+        .agg(F.min("_c").alias("_t"))
+    )
+    return (
+        ranked.join(F.broadcast(target))
+        .filter(F.col("_rn") <= F.col("_t"))
+        .drop("_rn", "_t")
     )
 
 

@@ -425,3 +425,46 @@ def test_substring_dedup_long_repeat_interval_union(spark):
     }
     assert out["a"] == R + [1, 2]
     assert out["b"] == [7, 8, 9, 4]
+
+
+def test_substring_dedup_differential_random_corpus(spark):
+    # independent naive twin: brute-force dict of every l-gram occurrence
+    # over a random corpus with planted repeats — no shared code with the
+    # operator (same pattern as the gate-analyzer differential test)
+    import random
+
+    rng = random.Random(11)
+    l = 6
+    docs = []
+    pool = [rng.randrange(2, 40) for _ in range(30)]  # small vocab -> collisions
+    for i in range(40):
+        n = rng.randint(0, 30)
+        toks = [rng.choice(pool) for _ in range(n)]
+        if i % 4 == 1 and docs:  # plant a copied span from an earlier doc
+            src = docs[rng.randrange(len(docs))][1]
+            if len(src) >= l:
+                s = rng.randrange(len(src) - l + 1)
+                m = rng.randint(l, min(len(src) - s, l + 6))
+                pos = rng.randrange(len(toks) + 1)
+                toks = toks[:pos] + src[s : s + m] + toks[pos:]
+        docs.append((f"d{i:03d}", toks))
+
+    # twin: first occurrence of each l-gram keyed by (doc, pos) order
+    first = {}
+    for did, toks in docs:
+        for p in range(max(len(toks) - l + 1, 0)):
+            first.setdefault(tuple(toks[p : p + l]), (did, p))
+    expected = {}
+    for did, toks in docs:
+        covered = set()
+        for p in range(max(len(toks) - l + 1, 0)):
+            if first[tuple(toks[p : p + l])] != (did, p):
+                covered.update(range(p, p + l))
+        expected[did] = [t for i, t in enumerate(toks) if i not in covered]
+
+    df = spark.createDataFrame(docs, "doc_id string, tokens array<int>")
+    got = {
+        r["doc_id"]: r["tokens_dedup"]
+        for r in dedup.substring_dedup(df, l=l).collect()
+    }
+    assert got == expected

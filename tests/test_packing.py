@@ -184,3 +184,22 @@ def test_weighted_sample_salt_changes_draw_deterministically(spark):
 
     ref = sorted(((score(f"s1:{i}", w), -i) for i, w in rows), reverse=True)[:5]
     assert b == [-ni for _, ni in ref]
+
+
+def test_label_balance_equalizes_classes_deterministically(spark):
+    rows = [(i, i % 3) for i in range(90)] + [(1000 + i, 0) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    out = packing.label_balance(df).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.label, set()).add(r.vec_id)
+    # every class cut to the minority size (30 each)
+    assert {k: len(v) for k, v in by.items()} == {0: 30, 1: 30, 2: 30}
+    # deterministic under reshuffled input
+    out2 = packing.label_balance(df.repartition(7)).collect()
+    assert {(r.vec_id, r.label) for r in out} == {(r.vec_id, r.label) for r in out2}
+    # explicit per-class cap
+    capped = packing.label_balance(df, per_class=5).collect()
+    from collections import Counter
+
+    assert Counter(r.label for r in capped) == {0: 5, 1: 5, 2: 5}

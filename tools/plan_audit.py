@@ -54,6 +54,10 @@ CHECKS = {
         ("dedup/contamination/sampling all JVM-side (no Arrow eval)", r"^(?!.*ArrowEvalPython)"),
         ("budget top-k is TakeOrderedAndProject (no full sort)", r"TakeOrderedAndProject"),
     ],
+    "label_balance": [
+        ("minority-class target broadcast (nested-loop on 1 row, no shuffle of the corpus)", r"Broadcast"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "weighted_sample": [
         ("global top-k is TakeOrderedAndProject (no full sort)", r"TakeOrderedAndProject"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
