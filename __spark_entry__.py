@@ -1005,6 +1005,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             codes, cb, _query_vec(spark, sf_dir), k=5, m=4
         )
 
+    def q_ivfpq_topk(spark, sf_dir):
+        # IVF-PQ: coarse cells + PQ-coded residuals + per-probed-cell
+        # ADC — the canonical billion-vector index composition
+        e = _emb(spark, sf_dir)
+        cents = similarity.centroids_from_rows(e, list(range(8)))
+        return similarity.ivfpq_topk(
+            e, cents, list(range(8)), _query_vec(spark, sf_dir),
+            k=5, n_probe=2, m=4,
+        )
+
+    def q_ivfpq_recall(spark, sf_dir):
+        # recall@5 of the IVF-PQ search vs the exact squared-L2 top-5
+        e = _emb(spark, sf_dir)
+        cents = similarity.centroids_from_rows(e, list(range(8)))
+        qv = _query_vec(spark, sf_dir)
+        ann = similarity.ivfpq_topk(
+            e, cents, list(range(8)), qv, k=5, n_probe=2, m=4
+        ).select("vec_id")
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        exact = (
+            e.select("vec_id", F.round(similarity._l2sq(v, q), 6).alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(5)
+            .select("vec_id")
+        )
+        return exact.join(ann, "vec_id", "left_semi").agg(
+            (F.count("*") / F.lit(5.0)).alias("recall_at_5")
+        )
+
     def q_pq_recall(spark, sf_dir):
         # ADC quality metric: recall@5 vs the exact squared-L2 top-5
         e = _emb(spark, sf_dir)
@@ -1458,6 +1488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
         "pq_recall": q_pq_recall,
+        "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_recall": q_ivfpq_recall,
         "gbdhash_docs": q_gbdhash_docs,
         "normalize_docs": q_normalize_docs,
         "base_counts_docs": q_base_counts_docs,
@@ -1542,6 +1574,66 @@ def _duck_cos(a: str, b: str) -> str:
         f"round(list_dot_product({a}, {b}) / "
         f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
     )
+
+
+def _duck_ivfpq() -> str:
+    """IVF-PQ CTE chain shared by the ivfpq_* oracles: cosine cell
+    assignment, residuals, m=4×16 residual codebook from vec_id < 8,
+    residual codes, 2-probe per-cell ADC tables for the vec_id=0 query
+    — mirrors similarity.with_residuals/ivfpq_topk."""
+    cos_ec = _duck_cos("CAST(e.embedding AS DOUBLE[])", "c.centroid")
+    cos_cq = _duck_cos("c.centroid", "qv.q")
+    return f"""
+    c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
+          FROM embeddings WHERE vec_id < 8),
+    fassign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos_ec} DESC, c.cell) AS rn
+            FROM embeddings e, c) WHERE rn = 1),
+    res AS (
+        SELECT e.vec_id, a.cell,
+               list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) AS r
+        FROM embeddings e JOIN fassign a USING (vec_id)
+        JOIN c ON c.cell = a.cell),
+    rcb AS (
+        SELECT j, CAST(vec_id AS INT) AS code,
+               list_transform(range(1, 17), i -> r[j*16 + i]) AS sc
+        FROM (SELECT vec_id, r, unnest(range(0, 4)) AS j
+              FROM res WHERE vec_id < 8)),
+    rsv AS (
+        SELECT vec_id, cell, j,
+               list_transform(range(1, 17), i -> r[j*16 + i]) AS sub
+        FROM (SELECT vec_id, cell, r, unnest(range(0, 4)) AS j FROM res)),
+    rdist AS (
+        SELECT rsv.vec_id, rsv.cell, rsv.j, rcb.code,
+               round(list_sum(list_transform(range(1, 17),
+                     i -> (sub[i] - sc[i]) * (sub[i] - sc[i]))), 6) AS dist
+        FROM rsv JOIN rcb ON rsv.j = rcb.j),
+    rcodes AS (
+        SELECT vec_id, cell, j, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                         ORDER BY dist, code) AS rn
+            FROM rdist) WHERE rn = 1),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q
+           FROM embeddings WHERE vec_id = 0),
+    probe AS (SELECT cell, centroid FROM c, qv
+              ORDER BY {cos_cq} DESC, cell LIMIT 2),
+    dtab AS (
+        SELECT probe.cell, rcb.j, rcb.code,
+               round(list_sum(list_transform(range(1, 17), i ->
+                     (q[rcb.j*16 + i] - probe.centroid[rcb.j*16 + i] - sc[i])
+                   * (q[rcb.j*16 + i] - probe.centroid[rcb.j*16 + i] - sc[i]))),
+                     6) AS dj
+        FROM probe, rcb, qv),
+    adcq AS (
+        SELECT rc.vec_id, round(sum(dj), 6) AS adist
+        FROM rcodes rc JOIN dtab
+          ON rc.cell = dtab.cell AND rc.j = dtab.j AND rc.code = dtab.code
+        GROUP BY rc.vec_id)
+"""
 
 
 # product-quantization CTE chain shared by the pq_* oracles: m=4
@@ -3089,6 +3181,25 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": f"""
             WITH {_DUCK_PQ_CODES}
             SELECT vec_id, adist FROM adc ORDER BY adist, vec_id LIMIT 5
+        """,
+        "ivfpq_topk": f"""
+            WITH {_duck_ivfpq()}
+            SELECT vec_id, adist FROM adcq ORDER BY adist, vec_id LIMIT 5
+        """,
+        "ivfpq_recall": f"""
+            WITH {_duck_ivfpq()},
+            exact AS (
+                SELECT vec_id FROM (
+                    SELECT e.vec_id,
+                           round(list_sum(list_transform(range(1, 65),
+                                 i -> (CAST(e.embedding[i] AS DOUBLE) - q[i])
+                                    * (CAST(e.embedding[i] AS DOUBLE) - q[i]))),
+                                 6) AS d
+                    FROM embeddings e, qv)
+                ORDER BY d, vec_id LIMIT 5),
+            anntop AS (SELECT vec_id FROM adcq ORDER BY adist, vec_id LIMIT 5)
+            SELECT count(*) / 5.0 AS recall_at_5
+            FROM exact SEMI JOIN anntop ON exact.vec_id = anntop.vec_id
         """,
         "pq_recall": f"""
             WITH {_DUCK_PQ_CODES},

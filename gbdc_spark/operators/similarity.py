@@ -28,6 +28,8 @@ __all__ = [
     "pq_codebook_from_rows",
     "pq_encode",
     "pq_adc_topk",
+    "with_residuals",
+    "ivfpq_topk",
 ]
 
 
@@ -249,6 +251,87 @@ def pq_adc_topk(codes: DataFrame, codebook: DataFrame, query: list[float],
     )
     scored = (
         codes.join(F.broadcast(dtable), ["j", "code"])
+        .groupBy(key)
+        .agg(F.round(F.sum("dj"), 6).alias("adist"))
+    )
+    return scored.orderBy(F.col("adist"), F.col(key)).limit(k)
+
+
+def with_residuals(df: DataFrame, centroids: DataFrame,
+                   key: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(key, cell, resid): each vector's max-cosine cell and its
+    residual v − centroid[cell] — the encoding target of IVF-PQ (the
+    residual distribution is far tighter than the raw vectors, so the
+    same codebook budget quantizes it with much less error, Jégou et
+    al. TPAMI'11 §III).  Centroids broadcast twice (assign + subtract);
+    the vectors never shuffle."""
+    assigned = ivf_assign(df, centroids, key, vec_col)
+    v = _to_double(F.col(vec_col))
+    return (
+        df.select(F.col(key), v.alias("v"))
+        .join(assigned.select(key, "cell"), key)
+        .join(F.broadcast(centroids), "cell")
+        .select(
+            key, "cell",
+            F.zip_with("v", "centroid", lambda x, y: x - y).alias("resid"),
+        )
+    )
+
+
+def ivfpq_topk(df: DataFrame, centroids: DataFrame, codebook_ids: list[int],
+               query: list[float], k: int = 5, n_probe: int = 2, m: int = 4,
+               key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ search — the canonical billion-vector ANN composition
+    (FAISS IndexIVFPQ): coarse quantizer = the IVF cells, fine
+    quantizer = PQ over the RESIDUALS, query scoring = per-probed-cell
+    asymmetric-distance tables over (query − centroid[cell]).
+
+    Memory story at scale: each vector stores (cell, m codes) ≈ m+1
+    bytes instead of 4·d — the index for 10⁹ 64-dim vectors fits in
+    ~5 GB.  Execution story: the dtable is n_probe × m × k rows
+    (tiny, broadcast), candidates = only the probed cells' codes, the
+    per-vector sum is map-side combined, and the top-k is
+    TakeOrderedAndProject.  Recall story: ``ivfpq_recall`` closes the
+    evaluation loop against the exact scan, same as ``ivf_recall``.
+
+    The residual codebook comes from fixed row ids
+    (:func:`pq_codebook_from_rows` on the residual frame) so the whole
+    index is reproducible by an external SQL oracle; a per-subspace
+    k-means drops in unchanged on a real corpus.
+    """
+    res = with_residuals(df, centroids, key, vec_col)
+    codebook = pq_codebook_from_rows(
+        res, codebook_ids, m=m, key=key, vec_col="resid"
+    )
+    codes = pq_encode(res, codebook, m=m, key=key, vec_col="resid").join(
+        res.select(key, "cell"), key
+    )
+
+    probed = _probe_cells(centroids, query, n_probe)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sub = codebook.select(F.size("subcentroid").alias("s")).first()["s"]
+    # per-cell ADC tables: distances from (q - centroid[cell]) subvectors
+    # to every residual-codebook entry — n_probe x m x k rows, broadcast
+    dtable = (
+        centroids.filter(F.col("cell").isin(probed))
+        .crossJoin(codebook)
+        .select(
+            "cell", "j", "code",
+            F.round(
+                _l2sq(
+                    F.slice(
+                        F.zip_with(q, F.col("centroid"), lambda x, y: x - y),
+                        F.col("j") * sub + 1, sub,
+                    ),
+                    F.col("subcentroid"),
+                ),
+                6,
+            ).alias("dj"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["cell", "j", "code"])
         .groupBy(key)
         .agg(F.round(F.sum("dj"), 6).alias("adist"))
     )

@@ -113,3 +113,27 @@ def test_pq_adc_ranks_query_vector_first(spark, emb):
     assert top[0]["vec_id"] == 0 and top[0]["adist"] == 0.0
     adists = [r["adist"] for r in top]
     assert adists == sorted(adists)
+
+
+def test_ivfpq_residual_codebook_member_reconstructs_exactly(spark, emb):
+    cents = sim.centroids_from_rows(emb, list(range(8)))
+    res = sim.with_residuals(emb, cents)
+    # every vector's residual cell matches ivf_assign
+    cells = {r.vec_id: r.cell for r in sim.ivf_assign(emb, cents).collect()}
+    got = {r.vec_id: r.cell for r in res.select("vec_id", "cell").collect()}
+    assert got == cells
+    # codebook rows quantize to themselves -> their own query scores 0
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = sim.ivfpq_topk(emb, cents, list(range(8)), q, k=5, n_probe=2, m=4).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["adist"] == 0.0
+    adists = [r["adist"] for r in top]
+    assert adists == sorted(adists)
+
+
+def test_ivfpq_candidates_restricted_to_probed_cells(spark, emb):
+    cents = sim.centroids_from_rows(emb, list(range(8)))
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    probed = set(sim._probe_cells(cents, q, 2))
+    cells = {r.vec_id: r.cell for r in sim.ivf_assign(emb, cents).collect()}
+    top = sim.ivfpq_topk(emb, cents, list(range(8)), q, k=5, n_probe=2, m=4).collect()
+    assert all(cells[r.vec_id] in probed for r in top)

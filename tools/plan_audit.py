@@ -71,6 +71,11 @@ CHECKS = {
         ("per-vector sum is a map-side-combined partial agg", r"partial"),
         ("no Python workers anywhere", r"^(?!.*ArrowEvalPython)"),
     ],
+    "ivfpq_topk": [
+        ("per-cell ADC tables broadcast to the codes", r"BroadcastHashJoin"),
+        ("approx top-k is TakeOrderedAndProject (no full sort)", r"TakeOrderedAndProject"),
+        ("no Python workers anywhere", r"^(?!.*ArrowEvalPython)"),
+    ],
     "substring_dedup": [
         ("gram hashing JVM-side (no Python workers)", r"^(?!.*ArrowEvalPython)"),
         ("global keeper pick is a map-side-combined partial agg", r"partial_min"),
