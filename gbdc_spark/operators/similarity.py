@@ -28,6 +28,7 @@ __all__ = [
     "pq_codebook_from_rows",
     "pq_encode",
     "pq_adc_topk",
+    "pq_codebook_refine",
     "with_residuals",
     "ivfpq_topk",
 ]
@@ -255,6 +256,62 @@ def pq_adc_topk(codes: DataFrame, codebook: DataFrame, query: list[float],
         .agg(F.round(F.sum("dj"), 6).alias("adist"))
     )
     return scored.orderBy(F.col("adist"), F.col(key)).limit(k)
+
+
+def pq_codebook_refine(df: DataFrame, codebook: DataFrame, m: int = 4,
+                       key: str = "vec_id", vec_col: str = "embedding",
+                       rounds: int = 1) -> DataFrame:
+    """Lloyd refinement of a PQ codebook, one round = per-subspace
+    k-means step: every code's subcentroid moves to the mean of its
+    assigned subvectors (codes with no members keep their entry).
+    Means are rounded to 6 decimals so the refined codebook is
+    reproducible by an order-independent SQL oracle (distributed
+    double sums differ from a serial engine in the last ulp).
+
+    Scale shape per round (same as :func:`kmeans_fit`): one encode
+    pass, one explode to (j, code, dim, value) with map-side partial
+    aggregation — the shuffle carries ≤ m×k×(d/m) rows per upstream
+    partition, never the data; the refined m×k table is
+    localCheckpoint'ed so multi-round plans stay shallow."""
+    sub = codebook.select(F.size("subcentroid").alias("s")).first()["s"]
+    for _ in range(rounds):
+        codes = pq_encode(df, codebook, m, key, vec_col).select(
+            key, "j", "code"
+        )
+        sv = df.select(
+            F.col(key),
+            F.explode(
+                _subvectors(_to_double(F.col(vec_col)), m, sub)
+            ).alias("e"),
+        ).select(key, F.col("e.j").alias("j"), F.col("e.sub").alias("sub"))
+        means = (
+            codes.join(sv, [key, "j"])
+            .select("j", "code", F.posexplode("sub").alias("dim", "val"))
+            .groupBy("j", "code", "dim")
+            .agg((F.sum("val") / F.count("*")).alias("mean"))
+            .groupBy("j", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm")
+            )
+            .select(
+                "j", "code",
+                F.transform(
+                    F.col("dm"), lambda x: F.round(x["mean"], 6)
+                ).alias("subcentroid"),
+            )
+        )
+        codebook = (
+            codebook.alias("old")
+            .join(means.alias("new"), ["j", "code"], "left")
+            .select(
+                "j", "code",
+                F.coalesce(
+                    F.col("new.subcentroid"), F.col("old.subcentroid")
+                ).alias("subcentroid"),
+            )
+            .localCheckpoint()
+        )
+    return codebook
 
 
 def with_residuals(df: DataFrame, centroids: DataFrame,

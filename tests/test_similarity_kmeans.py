@@ -137,3 +137,33 @@ def test_ivfpq_candidates_restricted_to_probed_cells(spark, emb):
     cells = {r.vec_id: r.cell for r in sim.ivf_assign(emb, cents).collect()}
     top = sim.ivfpq_topk(emb, cents, list(range(8)), q, k=5, n_probe=2, m=4).collect()
     assert all(cells[r.vec_id] in probed for r in top)
+
+
+def test_pq_refinement_improves_recall_and_keeps_empty_codes(spark, emb):
+    cb0 = sim.pq_codebook_from_rows(emb, list(range(8)), m=4)
+    cb1 = sim.pq_codebook_refine(emb, cb0, m=4, rounds=1)
+    assert cb1.count() == 32  # no code lost, empty codes keep old entry
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    exact = {
+        r.vec_id
+        for r in emb.select("vec_id", F.round(sim._l2sq(v, qcol), 6).alias("d"))
+        .orderBy("d", "vec_id").limit(5).collect()
+    }
+
+    def recall(cb):
+        codes = sim.pq_encode(emb, cb, m=4)
+        top = {r.vec_id for r in sim.pq_adc_topk(codes, cb, q, k=5, m=4).collect()}
+        return len(exact & top) / 5.0
+
+    r0, r1 = recall(cb0), recall(cb1)
+    assert r1 >= r0  # Lloyd step non-degrading (0.4 -> 0.8 at sf0.01)
+    # training genuinely moved the occupied codes
+    moved = (
+        cb0.alias("a")
+        .join(cb1.alias("b"), ["j", "code"])
+        .filter(F.col("a.subcentroid") != F.col("b.subcentroid"))
+        .count()
+    )
+    assert moved > 0
