@@ -462,6 +462,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             key="doc_id", default_fraction=0.1,
         )
 
+    def q_dataset_split(spark, sf_dir):
+        # deterministic 80/10/10 train/val/test assignment — a pure
+        # projection, stable under growth (new docs never move old ones)
+        from gbdc_spark.operators.packing import dataset_split
+
+        return dataset_split(
+            _docs(spark, sf_dir).select("doc_id"),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+
+    def q_epoch_shards(spark, sf_dir):
+        # deterministic shard layout for epoch 2: positions -> 32-doc
+        # shards, each summarized by doc count, token budget, and the
+        # md5 of its ordered doc list (the write-layout contract a
+        # shard writer must reproduce)
+        from gbdc_spark.operators.packing import epoch_shuffle
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "n_tok"
+        )
+        ordered = epoch_shuffle(seqs, seed=2, key="doc_id")
+        return (
+            ordered.withColumn(
+                "shard", F.floor(F.col("position") / 32).cast("long")
+            )
+            .groupBy("shard")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("n_tokens"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("position", "doc_id"))
+                            ),
+                            lambda x: x["doc_id"],
+                        ),
+                    )
+                ).alias("shard_hash"),
+            )
+        )
+
     def q_training_build(spark, sf_dir):
         # E2E token-side training-set build: holdout -> ExactSubstr
         # dedup -> length gate -> decontamination -> A-ES weighted
@@ -1458,6 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_order": q_epoch_order,
         "training_build": q_training_build,
         "label_balance": q_label_balance,
+        "dataset_split": q_dataset_split,
+        "epoch_shards": q_epoch_shards,
         "quality_signals": q_quality_signals,
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
@@ -2562,6 +2607,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, w,
                    round(ln((hv + 1) / 4294967296.0) / w, 6) AS score
             FROM u ORDER BY score DESC, doc_id LIMIT 25
+        """,
+        "dataset_split": f"""
+            WITH u AS (
+                SELECT doc_id,
+                       {_duck_md5_u32("concat('split:', CAST(doc_id AS VARCHAR))")}
+                           / 4294967296.0 AS uu
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN uu < 0.8 THEN 'train'
+                        WHEN uu < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+        """,
+        "epoch_shards": f"""
+            WITH pos AS (
+                SELECT doc_id, n_tok,
+                       CAST(row_number() OVER (
+                            ORDER BY md5(concat('2:', doc_id)), doc_id) - 1
+                            AS BIGINT) AS position
+                FROM (SELECT {_DOC_KEY} AS doc_id,
+                             CAST(len({_DUCK_TOKENS_FLAT}) AS INT) AS n_tok
+                      FROM documents))
+            SELECT CAST(floor(position / 32) AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   md5(string_agg(doc_id, ',' ORDER BY position)) AS shard_hash
+            FROM pos GROUP BY 1
         """,
         "label_balance": f"""
             WITH r AS (

@@ -31,6 +31,7 @@ __all__ = [
     "pack_next_fit",
     "stratified_sample",
     "weighted_sample",
+    "dataset_split",
     "label_balance",
     "epoch_shuffle",
     "chunk_sequences",
@@ -157,6 +158,38 @@ def weighted_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key: str = "doc_id",
+    out: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the salted md5-uniform
+    of the key lands in cumulative ``fractions`` bands (insertion
+    order; fractions must sum to ≤ 1, any remainder falls in the LAST
+    band).  A pure projection — no shuffle, no RNG state, the same doc
+    lands in the same split on every engine, rerun, and cluster size;
+    adding docs never moves existing ones between splits (the property
+    a random split by row position destroys)."""
+    total = sum(fractions.values())
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError("fractions must sum to (0, 1]")
+    u = _md5_uniform(
+        F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
+    ).cast("double") / F.lit(float(1 << 32))
+    names = list(fractions)
+    edges = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        edges.append((name, acc))
+    expr: Column = F.lit(names[-1])
+    for name, edge in reversed(edges):
+        expr = F.when(u < F.lit(edge), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr)
 
 
 def label_balance(

@@ -203,3 +203,28 @@ def test_label_balance_equalizes_classes_deterministically(spark):
     from collections import Counter
 
     assert Counter(r.label for r in capped) == {0: 5, 1: 5, 2: 5}
+
+
+def test_dataset_split_bands_and_growth_stability(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r.doc_id: r.split for r in packing.dataset_split(df, fr).collect()}
+
+    def ref(i):
+        u = int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:8], 16) / 2**32
+        return "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+
+    assert all(out[i] == ref(i) for i in range(3000))
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert abs(c["train"] / 3000 - 0.8) < 0.03
+    # growth stability: a bigger corpus never moves existing docs
+    df2 = spark.createDataFrame([(i,) for i in range(6000)], "doc_id long")
+    out2 = {r.doc_id: r.split for r in packing.dataset_split(df2, fr).collect()}
+    assert all(out2[i] == out[i] for i in range(3000))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        packing.dataset_split(df, {"a": 0.8, "b": 0.9})
