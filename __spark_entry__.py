@@ -952,6 +952,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").first()
         return [float(x) for x in row["embedding"]]
 
+    def _l2_recall_at_5(e, ann, qv):
+        # exact squared-L2 top-5 vs an ANN candidate list -> recall@5
+        # (shared by the pq/ivfpq recall queries; one definition so the
+        # recall contract — k, rounding, tie-break — cannot drift)
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        exact = (
+            e.select("vec_id", F.round(similarity._l2sq(v, q), 6).alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(5)
+            .select("vec_id")
+        )
+        return exact.join(ann, "vec_id", "left_semi").agg(
+            (F.count("*") / F.lit(5.0)).alias("recall_at_5")
+        )
+
     def q_cosine_topk(spark, sf_dir):
         return similarity.cosine_topk(
             _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=5
@@ -1060,17 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         codes = similarity.pq_encode(e, cb, m=4)
         qv = _query_vec(spark, sf_dir)
         ann = similarity.pq_adc_topk(codes, cb, qv, k=5, m=4).select("vec_id")
-        q = F.array(*[F.lit(float(x)) for x in qv])
-        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        exact = (
-            e.select("vec_id", F.round(similarity._l2sq(v, q), 6).alias("d"))
-            .orderBy("d", "vec_id")
-            .limit(5)
-            .select("vec_id")
-        )
-        return exact.join(ann, "vec_id", "left_semi").agg(
-            (F.count("*") / F.lit(5.0)).alias("recall_at_5")
-        )
+        return _l2_recall_at_5(e, ann, qv)
 
     def q_ivfpq_topk(spark, sf_dir):
         # IVF-PQ: coarse cells + PQ-coded residuals + per-probed-cell
@@ -1090,17 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann = similarity.ivfpq_topk(
             e, cents, list(range(8)), qv, k=5, n_probe=2, m=4
         ).select("vec_id")
-        q = F.array(*[F.lit(float(x)) for x in qv])
-        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        exact = (
-            e.select("vec_id", F.round(similarity._l2sq(v, q), 6).alias("d"))
-            .orderBy("d", "vec_id")
-            .limit(5)
-            .select("vec_id")
-        )
-        return exact.join(ann, "vec_id", "left_semi").agg(
-            (F.count("*") / F.lit(5.0)).alias("recall_at_5")
-        )
+        return _l2_recall_at_5(e, ann, qv)
 
     def q_pq_recall(spark, sf_dir):
         # ADC quality metric: recall@5 vs the exact squared-L2 top-5
@@ -1109,20 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         codes = similarity.pq_encode(e, cb, m=4)
         qv = _query_vec(spark, sf_dir)
         adc = similarity.pq_adc_topk(codes, cb, qv, k=5, m=4).select("vec_id")
-        q = F.array(*[F.lit(float(x)) for x in qv])
-        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        exact = (
-            e.select(
-                "vec_id",
-                F.round(similarity._l2sq(v, q), 6).alias("d"),
-            )
-            .orderBy("d", "vec_id")
-            .limit(5)
-            .select("vec_id")
-        )
-        return exact.join(adc, "vec_id", "left_semi").agg(
-            (F.count("*") / F.lit(5.0)).alias("recall_at_5")
-        )
+        return _l2_recall_at_5(e, adc, qv)
 
     # --------------- sequences (tokens) — reference ops ----------------
     def q_gbdhash_docs(spark, sf_dir):
@@ -2591,22 +2574,14 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN 'src1' THEN 0.25
                                   ELSE 0.1 END * 4294967296.0
         """,
-        "weighted_sample": """
-            WITH b AS (
+        "weighted_sample": f"""
+            WITH u AS (
                 SELECT doc_id, CAST(len(str_split(text, ' ')) AS INT) AS w,
-                       md5(CAST(doc_id AS VARCHAR)) AS h
-                FROM documents),
-            u AS (
-                SELECT doc_id, w,
-                       list_sum(list_transform(range(0, 8), i ->
-                           CAST(strpos('0123456789abcdef',
-                                substr(h, CAST(i AS INTEGER) + 1, 1)) - 1
-                                AS BIGINT)
-                           * CAST(pow(16, 7 - i) AS BIGINT))) AS hv
-                FROM b WHERE w > 0)
+                       {_duck_md5_u32("CAST(doc_id AS VARCHAR)")} AS hv
+                FROM documents)
             SELECT doc_id, w,
                    round(ln((hv + 1) / 4294967296.0) / w, 6) AS score
-            FROM u ORDER BY score DESC, doc_id LIMIT 25
+            FROM u WHERE w > 0 ORDER BY score DESC, doc_id LIMIT 25
         """,
         "dataset_split": f"""
             WITH u AS (

@@ -174,8 +174,10 @@ def dataset_split(
     lands in the same split on every engine, rerun, and cluster size;
     adding docs never moves existing ones between splits (the property
     a random split by row position destroys)."""
+    if not fractions or any(f <= 0 for f in fractions.values()):
+        raise ValueError("every fraction must be > 0")
     total = sum(fractions.values())
-    if not 0 < total <= 1.0 + 1e-9:
+    if not total <= 1.0 + 1e-9:
         raise ValueError("fractions must sum to (0, 1]")
     u = _md5_uniform(
         F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))

@@ -181,7 +181,11 @@ def pq_codebook_from_rows(df: DataFrame, ids: list[int], m: int = 4,
     :func:`centroids_from_rows` uses for IVF (a per-subspace k-means
     would slot in here on a real corpus; every downstream op is
     unchanged).  Returns (j, code, subcentroid) — m × len(ids) rows,
-    always broadcast-sized."""
+    always broadcast-sized.
+
+    d must be divisible by ``m``: the slices cover j·(d/m)+1 .. m·(d/m),
+    so trailing d % m dimensions would be silently excluded from the
+    codebook and every downstream distance."""
     d_over_m = F.floor(F.size(F.col(vec_col)) / m).cast("int")
     v = _to_double(F.col(vec_col))
     rows = df.filter(F.col(key).isin(ids)).select(
@@ -205,7 +209,8 @@ def pq_codebook_from_rows(df: DataFrame, ids: list[int], m: int = 4,
 
 
 def pq_encode(df: DataFrame, codebook: DataFrame, m: int = 4,
-              key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              key: str = "vec_id", vec_col: str = "embedding",
+              sub: int | None = None) -> DataFrame:
     """PQ-encode every vector: nearest codebook entry per subspace by
     squared L2 (rounded to 6 decimals; ties to the smallest code — the
     determinism contract every oracle-checked argmin here uses).
@@ -213,8 +218,15 @@ def pq_encode(df: DataFrame, codebook: DataFrame, m: int = 4,
     Returns the LONG form (key, j, code) — m rows per vector, the shape
     ADC consumes directly.  Scale: one explode (×m), a broadcast join
     against the m×k codebook, and one min-struct argmin groupBy — all
-    map-side combinable, no window over the corpus, no Python."""
-    sub = codebook.select(F.size("subcentroid").alias("s")).first()["s"]
+    map-side combinable, no window over the corpus, no Python.
+
+    d must be divisible by ``m`` (trailing d % m dimensions would be
+    silently excluded from every distance).  Pass ``sub`` (= d/m) when
+    known to skip the codebook .first() probe — that probe is a Spark
+    job, and when the codebook itself derives from a corpus-sized
+    frame (IVF-PQ residuals) it would re-run that lineage."""
+    if sub is None:
+        sub = codebook.select(F.size("subcentroid").alias("s")).first()["s"]
     vecs = df.select(
         F.col(key),
         F.explode(_subvectors(_to_double(F.col(vec_col)), m, sub)).alias("e"),
@@ -231,7 +243,8 @@ def pq_encode(df: DataFrame, codebook: DataFrame, m: int = 4,
 
 
 def pq_adc_topk(codes: DataFrame, codebook: DataFrame, query: list[float],
-                k: int = 5, m: int = 4, key: str = "vec_id") -> DataFrame:
+                k: int = 5, m: int = 4, key: str = "vec_id",
+                sub: int | None = None) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: the query is split into
     subvectors, its distance to every codebook entry forms the m×k ADC
     lookup table (a tiny Spark job, broadcast), and each encoded vector
@@ -239,7 +252,8 @@ def pq_adc_topk(codes: DataFrame, codebook: DataFrame, query: list[float],
     path where the corpus is 1 byte/subspace instead of 4·d bytes.
     Approximate distances ascending, ties to the smallest key."""
     q = F.array(*[F.lit(float(x)) for x in query])
-    sub = codebook.select(F.size("subcentroid").alias("s")).first()["s"]
+    if sub is None:
+        sub = len(query) // m
     dtable = codebook.select(
         "j", "code",
         F.round(
@@ -272,46 +286,59 @@ def pq_codebook_refine(df: DataFrame, codebook: DataFrame, m: int = 4,
     pass, one explode to (j, code, dim, value) with map-side partial
     aggregation — the shuffle carries ≤ m×k×(d/m) rows per upstream
     partition, never the data; the refined m×k table is
-    localCheckpoint'ed so multi-round plans stay shallow."""
+    localCheckpoint'ed so multi-round plans stay shallow, and the input
+    is persisted for the loop (same convention as :func:`kmeans_fit` —
+    each round scans it twice)."""
     sub = codebook.select(F.size("subcentroid").alias("s")).first()["s"]
-    for _ in range(rounds):
-        codes = pq_encode(df, codebook, m, key, vec_col).select(
-            key, "j", "code"
-        )
-        sv = df.select(
-            F.col(key),
-            F.explode(
-                _subvectors(_to_double(F.col(vec_col)), m, sub)
-            ).alias("e"),
-        ).select(key, F.col("e.j").alias("j"), F.col("e.sub").alias("sub"))
-        means = (
-            codes.join(sv, [key, "j"])
-            .select("j", "code", F.posexplode("sub").alias("dim", "val"))
-            .groupBy("j", "code", "dim")
-            .agg((F.sum("val") / F.count("*")).alias("mean"))
-            .groupBy("j", "code")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm")
+    df = df.persist()
+    try:
+        for _ in range(rounds):
+            codebook = _pq_refine_round(
+                df, codebook, m, key, vec_col, sub
             )
-            .select(
-                "j", "code",
-                F.transform(
-                    F.col("dm"), lambda x: F.round(x["mean"], 6)
-                ).alias("subcentroid"),
-            )
+        return codebook
+    finally:
+        df.unpersist()
+
+
+def _pq_refine_round(df: DataFrame, codebook: DataFrame, m: int, key: str,
+                     vec_col: str, sub: int) -> DataFrame:
+    codes = pq_encode(df, codebook, m, key, vec_col, sub=sub).select(
+        key, "j", "code"
+    )
+    sv = df.select(
+        F.col(key),
+        F.explode(
+            _subvectors(_to_double(F.col(vec_col)), m, sub)
+        ).alias("e"),
+    ).select(key, F.col("e.j").alias("j"), F.col("e.sub").alias("sub"))
+    means = (
+        codes.join(sv, [key, "j"])
+        .select("j", "code", F.posexplode("sub").alias("dim", "val"))
+        .groupBy("j", "code", "dim")
+        .agg((F.sum("val") / F.count("*")).alias("mean"))
+        .groupBy("j", "code")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm")
         )
-        codebook = (
-            codebook.alias("old")
-            .join(means.alias("new"), ["j", "code"], "left")
-            .select(
-                "j", "code",
-                F.coalesce(
-                    F.col("new.subcentroid"), F.col("old.subcentroid")
-                ).alias("subcentroid"),
-            )
-            .localCheckpoint()
+        .select(
+            "j", "code",
+            F.transform(
+                F.col("dm"), lambda x: F.round(x["mean"], 6)
+            ).alias("subcentroid"),
         )
-    return codebook
+    )
+    return (
+        codebook.alias("old")
+        .join(means.alias("new"), ["j", "code"], "left")
+        .select(
+            "j", "code",
+            F.coalesce(
+                F.col("new.subcentroid"), F.col("old.subcentroid")
+            ).alias("subcentroid"),
+        )
+        .localCheckpoint()
+    )
 
 
 def with_residuals(df: DataFrame, centroids: DataFrame,
@@ -356,18 +383,25 @@ def ivfpq_topk(df: DataFrame, centroids: DataFrame, codebook_ids: list[int],
     (:func:`pq_codebook_from_rows` on the residual frame) so the whole
     index is reproducible by an external SQL oracle; a per-subspace
     k-means drops in unchanged on a real corpus.
+
+    The residual frame is localCheckpoint'ed ONCE: it feeds the
+    codebook, the encode, and the cell lookup — without the checkpoint
+    each branch would re-run the full assignment scan (crossJoin +
+    window over every vector), turning one pass into ~five.  On a real
+    deployment this materialization IS the index build
+    (:func:`ivf_index_write` is the durable variant).
     """
-    res = with_residuals(df, centroids, key, vec_col)
+    sub = len(query) // m
+    res = with_residuals(df, centroids, key, vec_col).localCheckpoint()
     codebook = pq_codebook_from_rows(
         res, codebook_ids, m=m, key=key, vec_col="resid"
     )
-    codes = pq_encode(res, codebook, m=m, key=key, vec_col="resid").join(
-        res.select(key, "cell"), key
-    )
+    codes = pq_encode(
+        res, codebook, m=m, key=key, vec_col="resid", sub=sub
+    ).join(res.select(key, "cell"), key)
 
     probed = _probe_cells(centroids, query, n_probe)
     q = F.array(*[F.lit(float(x)) for x in query])
-    sub = codebook.select(F.size("subcentroid").alias("s")).first()["s"]
     # per-cell ADC tables: distances from (q - centroid[cell]) subvectors
     # to every residual-codebook entry — n_probe x m x k rows, broadcast
     dtable = (

@@ -54,16 +54,25 @@ def build_training_set(
     post-substring-dedup count (the sampling weight), ``score`` the
     A-ES rank key, ``position`` the epoch-``seed`` training order.
     """
+    # branch points are localCheckpoint'ed: seqs feeds both sides of the
+    # holdout, bench feeds the anti-join AND the contamination grams,
+    # and the deduped frame feeds contamination AND the clean anti-join
+    # — without the checkpoints each branch re-runs its upstream
+    # (tokenization ×3, the ExactSubstr explode ×2; the repo's Catalyst
+    # pitfall list, item 4).  At 100 TB these materializations are the
+    # pipeline's natural durable stage boundaries (written tables).
     bench = stratified_sample(
         seqs, {}, strata_col="source", key="doc_id",
         default_fraction=bench_fraction,
-    )
-    corpus = seqs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    ).localCheckpoint()
+    corpus = seqs.join(
+        bench.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
 
     dd = dedup.substring_dedup(corpus, l=l)
     dd = dd.withColumn(
         "n_kept", F.size("tokens_dedup").cast("int")
-    ).filter(F.col("n_kept") >= min_tok)
+    ).filter(F.col("n_kept") >= min_tok).localCheckpoint()
 
     flagged = token_ngram_contamination(
         dd.select("doc_id", F.col("tokens_dedup").alias("tokens")),
