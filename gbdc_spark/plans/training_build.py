@@ -47,6 +47,7 @@ def build_training_set(
     k: int = 150,
     max_tokens: int = 256,
     seed: int = 1,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """One row per doc in the built training set:
     (doc_id, source, n_tok, n_kept, score, pack_id, pack_fill,
@@ -61,18 +62,23 @@ def build_training_set(
     # (tokenization ×3, the ExactSubstr explode ×2; the repo's Catalyst
     # pitfall list, item 4).  At 100 TB these materializations are the
     # pipeline's natural durable stage boundaries (written tables).
-    bench = stratified_sample(
-        seqs, {}, strata_col="source", key="doc_id",
-        default_fraction=bench_fraction,
-    ).localCheckpoint()
-    corpus = seqs.join(
-        bench.select("doc_id"), "doc_id", "left_anti"
-    ).localCheckpoint()
+    def _cp(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint() if checkpoint else frame
+
+    bench = _cp(
+        stratified_sample(
+            seqs, {}, strata_col="source", key="doc_id",
+            default_fraction=bench_fraction,
+        )
+    )
+    corpus = _cp(seqs.join(bench.select("doc_id"), "doc_id", "left_anti"))
 
     dd = dedup.substring_dedup(corpus, l=l)
-    dd = dd.withColumn(
-        "n_kept", F.size("tokens_dedup").cast("int")
-    ).filter(F.col("n_kept") >= min_tok).localCheckpoint()
+    dd = _cp(
+        dd.withColumn(
+            "n_kept", F.size("tokens_dedup").cast("int")
+        ).filter(F.col("n_kept") >= min_tok)
+    )
 
     flagged = token_ngram_contamination(
         dd.select("doc_id", F.col("tokens_dedup").alias("tokens")),
