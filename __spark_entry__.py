@@ -17,6 +17,7 @@ oracle (the driver hashes values after sorting columns by name).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1578,15 +1579,29 @@ def _duck_embedding_near_dups_sql(threshold: float = 0.5, tables: int = 2) -> st
     SQL."""
     from gbdc_spark.operators.dedup import auto_sign_bits, sign_hyperplanes
 
+    # the SQL string must bake in the same (n, d)-derived bits/planes
+    # the Spark side derives from its input — probe the SAME sf_dir the
+    # oracle will run against (override via GBDC_ORACLE_SF_DIR for
+    # non-default scale factors; the driver gate runs at sf0.01)
+    sf_dir = os.environ.get("GBDC_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
         import duckdb
 
         n, d = duckdb.sql(
             "SELECT count(*), max(len(embedding)) "
-            "FROM '/root/testdata/sf0.01/embeddings.parquet'"
+            f"FROM '{sf_dir}/embeddings.parquet'"
         ).fetchone()
     except Exception:
-        n, d = 500, 64  # the driver's fixed sf0.01 shape
+        import warnings
+
+        warnings.warn(
+            f"embedding_near_dups oracle: could not probe {sf_dir}; "
+            "assuming the driver's sf0.01 shape (500, 64) — the oracle "
+            "will MISMATCH any other corpus size",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        n, d = 500, 64
     bits = auto_sign_bits(int(n))
     planes = sign_hyperplanes(tables, bits, int(d))
 
@@ -2552,9 +2567,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM d WHERE rn = 1
                 UNION ALL
                 SELECT d.doc_id, d.source, d.n_tok, d.rn,
-                       CASE WHEN p.pack_fill + d.n_tok > 1024
+                       CASE WHEN p.pack_fill > 0 AND p.pack_fill + d.n_tok > 1024
                             THEN p.pack_id + 1 ELSE p.pack_id END,
-                       CASE WHEN p.pack_fill + d.n_tok > 1024
+                       CASE WHEN p.pack_fill > 0 AND p.pack_fill + d.n_tok > 1024
                             THEN CAST(d.n_tok AS BIGINT)
                             ELSE p.pack_fill + d.n_tok END
                 FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
@@ -2706,9 +2721,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM d WHERE rn = 1
                 UNION ALL
                 SELECT d.doc_id, d.source, d.n_tok, d.n_kept, d.score, d.rn,
-                       CASE WHEN p.pack_fill + d.n_kept > 256
+                       CASE WHEN p.pack_fill > 0 AND p.pack_fill + d.n_kept > 256
                             THEN p.pack_id + 1 ELSE p.pack_id END,
-                       CASE WHEN p.pack_fill + d.n_kept > 256
+                       CASE WHEN p.pack_fill > 0 AND p.pack_fill + d.n_kept > 256
                             THEN CAST(d.n_kept AS BIGINT)
                             ELSE p.pack_fill + d.n_kept END
                 FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1),

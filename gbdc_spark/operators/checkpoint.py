@@ -280,6 +280,12 @@ def compact(
         )
     pm.write.mode("overwrite").parquet(os.path.join(base, "_metrics", f"snapshot={sid}"))
 
+    # replaces must be TRANSITIVE: a live compaction row may itself be
+    # hiding earlier superseded jsons whose cleanup crashed midway; if
+    # this new row only named the live ids, deleting that row's json
+    # below would un-hide (resurrect) those entries for every future
+    # reader — duplicate rows or reads of reclaimed dirs
+    inherited = {r for e in entries for r in e.get("replaces", [])}
     entry = {
         "snapshot_id": sid,
         "committed_at": time.time(),
@@ -288,7 +294,7 @@ def compact(
         "content_hash": got_hash,
         "keys": entries[-1]["keys"],
         "data_dir": data_dir,
-        "replaces": old_ids,
+        "replaces": sorted(set(old_ids) | inherited),
     }
     os.makedirs(_manifest_dir(base), exist_ok=True)
     tmp = os.path.join(_manifest_dir(base), f".{sid:012d}.json.tmp")
@@ -296,8 +302,9 @@ def compact(
         json.dump(entry, f)
     os.replace(tmp, os.path.join(_manifest_dir(base), f"{sid:012d}.json"))
 
-    # post-commit cleanup — every step individually crash-safe
-    for old in old_ids:
+    # post-commit cleanup — every step individually crash-safe; also
+    # sweep any leftover jsons of transitively-superseded snapshots
+    for old in entry["replaces"]:
         try:
             os.remove(os.path.join(_manifest_dir(base), f"{old:012d}.json"))
         except FileNotFoundError:

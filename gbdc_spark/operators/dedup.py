@@ -370,8 +370,13 @@ def dup_clusters_star(pairs: DataFrame, a: str = "a", b: str = "b",
         # localCheckpoint per round: iterative joins otherwise stack the
         # plan O(rounds) deep and recompute lazily round over round
         nxt = small_star(large_star(edges)).localCheckpoint()
+        # one symmetric-difference probe (single job), not two exceptAll
+        # jobs; limit(1) stops at the first differing row
         changed = (
-            nxt.exceptAll(edges).limit(1).count() + edges.exceptAll(nxt).limit(1).count()
+            nxt.exceptAll(edges)
+            .union(edges.exceptAll(nxt))
+            .limit(1)
+            .count()
         )
         edges = nxt
         if changed == 0:
@@ -513,9 +518,13 @@ def winnow_overlap_pairs(df: DataFrame, key: str = "doc_id",
         .select(F.col(key), F.explode("winnow_fp").alias("fp"))
     )
     if max_df is not None:
-        # fp sets are distinct per doc, so count(*) per fp = doc freq;
-        # persist the branch point (drop-list + join input share it)
-        fps = fps.persist()
+        # fp sets are distinct per doc, so count(*) per fp = doc freq.
+        # The drop-list branch deliberately RECOMPUTES the fingerprint
+        # pass instead of persisting it: the exploded (doc, fp) table is
+        # near token-count cardinality, and pinning it in executor
+        # storage at corpus scale costs more than a second streaming
+        # JVM hash pass (and a persisted frame rebound here would only
+        # be released by GC, not deterministically).
         common = (
             fps.groupBy("fp")
             .agg(F.count("*").alias("n_docs_fp"))
@@ -558,9 +567,13 @@ def line_dedup(df: DataFrame, key: str = "doc_id",
     skew cliff: a line repeated a billion times is one group whose agg
     is a map-side-combined min.
     """
+    # F.split takes a Java REGEX while concat_ws below joins with the
+    # LITERAL separator — quote the pattern (\Q…\E) so metacharacter
+    # separators ('|', '.') split literally instead of per-character
+    sep_pat = "\\Q" + sep + "\\E"
     lines = df.select(
         F.col(key),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_pat)).alias("pos", "line"),
     )
     # first corpus-wide occurrence of each line value
     first = lines.groupBy("line").agg(
@@ -582,7 +595,7 @@ def line_dedup(df: DataFrame, key: str = "doc_id",
             F.count("*").alias("n_kept"),
         )
     )
-    n_lines = F.size(F.split(F.col(text_col), sep)).cast("long")
+    n_lines = F.size(F.split(F.col(text_col), sep_pat)).cast("long")
     return (
         df.select(F.col(key), n_lines.alias("n_lines"))
         .join(kept, key, "left")

@@ -298,7 +298,11 @@ def maybe_size_rebalance(
         return df
     byq = dict(zip(qs, vals))
     p50, p99 = byq[0.5], byq[0.99]
-    if p50 <= 0 or p99 / max(p50, 1e-9) < skew_ratio:
+    # p50 == 0 with a positive p99 is MAXIMAL skew (a majority of empty
+    # docs hiding a giant tail), not "nothing to do" — clamp the
+    # denominator to 1 so that corpus rebalances instead of slipping
+    # through; only an all-zero profile (p99 <= 0) is a true no-op
+    if p99 <= 0 or p99 / max(p50, 1.0) < skew_ratio:
         if cache_key is not None:
             _PROBE_CACHE[cache_key] = None
         return df

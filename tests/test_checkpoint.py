@@ -148,7 +148,12 @@ def test_compact_then_commit_then_compact_again(spark, base):
     first = cp.compact(spark, base, target_partitions=1)
     cp.commit(spark.createDataFrame([(7, "v7")], "k long, v string"), base, keys=["k"])
     second = cp.compact(spark, base, target_partitions=1)
-    assert second["replaces"] == [first["snapshot_id"], first["snapshot_id"] + 1]
+    # replaces is transitive: the live ids PLUS everything the replaced
+    # compaction row was itself hiding (crash-safety of partial cleanup)
+    assert set(second["replaces"]) >= {
+        first["snapshot_id"], first["snapshot_id"] + 1,
+    }
+    assert set(first["replaces"]) <= set(second["replaces"])
     rows = {(r["k"], r["v"]) for r in cp.read_table(spark, base).collect()}
     assert rows == {(0, "v0"), (1, "v1"), (7, "v7")}
 
@@ -177,3 +182,31 @@ def test_interrupted_cleanup_is_invisible(spark, base):
     # clean_orphans reclaims the stale dirs (they are no longer live)
     removed = cp.clean_orphans(spark, base)
     assert len(removed) == 2
+
+
+def test_compact_replaces_are_transitive_across_partial_cleanup(spark, tmp_path):
+    # a compaction row whose OWN cleanup crashed midway must not let a
+    # later compaction resurrect the leftover superseded json
+    import json
+    import os
+
+    base = str(tmp_path / "tbl")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(10, 20).withColumnRenamed("id", "k")
+    cp.commit(df1, base, keys=["k"])
+    e2 = cp.commit(df2, base, keys=["k"])
+    saved = json.dumps(e2)
+    c1 = cp.compact(spark, base)
+    # simulate compaction-1's cleanup crashing before removing json 2
+    mdir = os.path.join(base, "_manifest")
+    with open(os.path.join(mdir, f"{e2['snapshot_id']:012d}.json"), "w") as f:
+        f.write(saved)
+    assert [e["snapshot_id"] for e in cp.manifest(spark, base)] == [
+        c1["snapshot_id"]
+    ]  # still hidden by c1's replaces
+    cp.commit(spark.range(20, 25).withColumnRenamed("id", "k"), base, keys=["k"])
+    c2 = cp.compact(spark, base)
+    live = [e["snapshot_id"] for e in cp.manifest(spark, base)]
+    assert live == [c2["snapshot_id"]]  # snapshot 2 NOT resurrected
+    assert e2["snapshot_id"] in c2["replaces"]  # lineage inherited
+    assert cp.read_table(spark, base).count() == 25

@@ -468,3 +468,14 @@ def test_substring_dedup_differential_random_corpus(spark):
         for r in dedup.substring_dedup(df, l=l).collect()
     }
     assert got == expected
+
+
+def test_line_dedup_metacharacter_separator(spark):
+    # '|' is a regex metachar: an unquoted F.split pattern would explode
+    # the text into single characters and dedup everything away
+    rows = [("d1", "alpha|beta|alpha"), ("d2", "beta|gamma")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: (r.text_dedup, r.n_lines, r.n_removed)
+           for r in dedup.line_dedup(df, sep="|").collect()}
+    assert out["d1"] == ("alpha|beta", 3, 1)   # in-doc repeat dropped
+    assert out["d2"] == ("gamma", 2, 1)        # cross-doc repeat dropped
