@@ -1583,7 +1583,19 @@ def _duck_embedding_near_dups_sql(threshold: float = 0.5, tables: int = 2) -> st
     # the Spark side derives from its input — probe the SAME sf_dir the
     # oracle will run against (override via GBDC_ORACLE_SF_DIR for
     # non-default scale factors; the driver gate runs at sf0.01)
-    sf_dir = os.environ.get("GBDC_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = os.environ.get("GBDC_ORACLE_SF_DIR")
+    if sf_dir is None:
+        import warnings
+
+        sf_dir = "/root/testdata/sf0.01"
+        warnings.warn(
+            "embedding_near_dups oracle: GBDC_ORACLE_SF_DIR unset — "
+            f"probing the driver-gate default {sf_dir}; if the oracle "
+            "runs against a different corpus its baked-in bits/planes "
+            "will MISMATCH",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     try:
         import duckdb
 

@@ -15,6 +15,14 @@ re-run after a crash appends exactly the missing rows.  The anti join
 shuffles only the key columns of the committed side; with Iceberg this
 becomes a metadata-only ``doc_id`` bloom/partition prune.
 
+Concurrency contract: ONE writer per table at a time (the same
+assumption Hadoop-catalog Iceberg makes without a lock manager).  The
+manifest row is nevertheless created EXCLUSIVELY (hard-link publish,
+never an overwriting rename), so two racing writers that mint the same
+snapshot id cannot silently clobber each other's manifest row — the
+loser gets ``SnapshotConflictError`` and retries against the refreshed
+manifest instead of orphaning the winner's committed data.
+
 All hashes are ``xxhash64`` folded with an exact SUM (decimal
 accumulator, reduced mod 2^64) — commutative and associative, so the
 content hash is independent of partitioning and row order: the same
@@ -35,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "SnapshotConflictError",
     "row_hash",
     "content_hash",
     "partition_metrics",
@@ -95,9 +104,43 @@ def partition_metrics(df: DataFrame, cols: list[str] | None = None) -> DataFrame
     )
 
 
+class SnapshotConflictError(RuntimeError):
+    """Another writer published this snapshot id first (single-writer
+    assumption violated).  The loser's data dir is an orphan —
+    ``clean_orphans`` reclaims it; retry the commit to mint a fresh id
+    from the refreshed manifest."""
+
+
 # ------------------------------------------------------------------ store
 def _manifest_dir(base: str) -> str:
     return os.path.join(base, "_manifest")
+
+
+def _publish_manifest_row(base: str, sid: int, entry: dict) -> None:
+    """Atomically create ``<sid>.json`` EXCLUSIVELY: write a tmp file,
+    ``os.link`` it into place (fails with EEXIST instead of replacing —
+    the rename-based publish this replaces silently clobbered a racing
+    writer's row, turning its committed data dir into a deletable
+    orphan), then drop the tmp name."""
+    mdir = _manifest_dir(base)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".{sid:012d}.json.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    try:
+        os.link(tmp, os.path.join(mdir, f"{sid:012d}.json"))
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"snapshot {sid} already committed by another writer "
+            f"(single-writer contract, see module docstring); this "
+            f"attempt's data dir is an orphan — clean_orphans() reclaims "
+            f"it, retry to mint a fresh id"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def manifest(spark: SparkSession, base: str) -> list[dict]:
@@ -166,11 +209,7 @@ def commit(
         "keys": keys,
         "data_dir": data_dir,
     }
-    os.makedirs(_manifest_dir(base), exist_ok=True)
-    tmp = os.path.join(_manifest_dir(base), f".{sid:012d}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(entry, f)
-    os.replace(tmp, os.path.join(_manifest_dir(base), f"{sid:012d}.json"))
+    _publish_manifest_row(base, sid, entry)
     return entry
 
 
@@ -296,11 +335,7 @@ def compact(
         "data_dir": data_dir,
         "replaces": sorted(set(old_ids) | inherited),
     }
-    os.makedirs(_manifest_dir(base), exist_ok=True)
-    tmp = os.path.join(_manifest_dir(base), f".{sid:012d}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(entry, f)
-    os.replace(tmp, os.path.join(_manifest_dir(base), f"{sid:012d}.json"))
+    _publish_manifest_row(base, sid, entry)
 
     # post-commit cleanup — every step individually crash-safe; also
     # sweep any leftover jsons of transitively-superseded snapshots

@@ -506,8 +506,10 @@ def winnow_overlap_pairs(df: DataFrame, key: str = "doc_id",
     the join (boilerplate/template prints — the ones that would go
     quadratic; genuinely copied passages also carry rarer prints, which
     still surface the pair).  Bounded per-print work = no skew cliff at
-    corpus scale; the drop list is computed from the persisted
-    fingerprint table (one corpus hash pass) and anti-joined back.
+    corpus scale; the drop list is recomputed with one streaming corpus
+    hash pass and anti-joined back as a plain shuffled join — on a
+    boilerplate-heavy corpus the set of over-frequent prints is
+    unbounded, so it must never be a driver-side broadcast.
     """
     from .text import with_winnow_fingerprints
 
@@ -531,7 +533,14 @@ def winnow_overlap_pairs(df: DataFrame, key: str = "doc_id",
             .filter(F.col("n_docs_fp") > max_df)
             .select("fp")
         )
-        fps = fps.join(F.broadcast(common), "fp", "left_anti")
+        # deliberately NOT F.broadcast(common): the over-frequent-print
+        # list is unbounded on boilerplate-heavy corpora (every shared
+        # template line mints one), so a hinted broadcast OOMs the
+        # driver at exactly the scale max_df exists to protect.  A
+        # shuffled anti join on the fp hash is skew-free (one row per
+        # fp on the build side); AQE still auto-broadcasts genuinely
+        # small lists under the size threshold.
+        fps = fps.join(common, "fp", "left_anti")
     left, right = fps.alias("l"), fps.alias("r")
     return (
         left.join(
@@ -740,12 +749,14 @@ def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embe
     confined to buckets; multi-table duplicates collapse with one
     distinct on the verified pairs.
 
-    ``bits=None`` (default) auto-scales to the corpus: two O(1)-result
-    probes (a metadata-only parquet count and a first-row dim peek)
-    feed ``auto_sign_bits`` so expected bucket occupancy stays
-    ~``target_bucket_rows`` — the fixed default that was quadratic at
-    corpus scale is gone.  Pass explicit ``bits`` to pin the layout
-    (e.g. for cross-engine oracle comparison)."""
+    ``bits=None`` (default) auto-scales to the corpus: a ``count()``
+    and a first-row dim peek feed ``auto_sign_bits`` so expected bucket
+    occupancy stays ~``target_bucket_rows`` — the fixed default that
+    was quadratic at corpus scale is gone.  NOTE both probes execute
+    ``df``'s full lineage — O(1) *results*, but on a deeply derived
+    input they are two extra upstream passes; for such inputs pass
+    explicit ``bits`` (callers usually know the corpus size).  Explicit
+    ``bits`` also pins the layout for cross-engine oracle comparison."""
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).filter(F.col("d") > 0).first()
     dim = int(dim_row["d"]) if dim_row else 0
     if bits is None:

@@ -269,11 +269,13 @@ def maybe_size_rebalance(
     the probe from re-running the derivation over the full corpus.  A
     near-uniform corpus — like the driver's documents tables — returns
     ``df`` untouched: no shuffle, identical plan.  No-ops when
-    ``size_col`` is absent or the input is a streaming DataFrame
-    (quantiles need a batch scan; micro-batch sizing already bounds
-    stragglers there).
+    ``size_col`` OR ``key`` is absent (an auto gate must degrade to
+    identity on any frame shape — e.g. a renamed doc_id — never raise
+    from inside ``size_bucketed``) or when the input is a streaming
+    DataFrame (quantiles need a batch scan; micro-batch sizing already
+    bounds stragglers there).
     """
-    if size_col not in df.columns or df.isStreaming:
+    if size_col not in df.columns or key not in df.columns or df.isStreaming:
         return df
     # memoize the probe per (logical plan, size_col) for the session:
     # repeated pipelines over the same table (bench loops, multi-query

@@ -38,6 +38,29 @@ def _words(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+# lm_perplexity returns a LAZY plan whose scoring join reads a persisted
+# model table, so the persist must outlive the call — but an unbounded
+# series of calls in a long-lived session would accumulate one cached
+# model per call in executor storage.  Per-operator single-slot
+# retirement bounds that: each invocation unpersists the PREVIOUS
+# invocation's model for the same operator (safe — a still-referenced
+# old plan just recomputes), so a session holds at most one cached
+# model per operator family at a time.  Callers wanting immediate
+# release unpersist via ``spark.catalog.clearCache`` or keep their own
+# handle.
+_LAST_MODEL: dict = {}
+
+
+def _retire_previous_model(new_model, slot: str = "lm") -> None:
+    prev = _LAST_MODEL.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+    _LAST_MODEL[slot] = new_model
+
+
 def with_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition / shape signals (cf. Gopher rules, Rae et al. 2021):
 
@@ -225,7 +248,9 @@ def lm_perplexity(
     Scoring is an equi-join of doc-bigram rows against the model on
     (w1, w2) — a standard shuffle join; at corpus scale both sides
     would be bucketed on the gram key.  The unigram model is persisted
-    and the vocab size V is a row-count of it (1-row broadcast cross
+    (single-slot: each call retires the previous call's cached model,
+    so long sessions never accumulate storage) and the vocab size V is
+    a row-count of it (1-row broadcast cross
     join), so the whole pipeline makes exactly three
     embarrassingly-parallel corpus passes: bigram model build, unigram
     model build, and the scoring pass (the token-stream-sized bigram
@@ -261,6 +286,7 @@ def lm_perplexity(
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
     ).persist()
+    _retire_previous_model(unigram_counts)
     vocab = unigram_counts.agg(F.count("*").alias("v"))
 
     scored = (

@@ -210,3 +210,29 @@ def test_compact_replaces_are_transitive_across_partial_cleanup(spark, tmp_path)
     assert live == [c2["snapshot_id"]]  # snapshot 2 NOT resurrected
     assert e2["snapshot_id"] in c2["replaces"]  # lineage inherited
     assert cp.read_table(spark, base).count() == 25
+
+
+def test_manifest_publish_is_exclusive_never_clobbers(spark, base):
+    # single-writer contract: a racing writer that minted the same
+    # snapshot id must get SnapshotConflictError, not silently replace
+    # the winner's manifest row (which would orphan committed data)
+    e1 = cp.commit(_mkdf(spark, 0, 10), base, keys=["doc_id"])
+    with pytest.raises(cp.SnapshotConflictError):
+        cp._publish_manifest_row(base, e1["snapshot_id"], dict(e1, n_rows=999))
+    # winner's row untouched, no tmp debris left behind
+    live = cp.manifest(spark, base)
+    assert [e["n_rows"] for e in live] == [10]
+    mdir = os.path.join(base, "_manifest")
+    assert not [f for f in os.listdir(mdir) if f.endswith(".tmp")]
+    # losing commit() surfaces the conflict and leaves only an orphan
+    # that clean_orphans reclaims — committed rows never disappear
+    import json as _json
+
+    row2 = cp.commit(_mkdf(spark, 10, 20), base, keys=["doc_id"])
+    with open(os.path.join(mdir, f"{row2['snapshot_id']:012d}.json")) as f:
+        before = _json.load(f)
+    with pytest.raises(cp.SnapshotConflictError):
+        cp._publish_manifest_row(base, row2["snapshot_id"], dict(before, n_rows=1))
+    with open(os.path.join(mdir, f"{row2['snapshot_id']:012d}.json")) as f:
+        assert _json.load(f) == before
+    assert cp.read_table(spark, base).count() == 20

@@ -161,3 +161,15 @@ def test_extract_all_values_unchanged_by_rebalance(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_maybe_size_rebalance_noop_when_key_absent(spark):
+    # auto-gate must degrade to identity on a renamed key column, not
+    # raise from inside size_bucketed (extract stages default to auto)
+    from gbdc_spark.operators.partitioning import maybe_size_rebalance
+
+    df = spark.range(0, 2000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("renamed_id"),
+        F.when(F.col("id") < 10, 100000).otherwise(5).alias("n_tok"),
+    )
+    assert maybe_size_rebalance(df, sample_frac=1.0) is df
