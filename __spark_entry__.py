@@ -450,6 +450,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source", "n_tok", "pack_id", "pack_fill"
         )
 
+    def q_pack_next_fit_scalable(spark, sf_dir):
+        # the two-phase chunked packer (gbdc_spark/operators/packing.py
+        # pack_next_fit_scalable): bit-identical semantics, so the SAME
+        # recursive-CTE oracle gates it; ids are docNNNNNNNN (11 chars),
+        # so chunk_prefix=10 makes ~10-doc chunks — every pack of the
+        # 1024-token budget straddles chunk boundaries, exercising the
+        # carry-resolution path under the oracle, not just the fast path
+        from gbdc_spark.operators.packing import pack_next_fit_scalable
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "source", "n_tok"
+        )
+        return pack_next_fit_scalable(
+            seqs, max_tokens=1024, chunk_prefix=10
+        ).select("doc_id", "source", "n_tok", "pack_id", "pack_fill")
+
     def q_stratified_sample(spark, sf_dir):
         # deterministic md5-uniform per-stratum sampling — stable under
         # parallelism/retries, reproducible in any md5-capable engine
@@ -1480,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_agg": q_stream_session_agg,
         "stream_session_append": q_stream_session_append,
         "pack_next_fit": q_pack_next_fit,
+        "pack_next_fit_scalable": q_pack_next_fit_scalable,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "epoch_order": q_epoch_order,
@@ -3789,4 +3806,7 @@ def oracle_sql() -> dict[str, str]:
     # large-star/small-star CC has the same (doc_id, keeper) contract
     # over the same candidate pair graph as label propagation
     oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
+    # the chunked two-phase packer is output-identical to the plain
+    # scan by construction — same recursive-CTE oracle gates both
+    oracles["pack_next_fit_scalable"] = oracles["pack_next_fit"]
     return oracles

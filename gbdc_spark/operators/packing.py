@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "pack_next_fit",
+    "pack_next_fit_scalable",
     "stratified_sample",
     "weighted_sample",
     "dataset_split",
@@ -66,21 +67,233 @@ def pack_next_fit(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         sizes = pdf[size_col].to_numpy(dtype=np.int64)
-        packs = np.zeros(len(sizes), dtype=np.int64)
-        fills = np.zeros(len(sizes), dtype=np.int64)
-        pack_id, fill = 0, 0
-        for i, s in enumerate(sizes):
-            if fill > 0 and fill + s > max_tokens:
-                pack_id += 1
-                fill = 0
-            fill += int(s)
-            packs[i] = pack_id
-            fills[i] = fill
+        packs, fills, _, _ = _next_fit_state(sizes, max_tokens)
         pdf[pack_out] = packs
         pdf[fill_out] = fills
         return pdf
 
     return df.groupBy(*by_cols).applyInPandas(pack, schema=out_schema)
+
+
+def _next_fit_state(sizes: np.ndarray, max_tokens: int,
+                    pack_id: int = 0, fill: int = 0):
+    """The next-fit scan loop, resumable: packs ``sizes`` in order
+    starting from an OPEN pack ``pack_id`` holding ``fill`` tokens.
+    Returns (per-row pack ids, per-row running fills, final open pack
+    id, final fill) — with (0, 0) this is exactly ``pack_next_fit``'s
+    inner loop."""
+    packs = np.zeros(len(sizes), dtype=np.int64)
+    fills = np.zeros(len(sizes), dtype=np.int64)
+    for i, s in enumerate(sizes):
+        if fill > 0 and fill + s > max_tokens:
+            pack_id += 1
+            fill = 0
+        fill += int(s)
+        packs[i] = pack_id
+        fills[i] = fill
+    return packs, fills, pack_id, fill
+
+
+def pack_next_fit_scalable(
+    df: DataFrame,
+    max_tokens: int,
+    size_col: str = "n_tok",
+    by: str | Iterable[str] = "source",
+    order: str | Iterable[str] = "doc_id",
+    pack_out: str = "pack_id",
+    fill_out: str = "pack_fill",
+    chunk_col: str | None = None,
+    chunk_prefix: int = 4,
+    chunk_width: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """``pack_next_fit`` without the whole-group pandas frame — the
+    two-phase chunked shape of ``temporal.with_session_id_scalable``,
+    bit-identical output (tested property).
+
+    ``pack_next_fit`` materializes each ``by`` group in ONE task; with
+    ``by="source"`` and a handful of sources, a 100-TB corpus is an OOM
+    first and a straggler second.  Next-fit's cross-row state is only
+    the open pack's ``(pack_id, fill)``, so the scan decomposes:
+
+    1. rows split into order-respecting chunks (prefix of the first
+       ``order`` column for strings, ``floor(col/chunk_width)`` for
+       numerics, or an explicit ``chunk_col``) — a heavy group spreads
+       over many bounded (group, chunk) tasks;
+    2. one ``applyInPandas`` per (group, chunk) emits a SUMMARY row:
+       leading cumulative sizes up to the token budget (only rows a
+       carry-in could absorb — bounded by ``max_tokens``, not chunk
+       rows) plus, for each restart position in that prefix, the pack
+       count and final fill of a fresh next-fit run from there to the
+       chunk end (all restart runs in one O(rows) backward sweep over
+       next-break pointers: break(b) ⇔ the open pack is non-empty AND
+       cum(b) overflows — the non-empty guard matters for zero-size
+       docs);
+    3. a per-group sequential scan over the TINY summary table (one
+       row per chunk) threads ``(pack_id, fill)`` through the chunks:
+       absorb leading rows into the carried pack while they fit, then
+       look up the restart-run result — never touching row data;
+    4. the per-chunk entry states join back (plain equi-join) and each
+       (group, chunk) re-runs the plain loop seeded with its state.
+
+    Wall-clock and memory are bounded by the heaviest (group, chunk) +
+    a per-group summary scan of n_chunks × O(max_tokens/min_doc) ints,
+    vs the heaviest GROUP before.  Keep ``pack_next_fit`` for groups
+    known to be small — one stage, no join.
+    """
+    from pyspark.sql import types as T
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+    order_cols = [order] if isinstance(order, str) else list(order)
+
+    # ---- order-respecting chunk key: every row of chunk c precedes
+    # every row of chunk c+1 under the group's sort order
+    if chunk_col is not None:
+        d = df.withColumn("_pchunk", F.col(chunk_col))
+    else:
+        first = order_cols[0]
+        dtype = dict(df.dtypes)[first]
+        if dtype == "string":
+            d = df.withColumn("_pchunk", F.substring(F.col(first), 1, chunk_prefix))
+        elif chunk_width is not None:
+            # stays LONG: stringifying would sort "10" before "2" in the
+            # carry scan while Spark ordered the rows numerically
+            d = df.withColumn(
+                "_pchunk",
+                F.floor(F.col(first).cast("double") / F.lit(float(chunk_width)))
+                .cast("long"),
+            )
+        else:
+            raise ValueError(
+                f"order column {first!r} is {dtype}; pass chunk_width or chunk_col"
+            )
+    if persist:
+        d = d.persist()  # summary + re-pack both read d (pitfall #4)
+
+    by_fields = [d.schema[c] for c in by_cols]
+    chunk_field = d.schema["_pchunk"]
+    summary_schema = T.StructType(
+        by_fields
+        + [
+            chunk_field,
+            T.StructField("_cums", T.ArrayType(T.LongType())),
+            T.StructField("_npacks", T.ArrayType(T.LongType())),
+            T.StructField("_fills", T.ArrayType(T.LongType())),
+            T.StructField("_m", T.LongType()),
+            T.StructField("_total", T.LongType()),
+        ]
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        sizes = pdf[size_col].to_numpy(dtype=np.int64)
+        m = len(sizes)
+        S = np.cumsum(sizes)  # S[i-1] = sum of first i sizes
+        # restart-run results from every position (1-based j), O(m):
+        # nxt(j) = first break of a fresh run at j = first b >= j+1 with
+        # cum(j..b) > max_tokens AND cum(j..b-1) > 0 (zero-size guard)
+        S0 = np.concatenate(([0], S))
+        # first b with cum(j..b) > max_tokens (searchsorted over S0
+        # already yields the 1-based row index b)
+        over = np.searchsorted(S0, S0[:m] + max_tokens, side="right")
+        # first b whose pack is non-empty when b arrives: S_{b-1} > S_{j-1}
+        nonempty = np.searchsorted(S0, S0[:m], side="right") + 1
+        nxt = np.maximum(over, nonempty)  # nxt[j-1], 1-based positions
+        npacks = np.ones(m + 2, dtype=np.int64)
+        fills = np.zeros(m + 2, dtype=np.int64)
+        for j in range(m, 0, -1):
+            b = nxt[j - 1]
+            if b > m:
+                npacks[j] = 1
+                fills[j] = S0[m] - S0[j - 1]
+            else:
+                npacks[j] = 1 + npacks[b]
+                fills[j] = fills[b]
+        # a carry-in (fill > 0) can absorb at most the rows whose
+        # cumulative size stays <= max_tokens; +1 for the restart row
+        J = int(np.searchsorted(S, max_tokens, side="right"))
+        L = min(J + 1, m)
+        out = {c: [pdf[c].iloc[0]] for c in by_cols}
+        out["_pchunk"] = [pdf["_pchunk"].iloc[0]]
+        out["_cums"] = [S[:L].tolist()]
+        out["_npacks"] = [npacks[1 : L + 1].tolist()]
+        out["_fills"] = [fills[1 : L + 1].tolist()]
+        out["_m"] = [m]
+        out["_total"] = [int(S0[m])]
+        return pd.DataFrame(out)
+
+    summary = d.groupBy(*by_cols, "_pchunk").applyInPandas(
+        summarize, schema=summary_schema
+    )
+
+    state_schema = T.StructType(
+        by_fields
+        + [
+            chunk_field,
+            T.StructField("_in_pack", T.LongType()),
+            T.StructField("_in_fill", T.LongType()),
+        ]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_pchunk", kind="mergesort").reset_index(drop=True)
+        pack, fill = 0, 0
+        in_packs = np.zeros(len(pdf), dtype=np.int64)
+        in_fills = np.zeros(len(pdf), dtype=np.int64)
+        for i in range(len(pdf)):
+            in_packs[i], in_fills[i] = pack, fill
+            cums = pdf["_cums"].iloc[i]
+            np_from = pdf["_npacks"].iloc[i]
+            f_from = pdf["_fills"].iloc[i]
+            m, total = int(pdf["_m"].iloc[i]), int(pdf["_total"].iloc[i])
+            if fill > 0:
+                # absorb while the carried pack still fits
+                k = int(np.searchsorted(np.asarray(cums), max_tokens - fill,
+                                        side="right"))
+                if k >= m:
+                    fill += total  # whole chunk joins the carried pack
+                    continue
+                pack += int(np_from[k])  # restart at j = k+1 (0-based k)
+                fill = int(f_from[k])
+            else:
+                # open pack is empty (group start, or a zero-size tail):
+                # the fresh run IS the continuation of pack `pack`
+                pack += int(np_from[0]) - 1
+                fill = int(f_from[0])
+        return pd.DataFrame(
+            {
+                **{c: pdf[c] for c in by_cols},
+                "_pchunk": pdf["_pchunk"],
+                "_in_pack": in_packs,
+                "_in_fill": in_fills,
+            }
+        )
+
+    states = summary.groupBy(*by_cols).applyInPandas(scan, schema=state_schema)
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(pack_out, T.LongType()), T.StructField(fill_out, T.LongType())]
+    )
+    drop_cols = ["_pchunk", "_in_pack", "_in_fill"]
+
+    def repack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        sizes = pdf[size_col].to_numpy(dtype=np.int64)
+        packs, fills, _, _ = _next_fit_state(
+            sizes, max_tokens,
+            pack_id=int(pdf["_in_pack"].iloc[0]), fill=int(pdf["_in_fill"].iloc[0]),
+        )
+        pdf = pdf.drop(columns=drop_cols)
+        pdf[pack_out] = packs
+        pdf[fill_out] = fills
+        return pdf
+
+    return (
+        d.join(states, on=[*by_cols, "_pchunk"])
+        .groupBy(*by_cols, "_pchunk")
+        .applyInPandas(repack, schema=out_schema)
+    )
 
 
 def _md5_uniform(key: Column) -> Column:

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup
 from ..operators.packing import (
     epoch_shuffle,
-    pack_next_fit,
+    pack_next_fit_scalable,
     stratified_sample,
     weighted_sample,
 )
@@ -93,7 +93,10 @@ def build_training_set(
     sampled = weighted_sample(
         clean, k=k, weight_col="n_kept", key="doc_id", salt="ws1"
     )
-    packed = pack_next_fit(
+    # scalable variant: identical output to pack_next_fit, but no task
+    # ever materializes a whole source — at corpus scale the sampled
+    # set can still be billions of rows across a handful of sources
+    packed = pack_next_fit_scalable(
         sampled, max_tokens=max_tokens, size_col="n_kept",
         by="source", order="doc_id",
     )

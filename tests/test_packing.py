@@ -228,3 +228,72 @@ def test_dataset_split_bands_and_growth_stability(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         packing.dataset_split(df, {"a": 0.8, "b": 0.9})
+
+
+def _scalable_equals_plain(spark, rows, max_tokens, **kw):
+    from gbdc_spark.operators.packing import pack_next_fit_scalable
+
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    a = sorted(map(tuple, pack_next_fit(df, max_tokens).collect()))
+    b = sorted(map(tuple, pack_next_fit_scalable(df, max_tokens, **kw).collect()))
+    assert a == b
+
+
+def test_pack_scalable_identical_incl_zero_and_oversized(spark):
+    rng = random.Random(11)
+    rows = []
+    for g in range(4):
+        for i in range(rng.randint(30, 300)):
+            r = rng.random()
+            s = 0 if r < 0.07 else (rng.randint(1100, 4000) if r < 0.14
+                                    else rng.randint(1, 500))
+            rows.append((f"g{g}", f"d{i:05d}", s))
+    # prefix sweep crosses every chunk granularity from "whole group in
+    # one chunk" (prefix 1) down to "one doc per chunk" (prefix 6)
+    for prefix in (1, 3, 5, 6):
+        _scalable_equals_plain(spark, rows, 1024, chunk_prefix=prefix)
+
+
+def test_pack_scalable_carry_spans_many_chunks(spark):
+    # every doc is tiny, so ONE pack spans dozens of chunk boundaries —
+    # the pure carry-absorption path (k == m, zero restarts)
+    rows = [("s", f"d{i:04d}", 1) for i in range(300)]
+    _scalable_equals_plain(spark, rows, 10_000, chunk_prefix=4)
+    # and a zero-size tail straddling chunk edges (fill can re-enter 0)
+    rows += [("s", f"e{i:04d}", 0) for i in range(50)]
+    _scalable_equals_plain(spark, rows, 3, chunk_prefix=4)
+
+
+def test_pack_scalable_numeric_order_and_bad_dtype(spark):
+    from gbdc_spark.operators.packing import pack_next_fit_scalable
+
+    rng = random.Random(5)
+    rows = [(f"s{g}", int(i), rng.randint(1, 600))
+            for g in range(2) for i in range(400)]
+    df = spark.createDataFrame(rows, "source string, seq long, n_tok int")
+    a = sorted(map(tuple, pack_next_fit(df, 1000, order="seq").collect()))
+    # width 37 puts chunk ids well past 9, catching any lexicographic
+    # ("10" < "2") ordering of the numeric chunk key in the carry scan
+    b = sorted(map(tuple, pack_next_fit_scalable(
+        df, 1000, order="seq", chunk_width=37).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="chunk_width or chunk_col"):
+        pack_next_fit_scalable(df, 1000, order="seq")
+
+
+def test_pack_scalable_bounds_task_group_size(spark):
+    # the point of the operator: no (group, chunk) task ever sees the
+    # whole group.  One heavy source, chunked on a 5-char prefix ->
+    # max in-task rows == max docs per prefix bucket, not group size.
+    from gbdc_spark.operators.packing import pack_next_fit_scalable
+
+    rows = [("heavy", f"d{i:05d}", 7) for i in range(2000)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    chunked = df.withColumn("_pchunk", F.substring("doc_id", 1, 5))
+    max_task = (
+        chunked.groupBy("source", "_pchunk").count()
+        .agg(F.max("count")).first()[0]
+    )
+    assert max_task == 10  # d0000x..d1999x -> 200 buckets of 10
+    out = pack_next_fit_scalable(df, 1024, chunk_prefix=5)
+    assert out.count() == 2000

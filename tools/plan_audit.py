@@ -50,7 +50,7 @@ CHECKS = {
         ("signature computed JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
     "training_build": [
-        ("packing is the only Python stage (one applyInPandas group map)", r"FlatMapGroupsInPandas"),
+        ("packing is the only Python family (chunked applyInPandas stages)", r"FlatMapGroupsInPandas"),
         ("dedup/contamination/sampling all JVM-side (no Arrow eval)", r"^(?!.*ArrowEvalPython)"),
         ("budget top-k is TakeOrderedAndProject (no full sort)", r"TakeOrderedAndProject"),
     ],
@@ -118,6 +118,15 @@ CHECKS = {
     "pack_next_fit": [
         ("per-group pandas scan (order-dependent packing)",
          r"FlatMapGroupsInPandas"),
+    ],
+    "pack_next_fit_scalable": [
+        # three bounded group-map stages: per-(group,chunk) summary,
+        # per-group carry scan over the tiny summary, per-(group,chunk)
+        # re-pack — NO stage groups on the bare by-cols over row data
+        ("chunked pandas stages present",
+         r"FlatMapGroupsInPandas"),
+        ("state join-back is a real equi-join (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     ],
     "stratified_sample": [
         ("md5-uniform filter stays JVM-side", r"^(?!.*ArrowEvalPython)"),
