@@ -542,6 +542,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _emb(spark, sf_dir).select("vec_id", "label")
         return label_balance(e, label_col="label", key="vec_id")
 
+    def q_label_balance_bucketed(spark, sf_dir):
+        # same operator, two-phase bucketed-rank physical path pinned
+        # on (the 10⁹-row-label shape): same md5-uniform total order,
+        # so the same oracle gates it — 16 buckets forces real
+        # cross-bucket offset arithmetic even at sf0.01 label sizes
+        from gbdc_spark.operators.packing import label_balance
+
+        e = _emb(spark, sf_dir).select("vec_id", "label")
+        return label_balance(
+            e, label_col="label", key="vec_id", bucketed=True, buckets=16
+        )
+
     def q_weighted_sample(spark, sf_dir):
         # Efraimidis–Spirakis weighted sample without replacement:
         # 25 docs drawn proportional to word count (token-budget
@@ -1502,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_order": q_epoch_order,
         "training_build": q_training_build,
         "label_balance": q_label_balance,
+        "label_balance_bucketed": q_label_balance_bucketed,
         "dataset_split": q_dataset_split,
         "epoch_shards": q_epoch_shards,
         "quality_signals": q_quality_signals,
@@ -3809,4 +3822,7 @@ def oracle_sql() -> dict[str, str]:
     # the chunked two-phase packer is output-identical to the plain
     # scan by construction — same recursive-CTE oracle gates both
     oracles["pack_next_fit_scalable"] = oracles["pack_next_fit"]
+    # bucketed label_balance preserves the (md5-uniform, key) total
+    # order exactly — same oracle gates both physical rank paths
+    oracles["label_balance_bucketed"] = oracles["label_balance"]
     return oracles

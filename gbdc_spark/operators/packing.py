@@ -413,6 +413,9 @@ def label_balance(
     key: str = "vec_id",
     per_class: int | None = None,
     salt: str = "lb",
+    bucketed: bool | None = None,
+    bucket_threshold: int = 2_000_000,
+    buckets: int = 256,
 ) -> DataFrame:
     """Deterministic class rebalancing: keep the same number of rows
     per label — each label's md5-uniform rank up to the minority-class
@@ -420,20 +423,64 @@ def label_balance(
     downsampling step before training on a skewed label column,
     RNG-free so re-runs and engines agree row-for-row.
 
-    Scale: one count aggregate (≤ #labels rows, broadcast back) and
-    one rank window per label — parallel across labels.  A single
-    label with 10⁹ rows rank-sorts inside its own window; for that
-    regime swap in the two-phase bucketed rank of
-    :func:`epoch_shuffle` (hash-prefix offsets), which trades one
-    extra small shuffle for per-label parallelism.
+    Scale: one count aggregate (≤ #labels rows, broadcast back) plus
+    the per-label rank.  Ranking has two physical paths with the SAME
+    total order (md5-uniform, then key — identical output, tested):
+
+    * ``bucketed=False`` — one rank window per label.  Parallel across
+      labels, but a 10⁹-row majority class serializes inside its own
+      window partition.
+    * ``bucketed=True`` — the :func:`epoch_shuffle` two-phase rank per
+      label: rows bucket by the leading hex of the SAME md5 the rank
+      orders on (power-of-16 bucket count keeps bucket order == hash
+      order), a per-(label, bucket) count aggregate broadcasts
+      cumulative offsets (≤ labels × ``buckets`` rows), and each
+      bucket ranks independently — per-label parallelism at the cost
+      of one extra tiny shuffle.
+
+    ``bucketed=None`` (default) auto-picks: a map-side-combined label
+    count probe (one extra pass over ``df``'s lineage — pin the flag
+    explicitly on deeply derived inputs) switches to the bucketed rank
+    when any label exceeds ``bucket_threshold`` rows.
     """
     from pyspark.sql import Window
 
     u = _md5_uniform(
         F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
     )
-    w = Window.partitionBy(label_col).orderBy(u, F.col(key))
-    ranked = df.withColumn("_rn", F.row_number().over(w))
+    if bucketed is None:
+        mx = (
+            df.groupBy(label_col).agg(F.count("*").alias("_c"))
+            .agg(F.max("_c").alias("_m")).first()["_m"]
+        )
+        bucketed = mx is not None and int(mx) > bucket_threshold
+    if not bucketed:
+        w = Window.partitionBy(label_col).orderBy(u, F.col(key))
+        ranked = df.withColumn("_rn", F.row_number().over(w))
+    else:
+        prefix = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(buckets)
+        if prefix is None:
+            raise ValueError("buckets must be one of 16, 256, 4096, 65536")
+        h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string")))
+        # bucket = leading hex of the SAME hash u is parsed from, so
+        # bucket order is exactly the coarse order of u; ties inside a
+        # bucket resolve by (u, key) — the plain path's total order
+        scored = df.withColumn(
+            "_b", F.conv(F.substring(h, 1, prefix), 16, 10).cast("int")
+        )
+        counts = scored.groupBy(label_col, "_b").agg(F.count("*").alias("_c"))
+        wc = Window.partitionBy(label_col).orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.withColumn(
+            "_off", F.coalesce(F.sum("_c").over(wc), F.lit(0))
+        ).select(label_col, "_b", "_off")
+        wr = Window.partitionBy(label_col, "_b").orderBy(u, F.col(key))
+        ranked = (
+            scored.join(F.broadcast(offsets), [label_col, "_b"])
+            .withColumn("_rn", F.col("_off") + F.row_number().over(wr))
+            .select(*df.columns, "_rn")  # join reordered keys first
+        )
     if per_class is not None:
         return ranked.filter(F.col("_rn") <= per_class).drop("_rn")
     target = (

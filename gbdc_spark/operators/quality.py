@@ -225,6 +225,7 @@ def lm_perplexity(
     text_col: str = "text",
     key: str = "doc_id",
     min_count: int = 1,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring: train an add-one
     (Laplace) smoothed bigram LM on the corpus itself, then score every
@@ -245,9 +246,18 @@ def lm_perplexity(
     bigrams fall back to the unseen-bigram probability 1/(c(w1)+V),
     exactly what add-one smoothing assigns a zero-count pair, so
     pruning changes only model size, never the smoothing family.
-    Scoring is an equi-join of doc-bigram rows against the model on
-    (w1, w2) — a standard shuffle join; at corpus scale both sides
-    would be bucketed on the gram key.  The unigram model is persisted
+    Scoring joins the doc-bigram stream against the model on (w1, w2)
+    then (w1).  With ``broadcast_model=True`` (default) both model
+    tables are broadcast-hinted, so the token-stream-sized bigram
+    explode NEVER shuffles — it flows scan → explode → broadcast
+    lookups → map-side partial agg on the doc key; this also sidesteps
+    the Zipf skew of natural-language gram keys (a shuffle join on
+    "the …" hot keys needs AQE skew splitting; a broadcast join does
+    not care).  ``min_count`` pruning is what makes the bigram table
+    model-sized; set ``broadcast_model=False`` for unpruned models on
+    open-vocabulary corpora too big for executor memory — the scoring
+    falls back to a shuffle join (at corpus scale: bucket both sides
+    on the gram key).  The unigram model is persisted
     (single-slot: each call retires the previous call's cached model,
     so long sessions never accumulate storage) and the vocab size V is
     a row-count of it (1-row broadcast cross
@@ -289,10 +299,12 @@ def lm_perplexity(
     _retire_previous_model(unigram_counts)
     vocab = unigram_counts.agg(F.count("*").alias("v"))
 
+    bg = F.broadcast(bigram_counts) if broadcast_model else bigram_counts
+    ug = F.broadcast(unigram_counts) if broadcast_model else unigram_counts
     scored = (
         pairs
-        .join(bigram_counts, ["w1", "w2"], "left")
-        .join(unigram_counts, "w1")
+        .join(bg, ["w1", "w2"], "left")
+        .join(ug, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(key),

@@ -297,3 +297,43 @@ def test_pack_scalable_bounds_task_group_size(spark):
     assert max_task == 10  # d0000x..d1999x -> 200 buckets of 10
     out = pack_next_fit_scalable(df, 1024, chunk_prefix=5)
     assert out.count() == 2000
+
+
+def test_label_balance_bucketed_path_identical(spark):
+    # both physical rank paths share one total order (md5-uniform, key)
+    from gbdc_spark.operators.packing import label_balance
+
+    rng = random.Random(7)
+    rows = [(f"v{i:05d}", rng.choice(["a", "b", "c"])) for i in range(3000)]
+    df = spark.createDataFrame(rows, "vec_id string, label string")
+    plain = sorted(map(tuple, label_balance(df, bucketed=False).collect()))
+    for buckets in (16, 256):
+        buck = sorted(map(tuple, label_balance(
+            df, bucketed=True, buckets=buckets).collect()))
+        assert buck == plain
+    # per_class cap, both paths
+    p = sorted(map(tuple, label_balance(df, per_class=50, bucketed=False).collect()))
+    b = sorted(map(tuple, label_balance(df, per_class=50, bucketed=True).collect()))
+    assert b == p and len(p) == 150
+
+
+def test_label_balance_bucketed_on_skewed_million_row_label(spark):
+    # the regime the bucketed path exists for: one label with 10^6 rows
+    # (a plain window serializes it into one task).  per_class keeps the
+    # comparison cheap while the RANKING still covers every row.
+    from gbdc_spark.operators.packing import label_balance
+
+    df = spark.range(0, 1_000_000).select(
+        F.concat(F.lit("v"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("vec_id"),
+        F.when(F.col("id") < 999_000, "majority").otherwise("minority").alias("label"),
+    )
+    a = sorted(map(tuple, label_balance(
+        df, per_class=200, bucketed=True).collect()))
+    b = sorted(map(tuple, label_balance(
+        df, per_class=200, bucketed=False).collect()))
+    assert a == b and len(a) == 400
+    # auto gate flips to bucketed above the threshold without changing
+    # the answer
+    c = sorted(map(tuple, label_balance(
+        df, per_class=200, bucket_threshold=100_000).collect()))
+    assert c == a

@@ -153,8 +153,15 @@ CHECKS = {
         # shuffle, not every bigram occurrence
         ("map-side partial aggregation for the LM counts",
          r"partial_count|HashAggregate"),
-        ("scoring join is a real equi-join (never cross)",
-         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        # both model tables broadcast-hinted: the token-stream-sized
+        # bigram explode reaches its doc-key partial agg without ever
+        # shuffling on the Zipf-skewed gram keys
+        ("model joins broadcast (corpus stream never gram-shuffled)",
+         r"BroadcastHashJoin"),
+        # the only allowed SMJ is the doc-level row-preserving
+        # join-back (keyed on the doc key); none may key on gram cols
+        ("no sort-merge join on gram keys",
+         r"^(?!.*SortMergeJoin Left keys \[\d+\]: \[w[12]#)"),
         ("unigram model cached (vocab count reads it, not the corpus)",
          r"InMemoryTableScan"),
     ],
