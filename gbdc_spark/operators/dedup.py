@@ -39,6 +39,7 @@ __all__ = [
     "semantic_dedup",
     "embedding_near_dups",
     "auto_sign_bits",
+    "auto_sign_tables",
     "sign_hyperplanes",
     "dup_clusters",
     "dup_clusters_star",
@@ -726,6 +727,33 @@ def auto_sign_bits(n_rows: int, target_bucket_rows: int = 64,
     return max(lo, min(hi, math.ceil(math.log2(max(n_rows / target_bucket_rows, 2.0)))))
 
 
+def auto_sign_tables(bits: int, threshold: float,
+                     target_recall: float = 0.9,
+                     lo: int = 1, hi: int = 64) -> int:
+    """Tables needed so a pair AT the cosine ``threshold`` boundary is
+    expected to collide in >= 1 table with prob >= ``target_recall``.
+
+    SRP collision math (Charikar STOC'02): a pair at angle θ agrees on
+    one hyperplane sign with p = 1 − θ/π, on a whole ``bits``-wide
+    signature with p^bits, and in at least one of T independent tables
+    with 1 − (1 − p^bits)^T — so T = ceil(ln(1−target) / ln(1−p^bits)).
+    Pairs safely above the threshold do strictly better; ``bits`` and
+    ``tables`` now BOTH follow the corpus instead of ``tables`` staying
+    a fixed 2 while ``auto_sign_bits`` grows (recall at a given
+    threshold depends on both — more bits per table means fewer
+    boundary pairs survive a single table)."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    per_table = p ** bits
+    if per_table >= 1.0:
+        return lo
+    if per_table <= 0.0:
+        return hi
+    need = math.log(1.0 - target_recall) / math.log(1.0 - per_table)
+    return max(lo, min(hi, math.ceil(need)))
+
+
 def sign_hyperplanes(tables: int, bits: int, dim: int, seed: int = 42) -> np.ndarray:
     """Seeded Gaussian random hyperplanes, shape (tables, bits, dim) —
     the classic signed-random-projection family.  Deterministic for a
@@ -737,9 +765,10 @@ def sign_hyperplanes(tables: int, bits: int, dim: int, seed: int = 42) -> np.nda
 
 
 def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embedding",
-                        threshold: float = 0.95, tables: int = 2,
+                        threshold: float = 0.95, tables: int | None = None,
                         bits: int | None = None, seed: int = 42,
-                        target_bucket_rows: int = 64) -> DataFrame:
+                        target_bucket_rows: int = 64,
+                        target_recall: float = 0.9) -> DataFrame:
     """Embedding-cosine near-dup: multi-table signed-random-projection
     LSH + in-bucket cosine verify.  Table t buckets on the sign pattern
     of ``bits`` seeded Gaussian hyperplane projections; a pair is a
@@ -756,11 +785,20 @@ def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embe
     ``df``'s full lineage — O(1) *results*, but on a deeply derived
     input they are two extra upstream passes; for such inputs pass
     explicit ``bits`` (callers usually know the corpus size).  Explicit
-    ``bits`` also pins the layout for cross-engine oracle comparison."""
+    ``bits`` also pins the layout for cross-engine oracle comparison.
+
+    ``tables=None`` (default) derives the table count from the final
+    bit width via :func:`auto_sign_tables`, so expected recall for a
+    pair AT the ``threshold`` boundary stays >= ``target_recall`` as
+    ``bits`` grows with the corpus (the round-3 auto-``bits`` alone
+    silently traded recall for bucket occupancy).  Pass explicit
+    ``tables`` to pin cost/recall manually."""
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).filter(F.col("d") > 0).first()
     dim = int(dim_row["d"]) if dim_row else 0
     if bits is None:
         bits = auto_sign_bits(df.count(), target_bucket_rows)
+    if tables is None:
+        tables = auto_sign_tables(bits, threshold, target_recall)
     planes = sign_hyperplanes(tables, bits, dim, seed)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 

@@ -479,3 +479,56 @@ def test_line_dedup_metacharacter_separator(spark):
            for r in dedup.line_dedup(df, sep="|").collect()}
     assert out["d1"] == ("alpha|beta", 3, 1)   # in-doc repeat dropped
     assert out["d2"] == ("gamma", 2, 1)        # cross-doc repeat dropped
+
+
+def test_embedding_near_dups_auto_params_hold_recall_at_two_sizes(spark):
+    # the auto path must keep recall as the corpus grows: bits scale up
+    # with n (bucket occupancy) and tables scale with bits (boundary
+    # recall) — measured against a numpy brute-force ground truth
+    import numpy as np
+
+    from gbdc_spark.operators.dedup import (
+        auto_sign_bits, auto_sign_tables, embedding_near_dups,
+    )
+
+    dim, thr = 24, 0.95
+    for n in (300, 1500):
+        rng = np.random.default_rng(n)
+        base = rng.standard_normal((n, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        # plant a near-dup (cos ~0.992: perturbation of total norm
+        # ~0.12) for every 7th first-half vector into the second half
+        for i in range(0, n // 2, 7):
+            j = i + n // 2
+            noise = rng.standard_normal(dim) * (0.12 / np.sqrt(dim))
+            v = base[i] + noise
+            base[j] = v / np.linalg.norm(v)
+        sims = base @ base.T
+        truth = {(i, j) for i in range(n) for j in range(i + 1, n)
+                 if round(sims[i, j], 6) >= thr}
+        assert len(truth) >= n // 14  # the construction really planted pairs
+
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in base[i]]) for i in range(n)],
+            "vec_id int, embedding array<float>",
+        )
+        found = {(r["a"], r["b"]) for r in
+                 embedding_near_dups(df, threshold=thr).collect()}
+        recall = len(found & truth) / len(truth)
+        bits = auto_sign_bits(n)
+        assert recall >= 0.9, (n, bits, auto_sign_tables(bits, thr), recall)
+        # precision is exact by construction (candidates are verified)
+        assert found <= truth
+
+
+def test_auto_sign_tables_math():
+    from gbdc_spark.operators.dedup import auto_sign_tables
+
+    # more bits per table -> more tables needed at the same threshold
+    assert auto_sign_tables(4, 0.95) <= auto_sign_tables(12, 0.95)
+    # looser threshold (wider angle) -> lower per-bit collision -> more
+    # tables at the same bit width
+    assert auto_sign_tables(8, 0.95) <= auto_sign_tables(8, 0.5)
+    # clamps
+    assert auto_sign_tables(30, -1.0) == 64
+    assert auto_sign_tables(1, 1.0) == 1
