@@ -38,6 +38,14 @@ def build_session(app: str, local_cores: int | None):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # the SAT backend choice is read in executor Python workers —
+    # forward the submitter's env to real executors (session.py does
+    # the same for the local path)
+    import os
+
+    sat_backend = os.environ.get("GBDC_SAT_BACKEND")
+    if sat_backend:
+        b = b.config("spark.executorEnv.GBDC_SAT_BACKEND", sat_backend)
     return b.getOrCreate()
 
 

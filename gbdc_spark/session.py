@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # GBDC_SAT_BACKEND is read inside the EXECUTOR's Python worker
+    # (kernels/gates.py _make_sat_solver); local[N] workers inherit the
+    # driver process env, but real executors do not — propagate the
+    # driver-side setting via executorEnv so `export GBDC_SAT_BACKEND=
+    # pysat; spark-submit job.py` behaves identically on a cluster
+    sat_backend = os.environ.get("GBDC_SAT_BACKEND")
+    if sat_backend:
+        b = b.config("spark.executorEnv.GBDC_SAT_BACKEND", sat_backend)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -73,3 +73,24 @@ def test_package_zip_complete(tmp_path):
     ]:
         assert mod in names
     assert not any("__pycache__" in n for n in names)
+
+
+def test_sat_backend_env_reaches_executor_conf(spark, monkeypatch):
+    # GBDC_SAT_BACKEND is read in the executor's Python worker; on a
+    # real cluster a driver-side export only reaches it through
+    # spark.executorEnv — both session factories must set it.  Uses the
+    # shared session (getOrCreate folds builder configs into it) and
+    # unsets between factories so each path is asserted independently;
+    # never stops the session-scoped fixture.
+    key = "spark.executorEnv.GBDC_SAT_BACKEND"
+    monkeypatch.setenv("GBDC_SAT_BACKEND", "dpll")
+    from gbdc_spark import job, session
+
+    for factory in (
+        lambda: session.get_spark(cores=2, shuffle_partitions=2),
+        lambda: job.build_session("t", local_cores=2),
+    ):
+        spark.conf.unset(key)
+        got = factory()
+        assert got.conf.get(key) == "dpll"
+    spark.conf.unset(key)
