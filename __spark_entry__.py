@@ -1030,6 +1030,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # catches ~30% of qualifying pairs); 8 tables ≈ 94%.
         return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.5, tables=8)
 
+    def q_embedding_near_dups_auto(spark, sf_dir):
+        # fully auto path: bits from corpus size AND tables from
+        # (bits, threshold) via the SRP recall formula — the oracle
+        # derives the identical (bits, tables, planes) from the same
+        # probe, so the auto sizing itself is correctness-gated (0.3
+        # cosine: wide-angle regime -> 10 auto tables at 3 bits, and
+        # the verify returns a non-trivial pair set at sf0.01)
+        return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.3)
+
     def q_ivf_topk(spark, sf_dir):
         # the at-scale shape: materialize the assignment ONCE partitioned
         # by cell, then probe = partition-pruned scan of n_probe cells
@@ -1565,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "semantic_dedup": q_semantic_dedup,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_auto": q_embedding_near_dups_auto,
         "ivf_topk": q_ivf_topk,
         "ivf_recall": q_ivf_recall,
         "ivf_trained_topk": q_ivf_trained_topk,
@@ -1601,13 +1611,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
-def _duck_embedding_near_dups_sql(threshold: float = 0.5, tables: int = 2) -> str:
+def _duck_embedding_near_dups_sql(threshold: float = 0.5,
+                                  tables: int | None = 2) -> str:
     """Oracle for the auto-scaled sign-LSH near-dup query: regenerates
     the SAME seeded hyperplanes and bit width the Spark side derives for
     the correctness-gate table (driver runs oracles at sf0.01), so the
     candidate buckets — not just the verified pairs — are reproduced in
-    SQL."""
-    from gbdc_spark.operators.dedup import auto_sign_bits, sign_hyperplanes
+    SQL.  ``tables=None`` mirrors the fully-auto Spark path: the table
+    count is derived from (bits, threshold) with the same formula."""
+    from gbdc_spark.operators.dedup import (
+        auto_sign_bits,
+        auto_sign_tables,
+        sign_hyperplanes,
+    )
 
     # the SQL string must bake in the same (n, d)-derived bits/planes
     # the Spark side derives from its input — probe the SAME sf_dir the
@@ -1645,6 +1661,8 @@ def _duck_embedding_near_dups_sql(threshold: float = 0.5, tables: int = 2) -> st
         )
         n, d = 500, 64
     bits = auto_sign_bits(int(n))
+    if tables is None:
+        tables = auto_sign_tables(bits, threshold)
     planes = sign_hyperplanes(tables, bits, int(d))
 
     def bucket(t: int) -> str:
@@ -3184,6 +3202,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e, c) WHERE rn = 1
         """,
         "embedding_near_dups": _duck_embedding_near_dups_sql(threshold=0.5, tables=8),
+        "embedding_near_dups_auto": _duck_embedding_near_dups_sql(
+            threshold=0.3, tables=None),
         "media_image_features": """
             WITH c AS (
                 SELECT doc_id, length(text) AS n,
