@@ -1634,11 +1634,14 @@ def _duck_embedding_near_dups_sql(threshold: float = 0.5,
         import warnings
 
         sf_dir = "/root/testdata/sf0.01"
+        # informational, not alarming: unset IS the normal driver-gate
+        # configuration (the gate runs at sf0.01); the variable only
+        # matters when the oracle targets another corpus
         warnings.warn(
-            "embedding_near_dups oracle: GBDC_ORACLE_SF_DIR unset — "
-            f"probing the driver-gate default {sf_dir}; if the oracle "
-            "runs against a different corpus its baked-in bits/planes "
-            "will MISMATCH",
+            "embedding_near_dups oracle: GBDC_ORACLE_SF_DIR unset, "
+            f"probing the driver-gate default {sf_dir} — set it if the "
+            "oracle will run against a different corpus (the baked-in "
+            "bits/planes follow the probed table)",
             RuntimeWarning,
             stacklevel=2,
         )

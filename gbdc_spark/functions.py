@@ -5,7 +5,33 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["bind_once", "ensure_parallelism"]
+__all__ = ["bind_once", "ensure_parallelism", "persist_slot"]
+
+# Named single-slot persist registry.  Operators that return LAZY plans
+# reading a persisted intermediate (lm model, divergence counts, the
+# chunk-keyed packing input) cannot unpersist before the caller
+# consumes — but an unbounded series of calls would accumulate one
+# cached table per call in executor storage.  ``persist_slot`` bounds
+# that to one live cache per operator family: the previous occupant is
+# unpersisted BEFORE the new frame is persisted (unpersisting AFTER
+# would evict the new cache too whenever both calls share one logical
+# plan — Spark's CacheManager dedups entries by sameResult, so the
+# late unpersist removes the entry the new plan relies on).
+# Unpersisting a still-referenced older plan is safe: it recomputes.
+_SLOT_CACHE: dict = {}
+
+
+def persist_slot(df, slot: str):
+    """Persist ``df`` as the sole occupant of ``slot`` (see above)."""
+    prev = _SLOT_CACHE.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+    out = df.persist()
+    _SLOT_CACHE[slot] = out
+    return out
 
 
 def ensure_parallelism(df, target: int | None = None):

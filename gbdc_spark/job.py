@@ -38,15 +38,11 @@ def build_session(app: str, local_cores: int | None):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    # the SAT backend choice is read in executor Python workers —
-    # forward the submitter's env to real executors (session.py does
-    # the same for the local path)
-    import os
+    # executor-visible env vars (e.g. the SAT backend choice) travel
+    # via executorEnv on real clusters — shared list in session.py
+    from .session import forward_executor_env
 
-    sat_backend = os.environ.get("GBDC_SAT_BACKEND")
-    if sat_backend:
-        b = b.config("spark.executorEnv.GBDC_SAT_BACKEND", sat_backend)
-    return b.getOrCreate()
+    return forward_executor_env(b).getOrCreate()
 
 
 def main(argv: list[str] | None = None) -> int:

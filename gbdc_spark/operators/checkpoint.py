@@ -193,7 +193,12 @@ def commit(
 
     written = spark.read.parquet(data_dir)
     pm = partition_metrics(written, hash_cols)
-    pm.write.mode("overwrite").parquet(os.path.join(base, "_metrics", f"snapshot={sid}"))
+    # metrics dir carries the data dir's unique suffix and is written
+    # errorifexists: like the data dir, a racing writer that minted the
+    # same sid can never clobber the winner's lineage metrics (the
+    # manifest row records which metrics dir belongs to the snapshot)
+    metrics_dir = os.path.join(base, "_metrics", os.path.basename(data_dir))
+    pm.write.mode("errorifexists").parquet(metrics_dir)
     agg = pm.agg(
         F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"),
         F.coalesce(F.sum("hash_fold"), F.lit(0).cast("decimal(38,0)")).alias("fold"),
@@ -208,6 +213,7 @@ def commit(
         "content_hash": int(agg["fold"]) % _FOLD_MOD,
         "keys": keys,
         "data_dir": data_dir,
+        "metrics_dir": metrics_dir,
     }
     _publish_manifest_row(base, sid, entry)
     return entry
@@ -317,7 +323,8 @@ def compact(
             f"compaction verify failed: rows {got_rows} vs {expected_rows}, "
             f"hash {got_hash} vs {expected_hash} — manifest untouched"
         )
-    pm.write.mode("overwrite").parquet(os.path.join(base, "_metrics", f"snapshot={sid}"))
+    metrics_dir = os.path.join(base, "_metrics", os.path.basename(data_dir))
+    pm.write.mode("errorifexists").parquet(metrics_dir)
 
     # replaces must be TRANSITIVE: a live compaction row may itself be
     # hiding earlier superseded jsons whose cleanup crashed midway; if
@@ -333,6 +340,7 @@ def compact(
         "content_hash": got_hash,
         "keys": entries[-1]["keys"],
         "data_dir": data_dir,
+        "metrics_dir": metrics_dir,
         "replaces": sorted(set(old_ids) | inherited),
     }
     _publish_manifest_row(base, sid, entry)
@@ -346,6 +354,11 @@ def compact(
             pass
     for e in entries:
         shutil.rmtree(e["data_dir"], ignore_errors=True)
+        shutil.rmtree(
+            e.get("metrics_dir")  # pre-round-4 rows: fixed-name layout
+            or os.path.join(base, "_metrics", f"snapshot={e['snapshot_id']}"),
+            ignore_errors=True,
+        )
     return entry
 
 

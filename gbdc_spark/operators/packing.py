@@ -156,6 +156,11 @@ def pack_next_fit_scalable(
         if dtype == "string":
             d = df.withColumn("_pchunk", F.substring(F.col(first), 1, chunk_prefix))
         elif chunk_width is not None:
+            if chunk_width <= 0:
+                # a negative width would ORDER-INVERT the chunk ids (the
+                # carry scan would thread state through chunks backward,
+                # silently wrong); zero divides to null
+                raise ValueError("chunk_width must be > 0")
             # stays LONG: stringifying would sort "10" before "2" in the
             # carry scan while Spark ordered the rows numerically
             d = df.withColumn(
@@ -168,7 +173,12 @@ def pack_next_fit_scalable(
                 f"order column {first!r} is {dtype}; pass chunk_width or chunk_col"
             )
     if persist:
-        d = d.persist()  # summary + re-pack both read d (pitfall #4)
+        # summary + re-pack both read d (pitfall #4); slot-bounded so a
+        # bench loop / long session never accumulates corpus-sized
+        # caches — each call retires the previous call's chunked input
+        from ..functions import persist_slot
+
+        d = persist_slot(d, slot="pack_next_fit_scalable_input")
 
     by_fields = [d.schema[c] for c in by_cols]
     chunk_field = d.schema["_pchunk"]
@@ -289,8 +299,25 @@ def pack_next_fit_scalable(
         pdf[fill_out] = fills
         return pdf
 
+    # null-safe state join: a null order/by column yields a null chunk
+    # key (and Spark's groupBy DOES form null groups), so a plain
+    # `on=[cols]` inner join would silently DROP those rows — the one
+    # divergence from pack_next_fit a correctness gate can't see on
+    # clean test data.  eqNullSafe keeps the equi-join shape.
+    import functools
+    import operator as _op
+
+    dl, sr = d.alias("dl"), states.alias("sr")
+    cond = functools.reduce(
+        _op.and_,
+        [
+            F.col(f"dl.{c}").eqNullSafe(F.col(f"sr.{c}"))
+            for c in [*by_cols, "_pchunk"]
+        ],
+    )
     return (
-        d.join(states, on=[*by_cols, "_pchunk"])
+        dl.join(sr, cond)
+        .select("dl.*", F.col("sr._in_pack"), F.col("sr._in_fill"))
         .groupBy(*by_cols, "_pchunk")
         .applyInPandas(repack, schema=out_schema)
     )

@@ -38,29 +38,6 @@ def _words(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
-# lm_perplexity returns a LAZY plan whose scoring join reads a persisted
-# model table, so the persist must outlive the call — but an unbounded
-# series of calls in a long-lived session would accumulate one cached
-# model per call in executor storage.  Per-operator single-slot
-# retirement bounds that: each invocation unpersists the PREVIOUS
-# invocation's model for the same operator (safe — a still-referenced
-# old plan just recomputes), so a session holds at most one cached
-# model per operator family at a time.  Callers wanting immediate
-# release unpersist via ``spark.catalog.clearCache`` or keep their own
-# handle.
-_LAST_MODEL: dict = {}
-
-
-def _retire_previous_model(new_model, slot: str = "lm") -> None:
-    prev = _LAST_MODEL.pop(slot, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:  # noqa: BLE001 — session may be gone
-            pass
-    _LAST_MODEL[slot] = new_model
-
-
 def with_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition / shape signals (cf. Gopher rules, Rae et al. 2021):
 
@@ -291,12 +268,14 @@ def lm_perplexity(
     # size both read this model-sized table (join-pushed filters defeat
     # ReuseExchange, so without the persist each consumer would
     # re-explode the corpus)
-    unigram_counts = (
+    from ..functions import persist_slot
+
+    unigram_counts = persist_slot(
         df.select(F.explode(ws).alias("w1"))
         .groupBy("w1")
-        .agg(F.count("*").alias("c1"))
-    ).persist()
-    _retire_previous_model(unigram_counts)
+        .agg(F.count("*").alias("c1")),
+        slot="lm_perplexity",
+    )
     vocab = unigram_counts.agg(F.count("*").alias("v"))
 
     bg = F.broadcast(bigram_counts) if broadcast_model else bigram_counts

@@ -209,18 +209,18 @@ def source_divergence(df: DataFrame, text_col: str = "text",
     cache.  Group totals and the 1-row grand total join back as
     broadcasts.
     """
-    from .quality import _retire_previous_model
+    from ..functions import persist_slot
 
     ws = _words(text_col)
-    counts = (
+    # single-slot persist (functions.persist_slot): a long session
+    # holds at most one cached divergence counts table, not one per
+    # call, and the previous occupant is retired BEFORE this persist
+    counts = persist_slot(
         df.select(F.col(group), F.explode(ws).alias("term"))
         .groupBy(group, "term")
-        .agg(F.count("*").alias("c_gt"))
-    ).persist()
-    # single-slot cache retirement (mechanism shared with
-    # lm_perplexity, separate slot): a long session holds at most one
-    # persisted divergence counts table, not one per call
-    _retire_previous_model(counts, slot="source_divergence")
+        .agg(F.count("*").alias("c_gt")),
+        slot="source_divergence",
+    )
     term_tot = counts.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
     group_tot = counts.groupBy(group).agg(
         F.sum("c_gt").alias("n_tokens"), F.count("*").alias("n_terms")

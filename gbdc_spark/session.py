@@ -11,7 +11,23 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "forward_executor_env"]
+
+# Env vars read inside EXECUTOR Python workers.  local[N] workers
+# inherit the driver process env, but real executors do not — any
+# driver-side export must travel via spark.executorEnv.*  Add new
+# executor-visible variables HERE so both session factories (library
+# get_spark and the spark-submit job entry) forward them.
+_EXECUTOR_ENV_VARS = ("GBDC_SAT_BACKEND",)  # read in kernels/gates.py
+
+
+def forward_executor_env(builder):
+    """Forward the driver's executor-visible env vars to executors."""
+    for var in _EXECUTOR_ENV_VARS:
+        val = os.environ.get(var)
+        if val:
+            builder = builder.config(f"spark.executorEnv.{var}", val)
+    return builder
 
 
 def get_spark(
@@ -39,14 +55,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    # GBDC_SAT_BACKEND is read inside the EXECUTOR's Python worker
-    # (kernels/gates.py _make_sat_solver); local[N] workers inherit the
-    # driver process env, but real executors do not — propagate the
-    # driver-side setting via executorEnv so `export GBDC_SAT_BACKEND=
-    # pysat; spark-submit job.py` behaves identically on a cluster
-    sat_backend = os.environ.get("GBDC_SAT_BACKEND")
-    if sat_backend:
-        b = b.config("spark.executorEnv.GBDC_SAT_BACKEND", sat_backend)
+    b = forward_executor_env(b)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

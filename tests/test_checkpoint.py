@@ -58,7 +58,10 @@ def test_content_hash_partitioning_invariant(spark, base):
 def test_partition_metrics_reconcile(spark, base):
     df = _mkdf(spark, 0, 200).repartition(7)
     entry = cp.commit(df, base, keys=["doc_id"])
-    pm = spark.read.parquet(os.path.join(base, "_metrics", "snapshot=1"))
+    # metrics dir is uuid-suffixed like the data dir (race-safe) and
+    # recorded in the manifest row
+    assert entry["metrics_dir"].startswith(os.path.join(base, "_metrics", "snapshot=1-"))
+    pm = spark.read.parquet(entry["metrics_dir"])
     rows = pm.collect()
     assert sum(r["n_rows"] for r in rows) == 200 == entry["n_rows"]
     fold = sum(int(r["hash_fold"]) for r in rows) % (1 << 64)

@@ -337,3 +337,27 @@ def test_label_balance_bucketed_on_skewed_million_row_label(spark):
     c = sorted(map(tuple, label_balance(
         df, per_class=200, bucket_threshold=100_000).collect()))
     assert c == a
+
+
+def test_pack_scalable_keeps_null_key_rows(spark):
+    # null order/by columns form null chunk keys; the state join must
+    # be null-safe or those rows silently vanish (plain keeps them)
+    from gbdc_spark.operators.packing import pack_next_fit_scalable
+
+    rows = [("s", "d1", 100), ("s", "d2", 950), ("s", None, 50),
+            (None, "d3", 70), (None, "d4", 40)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    a = sorted(map(tuple, pack_next_fit(df, 1000).collect()), key=repr)
+    b = sorted(map(tuple, pack_next_fit_scalable(
+        df, 1000, chunk_prefix=1).collect()), key=repr)
+    assert len(b) == 5
+    assert a == b
+
+
+def test_pack_scalable_rejects_nonpositive_chunk_width(spark):
+    from gbdc_spark.operators.packing import pack_next_fit_scalable
+
+    df = spark.createDataFrame([(1, "s", 10)], "seq long, source string, n_tok int")
+    for bad in (0, -37):
+        with pytest.raises(ValueError, match="chunk_width must be > 0"):
+            pack_next_fit_scalable(df, 100, order="seq", chunk_width=bad)

@@ -64,13 +64,15 @@ def run(n_docs: int = 1_000_000, sources: int = 4, rounds: int = 2) -> dict:
         return time.monotonic() - t0, (int(row["rows"]),
                                        int(row["max_pack"]), int(row["fold"]))
 
-    # chunk on a 6-char doc_id prefix: doc000xxx -> ~1000-doc chunks
+    # ids are 'doc' + 9 digits, so a 9-char prefix is 'doc' + the first
+    # 6 digits = 1000-doc chunks (prefix 6 would be 'doc'+3 digits =
+    # 10^6-doc chunks — barely any chunking below a few million rows)
     out = {"plain": [], "scalable": []}
     sigs = set()
     for _ in range(rounds):
         w, s = leg(pack_next_fit)
         out["plain"].append(round(w, 2)); sigs.add(s)
-        w, s = leg(pack_next_fit_scalable, chunk_prefix=6)
+        w, s = leg(pack_next_fit_scalable, chunk_prefix=9)
         out["scalable"].append(round(w, 2)); sigs.add(s)
     spark.stop()
     assert len(sigs) == 1, f"outputs diverged: {sigs}"
