@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "pack_next_fit",
     "pack_next_fit_scalable",
+    "pack_next_fit_auto",
     "stratified_sample",
     "weighted_sample",
     "dataset_split",
@@ -320,6 +321,36 @@ def pack_next_fit_scalable(
         .select("dl.*", F.col("sr._in_pack"), F.col("sr._in_fill"))
         .groupBy(*by_cols, "_pchunk")
         .applyInPandas(repack, schema=out_schema)
+    )
+
+
+def pack_next_fit_auto(
+    df: DataFrame,
+    max_tokens: int,
+    size_col: str = "n_tok",
+    by: str | Iterable[str] = "source",
+    order: str | Iterable[str] = "doc_id",
+    row_threshold: int = 2_000_000,
+    **scalable_kw,
+) -> DataFrame:
+    """Route between the two identical-output packers by group size:
+    the plain single-stage scan below ``row_threshold`` rows in the
+    largest ``by`` group (lower constant — measured ~5x faster at 1M
+    rows split 4 ways, tools/pack_scale_bench.py), the two-phase
+    chunked scan above it (O(chunk) memory, cores-wide parallelism —
+    2.6x faster at 6M rows in one group, and the only survivable shape
+    at 10^9).  The probe is one map-side-combined count over ``df``'s
+    lineage; callers with derived inputs or known group sizes call the
+    concrete variant directly."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    mx = (
+        df.groupBy(*by_cols).agg(F.count("*").alias("_c"))
+        .agg(F.max("_c").alias("_m")).first()["_m"]
+    )
+    if mx is None or int(mx) <= row_threshold:
+        return pack_next_fit(df, max_tokens, size_col, by, order)
+    return pack_next_fit_scalable(
+        df, max_tokens, size_col, by, order, **scalable_kw
     )
 
 

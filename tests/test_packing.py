@@ -361,3 +361,25 @@ def test_pack_scalable_rejects_nonpositive_chunk_width(spark):
     for bad in (0, -37):
         with pytest.raises(ValueError, match="chunk_width must be > 0"):
             pack_next_fit_scalable(df, 100, order="seq", chunk_width=bad)
+
+
+def test_pack_next_fit_auto_routes_by_group_size(spark):
+    # plain plan has ONE group-map stage; the chunked plan has three —
+    # observable routing without instrumentation
+    from gbdc_spark.operators.packing import pack_next_fit_auto
+
+    rows = [("s", f"d{i:05d}", 10) for i in range(3000)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+
+    def n_groupmaps(frame):
+        plan = frame._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        return plan.count("FlatMapGroupsInPandas")
+
+    small = pack_next_fit_auto(df, 1000)
+    big = pack_next_fit_auto(df, 1000, row_threshold=100, chunk_prefix=3)
+    # formatted explain mentions each node twice (tree + details)
+    assert n_groupmaps(small) == 2 * 1
+    assert n_groupmaps(big) == 2 * 3
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
