@@ -1611,6 +1611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+_EMB_PROBE_CACHE: dict = {}
+
+
 def _duck_embedding_near_dups_sql(threshold: float = 0.5,
                                   tables: int | None = 2) -> str:
     """Oracle for the auto-scaled sign-LSH near-dup query: regenerates
@@ -1628,41 +1631,48 @@ def _duck_embedding_near_dups_sql(threshold: float = 0.5,
     # the SQL string must bake in the same (n, d)-derived bits/planes
     # the Spark side derives from its input — probe the SAME sf_dir the
     # oracle will run against (override via GBDC_ORACLE_SF_DIR for
-    # non-default scale factors; the driver gate runs at sf0.01)
+    # non-default scale factors; the driver gate runs at sf0.01).
+    # Probe memoized per sf_dir: oracle_sql() builds TWO near-dup
+    # oracles, which would otherwise duplicate the I/O and the warning.
     sf_dir = os.environ.get("GBDC_ORACLE_SF_DIR")
     if sf_dir is None:
         import warnings
 
         sf_dir = "/root/testdata/sf0.01"
-        # informational, not alarming: unset IS the normal driver-gate
-        # configuration (the gate runs at sf0.01); the variable only
-        # matters when the oracle targets another corpus
-        warnings.warn(
-            "embedding_near_dups oracle: GBDC_ORACLE_SF_DIR unset, "
-            f"probing the driver-gate default {sf_dir} — set it if the "
-            "oracle will run against a different corpus (the baked-in "
-            "bits/planes follow the probed table)",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    try:
-        import duckdb
+        if sf_dir not in _EMB_PROBE_CACHE:
+            # informational, not alarming: unset IS the normal
+            # driver-gate configuration (the gate runs at sf0.01); the
+            # variable only matters for a different target corpus
+            warnings.warn(
+                "embedding_near_dups oracle: GBDC_ORACLE_SF_DIR unset, "
+                f"probing the driver-gate default {sf_dir} — set it if "
+                "the oracle will run against a different corpus (the "
+                "baked-in bits/planes follow the probed table)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    if sf_dir in _EMB_PROBE_CACHE:
+        n, d = _EMB_PROBE_CACHE[sf_dir]
+    else:
+        try:
+            import duckdb
 
-        n, d = duckdb.sql(
-            "SELECT count(*), max(len(embedding)) "
-            f"FROM '{sf_dir}/embeddings.parquet'"
-        ).fetchone()
-    except Exception:
-        import warnings
+            n, d = duckdb.sql(
+                "SELECT count(*), max(len(embedding)) "
+                f"FROM '{sf_dir}/embeddings.parquet'"
+            ).fetchone()
+        except Exception:
+            import warnings
 
-        warnings.warn(
-            f"embedding_near_dups oracle: could not probe {sf_dir}; "
-            "assuming the driver's sf0.01 shape (500, 64) — the oracle "
-            "will MISMATCH any other corpus size",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        n, d = 500, 64
+            warnings.warn(
+                f"embedding_near_dups oracle: could not probe {sf_dir}; "
+                "assuming the driver's sf0.01 shape (500, 64) — the oracle "
+                "will MISMATCH any other corpus size",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            n, d = 500, 64
+        _EMB_PROBE_CACHE[sf_dir] = (n, d)
     bits = auto_sign_bits(int(n))
     if tables is None:
         tables = auto_sign_tables(bits, threshold)

@@ -7,30 +7,35 @@ from pyspark.sql import functions as F
 
 __all__ = ["bind_once", "ensure_parallelism", "persist_slot"]
 
-# Named single-slot persist registry.  Operators that return LAZY plans
-# reading a persisted intermediate (lm model, divergence counts, the
-# chunk-keyed packing input) cannot unpersist before the caller
+# Named bounded-slot persist registry.  Operators that return LAZY
+# plans reading a persisted intermediate (lm model, divergence counts,
+# the chunk-keyed packing input) cannot unpersist before the caller
 # consumes — but an unbounded series of calls would accumulate one
 # cached table per call in executor storage.  ``persist_slot`` bounds
-# that to one live cache per operator family: the previous occupant is
-# unpersisted BEFORE the new frame is persisted (unpersisting AFTER
-# would evict the new cache too whenever both calls share one logical
-# plan — Spark's CacheManager dedups entries by sameResult, so the
-# late unpersist removes the entry the new plan relies on).
-# Unpersisting a still-referenced older plan is safe: it recomputes.
+# that to the ``keep`` most recent caches per operator family: the
+# evicted occupant is unpersisted BEFORE the new frame is persisted
+# (unpersisting AFTER would evict the new cache too whenever both
+# calls share one logical plan — Spark's CacheManager dedups entries
+# by sameResult, so a late unpersist removes the entry the new plan
+# relies on).  Unpersisting a still-referenced older plan is safe
+# (it recomputes); ``keep`` > 1 exists for operators whose returned
+# plans are routinely COMPOSED before materializing (two scalable
+# packs unioned into one write) — interleavings deeper than ``keep``
+# should pass persist=False and manage their own caching.
 _SLOT_CACHE: dict = {}
 
 
-def persist_slot(df, slot: str):
-    """Persist ``df`` as the sole occupant of ``slot`` (see above)."""
-    prev = _SLOT_CACHE.pop(slot, None)
-    if prev is not None:
+def persist_slot(df, slot: str, keep: int = 1):
+    """Persist ``df`` as the newest of ``keep`` occupants of ``slot``."""
+    queue = _SLOT_CACHE.setdefault(slot, [])
+    while len(queue) >= max(keep, 1):
+        prev = queue.pop(0)
         try:
             prev.unpersist()
         except Exception:  # noqa: BLE001 — session may be gone
             pass
     out = df.persist()
-    _SLOT_CACHE[slot] = out
+    queue.append(out)
     return out
 
 

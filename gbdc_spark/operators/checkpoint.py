@@ -248,15 +248,26 @@ def clean_orphans(spark: SparkSession, base: str) -> list[str]:
     # differently (relative vs absolute, symlink, './') than the caller
     # passes here — exact full-path equality would then treat every LIVE
     # snapshot as an orphan and delete it.
-    live = {os.path.basename(os.path.normpath(e["data_dir"])) for e in manifest(spark, base)}
-    ddir = os.path.join(base, "data")
+    entries = manifest(spark, base)
+    live = {os.path.basename(os.path.normpath(e["data_dir"])) for e in entries}
+    # metrics dirs are uuid-suffixed like data dirs; a lost commit race
+    # or a crash between the metrics write and the manifest publish
+    # leaves a metrics orphan too (pre-round-4 rows used the fixed
+    # name snapshot=<sid> — keep those live as well)
+    live_metrics = {
+        os.path.basename(os.path.normpath(e["metrics_dir"]))
+        if e.get("metrics_dir") else f"snapshot={e['snapshot_id']}"
+        for e in entries
+    }
     removed = []
-    if os.path.isdir(ddir):
-        for d in sorted(os.listdir(ddir)):
-            if d not in live:
-                full = os.path.join(ddir, d)
-                shutil.rmtree(full)
-                removed.append(full)
+    for sub, keep in (("data", live), ("_metrics", live_metrics)):
+        ddir = os.path.join(base, sub)
+        if os.path.isdir(ddir):
+            for d in sorted(os.listdir(ddir)):
+                if d not in keep:
+                    full = os.path.join(ddir, d)
+                    shutil.rmtree(full)
+                    removed.append(full)
     return removed
 
 

@@ -176,10 +176,15 @@ def pack_next_fit_scalable(
     if persist:
         # summary + re-pack both read d (pitfall #4); slot-bounded so a
         # bench loop / long session never accumulates corpus-sized
-        # caches — each call retires the previous call's chunked input
+        # caches.  keep=2 tolerates the common composition of TWO
+        # lazy pack results (union, join) before materializing; deeper
+        # interleavings pass persist=False and cache the input
+        # themselves (retiring an unconsumed cache is merely slow for
+        # deterministic lineage, but a branch-divergence hazard on
+        # nondeterministic upstreams)
         from ..functions import persist_slot
 
-        d = persist_slot(d, slot="pack_next_fit_scalable_input")
+        d = persist_slot(d, slot="pack_next_fit_scalable_input", keep=2)
 
     by_fields = [d.schema[c] for c in by_cols]
     chunk_field = d.schema["_pchunk"]
@@ -331,6 +336,8 @@ def pack_next_fit_auto(
     by: str | Iterable[str] = "source",
     order: str | Iterable[str] = "doc_id",
     row_threshold: int = 2_000_000,
+    pack_out: str = "pack_id",
+    fill_out: str = "pack_fill",
     **scalable_kw,
 ) -> DataFrame:
     """Route between the two identical-output packers by group size:
@@ -348,9 +355,11 @@ def pack_next_fit_auto(
         .agg(F.max("_c").alias("_m")).first()["_m"]
     )
     if mx is None or int(mx) <= row_threshold:
-        return pack_next_fit(df, max_tokens, size_col, by, order)
+        return pack_next_fit(df, max_tokens, size_col, by, order,
+                             pack_out, fill_out)
     return pack_next_fit_scalable(
-        df, max_tokens, size_col, by, order, **scalable_kw
+        df, max_tokens, size_col, by, order, pack_out, fill_out,
+        **scalable_kw
     )
 
 

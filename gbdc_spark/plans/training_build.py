@@ -96,13 +96,14 @@ def build_training_set(
     # scalable variant: identical output to pack_next_fit, but no task
     # ever materializes a whole source — at corpus scale the sampled
     # set can still be billions of rows across a handful of sources.
-    # chunk_prefix=10 matters: ids are docNNNNNNNN (3 + 8 digits), so
+    # chunk_prefix=9 matters: ids are docNNNNNNNN (3 + 8 digits), so
     # the default prefix 4 is 'doc'+1 digit = at most 10 chunks per
-    # source below 10^9 docs — prefix 10 gives ~100-doc chunks and the
-    # real bounded-task shape
+    # source below 10^9 docs, while prefix 9 = 'doc'+6 digits gives
+    # 100-doc chunks — the real bounded-task shape without drowning in
+    # 10-row groups (prefix 10)
     packed = pack_next_fit_scalable(
         sampled, max_tokens=max_tokens, size_col="n_kept",
-        by="source", order="doc_id", chunk_prefix=10,
+        by="source", order="doc_id", chunk_prefix=9,
     )
     ordered = epoch_shuffle(packed, seed=seed, key="doc_id")
     return ordered.select(

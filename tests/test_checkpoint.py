@@ -239,3 +239,20 @@ def test_manifest_publish_is_exclusive_never_clobbers(spark, base):
     with open(os.path.join(mdir, f"{row2['snapshot_id']:012d}.json")) as f:
         assert _json.load(f) == before
     assert cp.read_table(spark, base).count() == 20
+
+
+def test_clean_orphans_sweeps_metrics_debris(spark, base):
+    # a commit that crashed between the metrics write and the manifest
+    # publish (or a lost race) leaves a metrics orphan too — cleanup
+    # must reclaim it while keeping every live metrics dir
+    import shutil as _sh
+
+    e1 = cp.commit(_mkdf(spark, 0, 20), base, keys=["doc_id"])
+    orphan_m = os.path.join(base, "_metrics", "snapshot=2-feedfacecafe")
+    _sh.copytree(e1["metrics_dir"], orphan_m)
+    orphan_d = os.path.join(base, "data", "snapshot=2-feedfacecafe")
+    _sh.copytree(e1["data_dir"], orphan_d)
+    removed = {os.path.basename(r) for r in cp.clean_orphans(spark, base)}
+    assert removed == {"snapshot=2-feedfacecafe"} or len(removed) == 2
+    assert os.path.isdir(e1["metrics_dir"]) and os.path.isdir(e1["data_dir"])
+    assert not os.path.isdir(orphan_m) and not os.path.isdir(orphan_d)
