@@ -301,6 +301,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ellipsis_line_frac", "numeric_frac",
         )
 
+    def q_repetition_signals(spark, sf_dir):
+        # Gopher's repetition-filter family (top/dup n-gram char
+        # fractions + duplicate-line fractions) — pure JVM folds over
+        # the per-doc sorted gram arrays, recomputed in DuckDB
+        from gbdc_spark.operators.quality import with_repetition_signals
+
+        return with_repetition_signals(
+            _docs(spark, sf_dir).select("doc_id", "text")
+        ).drop("text")
+
     def q_ngram_contamination(spark, sf_dir):
         # benchmark decontamination: a deterministic 5% md5-slice of the
         # docs is the "eval set"; flag corpus docs sharing any 8-gram
@@ -1527,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "epoch_shards": q_epoch_shards,
         "quality_signals": q_quality_signals,
+        "repetition_signals": q_repetition_signals,
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
         "lm_perplexity": q_lm_perplexity,
@@ -2286,6 +2297,60 @@ def _duck_pii_sql() -> str:
         """
 
 
+def _duck_repetition_sql(ns_top=(2, 3, 4), ns_dup=(5, 10)) -> str:
+    """Oracle for ``repetition_signals``: recomputes every Gopher
+    repetition fraction from first principles (gram group-bys + the
+    same lex-smallest tie-break via ORDER BY cnt DESC, gram ASC)."""
+    ctes = ["""w AS (
+        SELECT doc_id, greatest(length(text), 1) AS total,
+               str_split(text, ' ') AS ws,
+               str_split(text, chr(10)) AS ls
+        FROM documents)"""]
+    joins, cols = [], []
+    for n in sorted(set(ns_top) | set(ns_dup)):
+        ctes.append(f"""g{n} AS (
+        SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+        FROM (SELECT doc_id, unnest(list_transform(
+                  range(1, greatest(len(ws) - {n} + 1, 0) + 1),
+                  i -> array_to_string(list_slice(ws, i, i + {n} - 1), ' '))) AS gram
+              FROM w)
+        GROUP BY doc_id, gram)""")
+    for n in ns_top:
+        ctes.append(f"""top{n} AS (
+        SELECT doc_id, cnt * glen AS chars
+        FROM (SELECT doc_id, cnt, glen,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, gram ASC) AS rn
+              FROM g{n})
+        WHERE rn = 1)""")
+        joins.append(f"LEFT JOIN top{n} USING (doc_id)")
+        cols.append(f"round(CAST(coalesce(top{n}.chars, 0) AS DOUBLE)"
+                    f" / w.total, 6) AS top_{n}gram_char_frac")
+    for n in ns_dup:
+        ctes.append(f"""dup{n} AS (
+        SELECT doc_id,
+               coalesce(sum(cnt * glen) FILTER (WHERE cnt >= 2), 0) AS chars
+        FROM g{n} GROUP BY doc_id)""")
+        joins.append(f"LEFT JOIN dup{n} USING (doc_id)")
+        cols.append(f"round(CAST(coalesce(dup{n}.chars, 0) AS DOUBLE)"
+                    f" / w.total, 6) AS dup_{n}gram_char_frac")
+    ctes.append("""ldup AS (
+        SELECT doc_id, coalesce(sum((cnt - 1) * llen), 0) AS rep_chars
+        FROM (SELECT doc_id, line, count(*) AS cnt, length(line) AS llen
+              FROM (SELECT doc_id, unnest(ls) AS line FROM w)
+              GROUP BY doc_id, line)
+        GROUP BY doc_id)""")
+    joins.append("LEFT JOIN ldup USING (doc_id)")
+    cols.append("round(CAST(len(w.ls) - len(list_distinct(w.ls)) AS DOUBLE)"
+                " / greatest(len(w.ls), 1), 6) AS dup_line_frac")
+    cols.append("round(CAST(coalesce(ldup.rep_chars, 0) AS DOUBLE)"
+                " / greatest(list_sum(list_transform(w.ls, x -> length(x))), 1),"
+                " 6) AS dup_line_char_frac")
+    return ("WITH " + ",\n    ".join(ctes)
+            + "\n    SELECT w.doc_id, " + ", ".join(cols)
+            + "\n    FROM w " + " ".join(joins))
+
+
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "asof_join": """
@@ -2445,6 +2510,7 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(b.ws), 1), 6) AS numeric_frac
             FROM bg b JOIN bstat s USING (doc_id)
         """,
+        "repetition_signals": _duck_repetition_sql(),
         "ngram_contamination": """
             WITH u AS (
                 SELECT doc_id, text,

@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 from ..functions import bind_once as _bind
 
-__all__ = ["with_quality_signals", "ngram_contamination",
+__all__ = ["with_quality_signals", "with_repetition_signals",
+           "ngram_contamination",
            "token_ngram_contamination", "lm_perplexity",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
            "temperature_weights"]
@@ -445,3 +446,158 @@ def temperature_weights(df: DataFrame, source_col: str = "source",
             ).alias("boost"),
         )
     )
+
+def with_repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    ns_top: tuple = (2, 3, 4),
+    ns_dup: tuple = (5, 10),
+) -> DataFrame:
+    """Gopher's line/n-gram repetition filters (Rae et al. 2021,
+    Table A1 — the family ``with_quality_signals`` does not cover):
+
+    * ``top_{n}gram_char_frac`` (n in ``ns_top``) — characters of the
+      most frequent word n-gram times its count, over the doc's total
+      characters (Gopher rejects above 0.20 / 0.18 / 0.16 for n=2,3,4);
+    * ``dup_{n}gram_char_frac`` (n in ``ns_dup``) — characters taken by
+      ALL occurrences of n-grams appearing more than once, over total
+      characters (Gopher thresholds 0.15 .. 0.10 for n=5..10; overlaps
+      are deliberately NOT deduplicated — fractions can exceed 1 on
+      degenerate text, same as counting each occurrence independently);
+    * ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of lines
+      (resp. their characters) that are repeats of an earlier line.
+
+    Determinism: the "most frequent" tie breaks toward the
+    lexicographically smallest n-gram (here via a fold over the sorted
+    gram array that only advances on a strictly longer run; in the
+    DuckDB oracle via ``ORDER BY cnt DESC, gram ASC``).  An n-gram's
+    character count is ``length(gram)`` including its joining spaces.
+
+    All pure JVM expressions: the word array is bound once per row
+    (``bind_once``), then one per-doc O(G log G) sort + fold per
+    signal — a shuffle-free projection over the scan.
+    """
+    total = F.greatest(F.length(text_col), F.lit(1))
+
+    def _grams(ws: Column, n: int) -> Column:
+        # guard: F.sequence(1, k) with k < 1 walks BACKWARDS (step -1)
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _top_chars(sorted_grams: Column) -> Column:
+        # longest equal-neighbour run over the sorted array; ties keep
+        # the FIRST (lex-smallest) gram because best only moves on >
+        return F.aggregate(
+            sorted_grams,
+            F.struct(
+                F.lit("\x00init\x00").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+                F.lit(0).alias("best_len"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+                F.when(
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                    > acc["best"],
+                    F.length(x),
+                )
+                .otherwise(acc["best_len"])
+                .alias("best_len"),
+            ),
+            lambda acc: acc["best"] * acc["best_len"],
+        )
+
+    def _dup_chars(sorted_grams: Column) -> Column:
+        # chars over ALL occurrences of grams seen >= 2 times: the 2nd
+        # occurrence retroactively charges the 1st (2x), later ones 1x
+        return F.aggregate(
+            sorted_grams,
+            F.struct(
+                F.lit("\x00init\x00").alias("prev"),
+                F.lit(1).alias("run"),
+                F.lit(0).alias("chars"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                (
+                    acc["chars"]
+                    + F.when(
+                        x == acc["prev"],
+                        F.when(acc["run"] == 1, F.length(x) * 2).otherwise(
+                            F.length(x)
+                        ),
+                    ).otherwise(F.lit(0))
+                ).alias("chars"),
+            ),
+            lambda acc: acc["chars"],
+        )
+
+    def gram_signals(ws: Column) -> Column:
+        fields = []
+        for n in ns_top:
+            fields.append(
+                F.round(
+                    _bind(F.array_sort(_grams(ws, n)), _top_chars) / total, 6
+                ).alias(f"top_{n}gram_char_frac")
+            )
+        for n in ns_dup:
+            fields.append(
+                F.round(
+                    _bind(F.array_sort(_grams(ws, n)), _dup_chars) / total, 6
+                ).alias(f"dup_{n}gram_char_frac")
+            )
+        return F.struct(*fields)
+
+    def line_signals(lines: Column) -> Column:
+        n_lines = F.greatest(F.size(lines), F.lit(1))
+        line_chars = F.greatest(
+            F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x)),
+            F.lit(1),
+        )
+        dup_frac = (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines
+        # chars of occurrences BEYOND the first (a line repeated k
+        # times charges (k-1) * len) — matches the oracle's (cnt-1)*len
+        rep = F.aggregate(
+            F.array_sort(lines),
+            F.struct(F.lit("\x00init\x00").alias("prev"), F.lit(0).alias("chars")),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                (
+                    acc["chars"]
+                    + F.when(x == acc["prev"], F.length(x)).otherwise(F.lit(0))
+                ).alias("chars"),
+            ),
+            lambda acc: acc["chars"],
+        )
+        return F.struct(
+            F.round(dup_frac, 6).alias("dup_line_frac"),
+            F.round(rep / line_chars, 6).alias("dup_line_char_frac"),
+        )
+
+    import re as _re
+
+    out = (
+        df.withColumn("_gsig", _bind(_words(text_col), gram_signals))
+        .withColumn(
+            "_lsig",
+            _bind(F.split(F.col(text_col), _re.escape(line_sep)), line_signals),
+        )
+    )
+    return out.select(*df.columns, "_gsig.*", "_lsig.*")

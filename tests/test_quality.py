@@ -219,3 +219,96 @@ def test_token_ngram_contamination_hand_case(spark):
         for r in token_ngram_contamination(corpus, bench, n=8).collect()
     }
     assert out == {"c1": 2, "c3": 1}
+
+
+def _rep_ref(text, ns_top=(2, 3, 4), ns_dup=(5, 10), sep="\n"):
+    """Independent pure-Python reference for with_repetition_signals."""
+    from collections import Counter
+
+    out = {}
+    total = max(len(text), 1)
+    ws = text.split(" ")
+    for kind, ns in (("top", ns_top), ("dup", ns_dup)):
+        for n in ns:
+            grams = (
+                [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+                if len(ws) >= n else []
+            )
+            c = Counter(grams)
+            if kind == "top":
+                if not grams:
+                    out[f"top_{n}gram_char_frac"] = 0.0
+                    continue
+                best = max(c.values())
+                g = min(g for g, v in c.items() if v == best)
+                out[f"top_{n}gram_char_frac"] = round(best * len(g) / total, 6)
+            else:
+                out[f"dup_{n}gram_char_frac"] = round(
+                    sum(v * len(g) for g, v in c.items() if v >= 2) / total, 6
+                )
+    lines = text.split(sep)
+    c = Counter(lines)
+    out["dup_line_frac"] = round((len(lines) - len(c)) / max(len(lines), 1), 6)
+    lc = max(sum(len(x) for x in lines), 1)
+    out["dup_line_char_frac"] = round(
+        sum((v - 1) * len(x) for x, v in c.items()) / lc, 6
+    )
+    return out
+
+
+def test_repetition_signals_hand_computed(spark):
+    from gbdc_spark.operators.quality import with_repetition_signals
+
+    rows = [
+        (1, "a b a b a b"),      # 'a b' x3 of 5 bigrams, len 3 -> 9/11
+        (2, "q\nq\nr r r\nq"),   # 3 of 4 lines are repeats of 'q'
+        (3, "spam spam spam spam spam spam spam spam"),  # all-dup 5-grams
+        (4, "t"),                # below every n: all gram signals 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in with_repetition_signals(df).collect()}
+
+    assert got[1]["top_2gram_char_frac"] == pytest.approx(9 / 11)
+    assert got[2]["dup_line_frac"] == pytest.approx(2 / 4)
+    assert got[2]["dup_line_char_frac"] == pytest.approx(2 / 8)
+    # 4 overlapping 'spam spam spam spam spam' grams (len 24), all dup
+    assert got[3]["dup_5gram_char_frac"] == pytest.approx(4 * 24 / 39)
+    for k, v in got[4].items():
+        if k not in ("doc_id", "text"):
+            assert v == 0.0, k
+    # every doc agrees with the independent reference on every signal
+    for doc_id, text in rows:
+        for k, v in _rep_ref(text).items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-6), (doc_id, k)
+
+
+def test_repetition_signals_randomized_differential(spark):
+    import random
+
+    from gbdc_spark.operators.quality import with_repetition_signals
+
+    rng = random.Random(42)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 40)
+        words = [rng.choice(vocab) for _ in range(n)]
+        text = " ".join(words)
+        if i % 3 == 0:  # inject line structure
+            text = text.replace(" ", "\n", rng.randint(0, 3))
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in with_repetition_signals(df).collect()}
+    for doc_id, text in rows:
+        # line splitting first: the operator splits words on ' ' of the
+        # raw text, so the reference must too
+        for k, v in _rep_ref(text).items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-6), (doc_id, k)
+
+
+def test_repetition_signals_plan_is_jvm_only(spark):
+    from gbdc_spark.operators.quality import with_repetition_signals
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = with_repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
