@@ -45,6 +45,10 @@ CHECKS = {
         ("whole-stage codegen (no Python anywhere)", r"codegen id"),
         ("no Arrow eval in plan", r"^(?!.*ArrowEvalPython)"),
     ],
+    "repetition_signals": [
+        ("shuffle-free projection over the scan", r"^(?!.*Exchange)"),
+        ("no Arrow eval in plan", r"^(?!.*ArrowEvalPython)"),
+    ],
     "minhash_pairs": [
         ("band equi-join is a real join (never cross)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("signature computed JVM-side", r"^(?!.*ArrowEvalPython)"),
