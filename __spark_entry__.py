@@ -311,6 +311,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir).select("doc_id", "text")
         ).drop("text")
 
+    def q_token_repetition_signals(spark, sf_dir):
+        # the same family over PRE-TOKENIZED sequences: repetition the
+        # model actually sees, invisible to text-level filters
+        from gbdc_spark.operators.quality import with_token_repetition_signals
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "tokens"
+        )
+        return with_token_repetition_signals(seqs).drop("tokens")
+
     def q_ngram_contamination(spark, sf_dir):
         # benchmark decontamination: a deterministic 5% md5-slice of the
         # docs is the "eval set"; flag corpus docs sharing any 8-gram
@@ -1538,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shards": q_epoch_shards,
         "quality_signals": q_quality_signals,
         "repetition_signals": q_repetition_signals,
+        "token_repetition_signals": q_token_repetition_signals,
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
         "lm_perplexity": q_lm_perplexity,
@@ -2351,6 +2362,47 @@ def _duck_repetition_sql(ns_top=(2, 3, 4), ns_dup=(5, 10)) -> str:
             + "\n    FROM w " + " ".join(joins))
 
 
+def _duck_token_repetition_sql(ns_top=(2,), ns_dup=(5, 10)) -> str:
+    """Oracle for ``token_repetition_signals``: token-gram group-bys
+    over the replicated tokenizer, same lex-smallest tie-break."""
+    ctes = [f"""w AS (
+        SELECT {_DOC_KEY} AS doc_id,
+               greatest(len({_DUCK_TOKENS_FLAT}), 1) AS total,
+               {_DUCK_TOKENS_FLAT} AS toks
+        FROM documents)"""]
+    joins, cols = [], []
+    for n in sorted(set(ns_top) | set(ns_dup)):
+        ctes.append(f"""g{n} AS (
+        SELECT doc_id, gram, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(list_transform(
+                  range(1, greatest(len(toks) - {n} + 1, 0) + 1),
+                  i -> array_to_string(list_slice(toks, i, i + {n} - 1), ','))) AS gram
+              FROM w)
+        GROUP BY doc_id, gram)""")
+    for n in ns_top:
+        ctes.append(f"""top{n} AS (
+        SELECT doc_id, cnt FROM (
+            SELECT doc_id, cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram ASC) AS rn
+            FROM g{n})
+        WHERE rn = 1)""")
+        joins.append(f"LEFT JOIN top{n} USING (doc_id)")
+        cols.append(f"round(CAST(coalesce(top{n}.cnt, 0) * {n} AS DOUBLE)"
+                    f" / w.total, 6) AS top_{n}tokgram_frac")
+    for n in ns_dup:
+        ctes.append(f"""dup{n} AS (
+        SELECT doc_id,
+               coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0) AS cnt
+        FROM g{n} GROUP BY doc_id)""")
+        joins.append(f"LEFT JOIN dup{n} USING (doc_id)")
+        cols.append(f"round(CAST(coalesce(dup{n}.cnt, 0) * {n} AS DOUBLE)"
+                    f" / w.total, 6) AS dup_{n}tokgram_frac")
+    return ("WITH " + ",\n    ".join(ctes)
+            + "\n    SELECT w.doc_id, " + ", ".join(cols)
+            + "\n    FROM w " + " ".join(joins))
+
+
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "asof_join": """
@@ -2511,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
             FROM bg b JOIN bstat s USING (doc_id)
         """,
         "repetition_signals": _duck_repetition_sql(),
+        "token_repetition_signals": _duck_token_repetition_sql(),
         "ngram_contamination": """
             WITH u AS (
                 SELECT doc_id, text,

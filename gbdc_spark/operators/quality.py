@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions import bind_once as _bind
 
 __all__ = ["with_quality_signals", "with_repetition_signals",
+           "with_token_repetition_signals",
            "ngram_contamination",
            "token_ngram_contamination", "lm_perplexity",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
@@ -601,3 +602,105 @@ def with_repetition_signals(
         )
     )
     return out.select(*df.columns, "_gsig.*", "_lsig.*")
+
+
+def with_token_repetition_signals(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    ns_top: tuple = (2,),
+    ns_dup: tuple = (5, 10),
+) -> DataFrame:
+    """Gopher repetition fractions over PRE-TOKENIZED sequences — the
+    form the model actually trains on, where text-level filters miss
+    tokenizer-induced repeats (cf. ``token_ngram_contamination``):
+
+    * ``top_{n}tokgram_frac`` — tokens covered by the most frequent
+      token n-gram (count x n) over the sequence length;
+    * ``dup_{n}tokgram_frac`` — tokens covered by ALL occurrences of
+      n-grams appearing more than once (count x n over length; overlaps
+      not deduplicated, so degenerate sequences can exceed 1).
+
+    Tie-break and engine parity as ``with_repetition_signals``: grams
+    are comma-joined token ids, the fold over the sorted gram array
+    advances only on a strictly longer run (= lex-smallest winner), and
+    the DuckDB oracle uses ``ORDER BY cnt DESC, gram ASC`` on the same
+    string form.  Pure JVM folds, shuffle-free projection.
+    """
+
+    def _grams(ts: Column, n: int) -> Column:
+        return F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - n + 1),
+                lambda i: F.concat_ws(
+                    ",", F.transform(F.slice(ts, i, n), lambda x: x.cast("string"))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _max_run(sorted_grams: Column) -> Column:
+        return F.aggregate(
+            sorted_grams,
+            F.struct(
+                F.lit("\x00init\x00").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    def _dup_count(sorted_grams: Column) -> Column:
+        # occurrences inside runs of length >= 2 (2nd occurrence
+        # retroactively counts the 1st)
+        return F.aggregate(
+            sorted_grams,
+            F.struct(
+                F.lit("\x00init\x00").alias("prev"),
+                F.lit(1).alias("run"),
+                F.lit(0).alias("cnt"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                (
+                    acc["cnt"]
+                    + F.when(
+                        x == acc["prev"],
+                        F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1)),
+                    ).otherwise(F.lit(0))
+                ).alias("cnt"),
+            ),
+            lambda acc: acc["cnt"],
+        )
+
+    def signals(ts: Column) -> Column:
+        total = F.greatest(F.size(ts), F.lit(1))
+        fields = []
+        for n in ns_top:
+            fields.append(
+                F.round(
+                    _bind(F.array_sort(_grams(ts, n)), _max_run) * n / total, 6
+                ).alias(f"top_{n}tokgram_frac")
+            )
+        for n in ns_dup:
+            fields.append(
+                F.round(
+                    _bind(F.array_sort(_grams(ts, n)), _dup_count) * n / total, 6
+                ).alias(f"dup_{n}tokgram_frac")
+            )
+        return F.struct(*fields)
+
+    out = df.withColumn("_tsig", _bind(F.col(tokens_col), signals))
+    return out.select(*df.columns, "_tsig.*").drop("_tsig")

@@ -312,3 +312,48 @@ def test_repetition_signals_plan_is_jvm_only(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = with_repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _tok_rep_ref(toks, ns_top=(2,), ns_dup=(5, 10)):
+    from collections import Counter
+
+    out = {}
+    total = max(len(toks), 1)
+    for kind, ns in (("top", ns_top), ("dup", ns_dup)):
+        for n in ns:
+            grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            if kind == "top":
+                best = max(c.values()) if grams else 0
+                out[f"top_{n}tokgram_frac"] = round(best * n / total, 6)
+            else:
+                out[f"dup_{n}tokgram_frac"] = round(
+                    sum(v for v in c.values() if v >= 2) * n / total, 6
+                )
+    return out
+
+
+def test_token_repetition_signals_hand_and_differential(spark):
+    import random
+
+    from gbdc_spark.operators.quality import with_token_repetition_signals
+
+    rng = random.Random(7)
+    rows = [
+        (1, [1, 2, 1, 2, 1, 2]),          # '1,2' x3 of 5 bigrams -> 6/6
+        (2, [5] * 12),                     # every 5-gram duplicated
+        (3, [1, 2, 3]),                    # below n=5: dup signals 0
+        (4, [0]),
+    ] + [
+        (10 + i, [rng.randint(-9, 9) for _ in range(rng.randint(1, 50))])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: r.asDict()
+           for r in with_token_repetition_signals(df).collect()}
+    assert got[1]["top_2tokgram_frac"] == pytest.approx(6 / 6)
+    assert got[2]["dup_5tokgram_frac"] == pytest.approx(8 * 5 / 12)
+    assert got[3]["dup_5tokgram_frac"] == 0.0
+    for doc_id, toks in rows:
+        for k, v in _tok_rep_ref(toks).items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-6), (doc_id, k)

@@ -49,6 +49,13 @@ CHECKS = {
         ("shuffle-free projection over the scan", r"^(?!.*Exchange)"),
         ("no Arrow eval in plan", r"^(?!.*ArrowEvalPython)"),
     ],
+    # the one Exchange here is ensure_parallelism's input-split
+    # rebalance (single local parquet file) — what must NOT appear is
+    # a gram group-by or join: the signals are per-row folds
+    "token_repetition_signals": [
+        ("per-row folds: no gram aggregation or join", r"^(?!.*(HashAggregate|SortMergeJoin|BroadcastHashJoin))"),
+        ("no Arrow eval in plan", r"^(?!.*ArrowEvalPython)"),
+    ],
     "minhash_pairs": [
         ("band equi-join is a real join (never cross)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("signature computed JVM-side", r"^(?!.*ArrowEvalPython)"),
