@@ -321,6 +321,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return with_token_repetition_signals(seqs).drop("tokens")
 
+    def q_gopher_filter(spark, sf_dir):
+        # the thresholded rejection flag over the repetition family
+        # (Rae et al. 2021 Table A1 defaults) — flag, don't drop, so
+        # the oracle checks both the signals and the decision
+        from gbdc_spark.operators.quality import gopher_filter
+
+        return gopher_filter(
+            _docs(spark, sf_dir).select("doc_id", "text")
+        ).drop("text")
+
     def q_ngram_contamination(spark, sf_dir):
         # benchmark decontamination: a deterministic 5% md5-slice of the
         # docs is the "eval set"; flag corpus docs sharing any 8-gram
@@ -1549,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": q_quality_signals,
         "repetition_signals": q_repetition_signals,
         "token_repetition_signals": q_token_repetition_signals,
+        "gopher_filter": q_gopher_filter,
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
         "lm_perplexity": q_lm_perplexity,
@@ -2564,6 +2575,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_signals": _duck_repetition_sql(),
         "token_repetition_signals": _duck_token_repetition_sql(),
+        "gopher_filter": f"""
+            SELECT *,
+                   (top_2gram_char_frac <= 0.20
+                    AND top_3gram_char_frac <= 0.18
+                    AND top_4gram_char_frac <= 0.16
+                    AND dup_5gram_char_frac <= 0.15
+                    AND dup_10gram_char_frac <= 0.10
+                    AND dup_line_frac <= 0.30
+                    AND dup_line_char_frac <= 0.20) AS gopher_pass
+            FROM ({_duck_repetition_sql()})
+        """,
         "ngram_contamination": """
             WITH u AS (
                 SELECT doc_id, text,

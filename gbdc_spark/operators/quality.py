@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from ..functions import bind_once as _bind
 
 __all__ = ["with_quality_signals", "with_repetition_signals",
-           "with_token_repetition_signals",
+           "with_token_repetition_signals", "gopher_filter",
+           "GOPHER_MAX_TOP_NGRAM", "GOPHER_MAX_DUP_NGRAM",
            "ngram_contamination",
            "token_ngram_contamination", "lm_perplexity",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
@@ -704,3 +705,47 @@ def with_token_repetition_signals(
 
     out = df.withColumn("_tsig", _bind(F.col(tokens_col), signals))
     return out.select(*df.columns, "_tsig.*").drop("_tsig")
+
+
+# Gopher's published rejection thresholds (Rae et al. 2021, Table A1)
+GOPHER_MAX_TOP_NGRAM = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_MAX_DUP_NGRAM = {5: 0.15, 10: 0.10}
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_top: dict | None = None,
+    max_dup: dict | None = None,
+    max_dup_line: float = 0.30,
+    max_dup_line_char: float = 0.20,
+) -> DataFrame:
+    """Apply Gopher's repetition rejection rules as a boolean flag:
+    computes ``with_repetition_signals`` for exactly the thresholded
+    n values and adds ``gopher_pass`` = true iff every fraction is at
+    or below its threshold (Rae et al. 2021 defaults).
+
+    The flag is computed from the ROUNDED signal columns so any engine
+    recomputing the signals to 6 decimals (the DuckDB oracle) derives
+    the identical flag.  Rows are flagged, not dropped — filtering is
+    the caller's ``.where("gopher_pass")``, keeping the operator a
+    shuffle-free projection usable for audit counts too.
+    """
+    max_top = GOPHER_MAX_TOP_NGRAM if max_top is None else max_top
+    max_dup = GOPHER_MAX_DUP_NGRAM if max_dup is None else max_dup
+    out = with_repetition_signals(
+        df, text_col=text_col,
+        ns_top=tuple(max_top), ns_dup=tuple(max_dup),
+    )
+    conds = [
+        F.col(f"top_{n}gram_char_frac") <= t for n, t in max_top.items()
+    ] + [
+        F.col(f"dup_{n}gram_char_frac") <= t for n, t in max_dup.items()
+    ] + [
+        F.col("dup_line_frac") <= max_dup_line,
+        F.col("dup_line_char_frac") <= max_dup_line_char,
+    ]
+    flag = conds[0]
+    for c in conds[1:]:
+        flag = flag & c
+    return out.withColumn("gopher_pass", flag)

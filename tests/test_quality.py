@@ -357,3 +357,65 @@ def test_token_repetition_signals_hand_and_differential(spark):
     for doc_id, toks in rows:
         for k, v in _tok_rep_ref(toks).items():
             assert got[doc_id][k] == pytest.approx(v, abs=1e-6), (doc_id, k)
+
+
+def test_gopher_filter_flags_rejections(spark):
+    from gbdc_spark.operators.quality import gopher_filter
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),  # repetitive
+        # clean doc long enough that a count-1 top 2-gram is < 20% of
+        # chars (on very short docs the rule rejects by construction)
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven eight nine "
+            "ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert got[1]["gopher_pass"] is False
+    assert got[2]["gopher_pass"] is True
+    # the flag must agree with recomputing the rule from the signals
+    for r in got.values():
+        expect = (
+            r["top_2gram_char_frac"] <= 0.20
+            and r["top_3gram_char_frac"] <= 0.18
+            and r["top_4gram_char_frac"] <= 0.16
+            and r["dup_5gram_char_frac"] <= 0.15
+            and r["dup_10gram_char_frac"] <= 0.10
+            and r["dup_line_frac"] <= 0.30
+            and r["dup_line_char_frac"] <= 0.20
+        )
+        assert r["gopher_pass"] == expect
+
+
+def test_repetition_signals_hypothesis_adversarial(spark):
+    # batched hypothesis: generate many adversarial texts (tie-prone
+    # two-letter vocab, double spaces -> empty words, newlines), run
+    # ONE Spark job over the whole batch, compare every doc to the
+    # independent reference
+    from hypothesis import given, settings, strategies as st
+
+    texts = st.lists(
+        st.text(alphabet=["a", "b", " ", "\n"], min_size=0, max_size=60),
+        min_size=1,
+        max_size=12,
+    )
+    collected = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(texts)
+    def gather(batch):
+        collected.extend(batch)
+
+    gather()
+    rows = [(i, t) for i, t in enumerate(collected)]
+    from gbdc_spark.operators.quality import with_repetition_signals
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in with_repetition_signals(df).collect()}
+    for doc_id, text in rows:
+        for k, v in _rep_ref(text).items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-6), \
+                (repr(text), k, got[doc_id][k], v)
