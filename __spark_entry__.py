@@ -363,10 +363,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lm_perplexity(spark, sf_dir):
         # CCNet-style LM quality scoring: self-trained add-one bigram
         # LM, per-doc cross-entropy/perplexity — all JVM expressions,
-        # model + scoring recomputed exactly in the DuckDB oracle
+        # model + scoring recomputed exactly in the DuckDB oracle.
+        # min_count=2 prunes the model tail, which is what makes the
+        # broadcast scoring path legal (unpruned models shuffle-join;
+        # pruned bigrams fall back to the unseen-pair probability —
+        # the oracle applies the identical HAVING)
         from gbdc_spark.operators.quality import lm_perplexity
 
-        return lm_perplexity(_docs(spark, sf_dir).select("doc_id", "text"))
+        return lm_perplexity(
+            _docs(spark, sf_dir).select("doc_id", "text"), min_count=2
+        )
 
     def q_line_dedup(spark, sf_dir):
         # C4-style corpus-wide exact line dedup.  The synthetic docs are
@@ -2373,6 +2379,34 @@ def _duck_repetition_sql(ns_top=(2, 3, 4), ns_dup=(5, 10)) -> str:
             + "\n    FROM w " + " ".join(joins))
 
 
+def _duck_gopher_filter_sql() -> str:
+    """Oracle for ``gopher_filter``: the repetition signals for exactly
+    the thresholded n values, plus the conjunction flag GENERATED from
+    the same published dicts the operator defaults to (Rae et al. 2021
+    Table A1, all of n=5..10) — the SQL cannot drift from the Spark
+    rule set."""
+    from gbdc_spark.operators.quality import (
+        GOPHER_MAX_DUP_NGRAM,
+        GOPHER_MAX_TOP_NGRAM,
+    )
+
+    conds = [
+        f"top_{n}gram_char_frac <= {t}"
+        for n, t in GOPHER_MAX_TOP_NGRAM.items()
+    ] + [
+        f"dup_{n}gram_char_frac <= {t}"
+        for n, t in GOPHER_MAX_DUP_NGRAM.items()
+    ] + ["dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20"]
+    inner = _duck_repetition_sql(
+        ns_top=tuple(GOPHER_MAX_TOP_NGRAM), ns_dup=tuple(GOPHER_MAX_DUP_NGRAM)
+    )
+    return f"""
+            SELECT *,
+                   ({" AND ".join(conds)}) AS gopher_pass
+            FROM ({inner})
+        """
+
+
 def _duck_token_repetition_sql(ns_top=(2,), ns_dup=(5, 10)) -> str:
     """Oracle for ``token_repetition_signals``: token-gram group-bys
     over the replicated tokenizer, same lex-smallest tie-break."""
@@ -2575,17 +2609,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_signals": _duck_repetition_sql(),
         "token_repetition_signals": _duck_token_repetition_sql(),
-        "gopher_filter": f"""
-            SELECT *,
-                   (top_2gram_char_frac <= 0.20
-                    AND top_3gram_char_frac <= 0.18
-                    AND top_4gram_char_frac <= 0.16
-                    AND dup_5gram_char_frac <= 0.15
-                    AND dup_10gram_char_frac <= 0.10
-                    AND dup_line_frac <= 0.30
-                    AND dup_line_char_frac <= 0.20) AS gopher_pass
-            FROM ({_duck_repetition_sql()})
-        """,
+        "gopher_filter": _duck_gopher_filter_sql(),
         "ngram_contamination": """
             WITH u AS (
                 SELECT doc_id, text,
@@ -2654,7 +2678,8 @@ def oracle_sql() -> dict[str, str]:
                        unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
                        unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
                 FROM w WHERE len(ws) >= 2),
-            bc AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM p
+                   GROUP BY w1, w2 HAVING count(*) >= 2),
             uc AS (SELECT w AS w1, count(*) AS c1
                    FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
             v AS (SELECT count(DISTINCT w) AS v

@@ -117,30 +117,54 @@ def _manifest_dir(base: str) -> str:
 
 
 def _publish_manifest_row(base: str, sid: int, entry: dict) -> None:
-    """Atomically create ``<sid>.json`` EXCLUSIVELY: write a tmp file,
-    ``os.link`` it into place (fails with EEXIST instead of replacing —
+    """Create ``<sid>.json`` EXCLUSIVELY (EEXIST instead of replacing —
     the rename-based publish this replaces silently clobbered a racing
     writer's row, turning its committed data dir into a deletable
-    orphan), then drop the tmp name."""
+    orphan).  Preferred path: write a tmp file and ``os.link`` it into
+    place — exclusive AND atomic (the name appears only with its full
+    fsynced content, so concurrent readers never see a torn row).
+    Hard links are unsupported on some NFS/overlayfs/object-store
+    mounts (EPERM/ENOTSUP, not EEXIST — which used to crash every
+    commit there); that OSError falls back to ``O_CREAT|O_EXCL`` +
+    write + fsync: same EEXIST exclusivity, portable, at the cost of a
+    microscopic torn-read window no worse than the single-writer
+    contract already assumes."""
     mdir = _manifest_dir(base)
     os.makedirs(mdir, exist_ok=True)
+    final = os.path.join(mdir, f"{sid:012d}.json")
+    payload = json.dumps(entry).encode()
+    conflict = SnapshotConflictError(
+        f"snapshot {sid} already committed by another writer "
+        f"(single-writer contract, see module docstring); this "
+        f"attempt's data dir is an orphan — clean_orphans() reclaims "
+        f"it, retry to mint a fresh id"
+    )
     tmp = os.path.join(mdir, f".{sid:012d}.json.{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(entry, f)
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        os.link(tmp, os.path.join(mdir, f"{sid:012d}.json"))
+        os.link(tmp, final)
+        return
     except FileExistsError:
-        raise SnapshotConflictError(
-            f"snapshot {sid} already committed by another writer "
-            f"(single-writer contract, see module docstring); this "
-            f"attempt's data dir is an orphan — clean_orphans() reclaims "
-            f"it, retry to mint a fresh id"
-        ) from None
+        raise conflict from None
+    except OSError:
+        pass  # linkless filesystem — portable O_EXCL fallback below
     finally:
         try:
             os.remove(tmp)
         except FileNotFoundError:
             pass
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise conflict from None
+    try:
+        os.write(fd, payload)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def manifest(spark: SparkSession, base: str) -> list[dict]:

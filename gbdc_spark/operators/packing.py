@@ -539,12 +539,24 @@ def label_balance(
         wc = Window.partitionBy(label_col).orderBy("_b").rowsBetween(
             Window.unboundedPreceding, -1
         )
+        # NULL-label rows form their own group in the window path; the
+        # join-back must match them too, so the label equality is
+        # null-safe (a plain inner join would silently drop them and
+        # the auto gate would change output with data size)
         offsets = counts.withColumn(
             "_off", F.coalesce(F.sum("_c").over(wc), F.lit(0))
-        ).select(label_col, "_b", "_off")
+        ).select(
+            F.col(label_col).alias("_olbl"),
+            F.col("_b").alias("_ob"),
+            "_off",
+        )
         wr = Window.partitionBy(label_col, "_b").orderBy(u, F.col(key))
         ranked = (
-            scored.join(F.broadcast(offsets), [label_col, "_b"])
+            scored.join(
+                F.broadcast(offsets),
+                F.col(label_col).eqNullSafe(F.col("_olbl"))
+                & (F.col("_b") == F.col("_ob")),
+            )
             .withColumn("_rn", F.col("_off") + F.row_number().over(wr))
             .select(*df.columns, "_rn")  # join reordered keys first
         )

@@ -227,17 +227,19 @@ def lm_perplexity(
     exactly what add-one smoothing assigns a zero-count pair, so
     pruning changes only model size, never the smoothing family.
     Scoring joins the doc-bigram stream against the model on (w1, w2)
-    then (w1).  With ``broadcast_model=True`` (default) both model
-    tables are broadcast-hinted, so the token-stream-sized bigram
-    explode NEVER shuffles — it flows scan → explode → broadcast
-    lookups → map-side partial agg on the doc key; this also sidesteps
-    the Zipf skew of natural-language gram keys (a shuffle join on
-    "the …" hot keys needs AQE skew splitting; a broadcast join does
-    not care).  ``min_count`` pruning is what makes the bigram table
-    model-sized; set ``broadcast_model=False`` for unpruned models on
-    open-vocabulary corpora too big for executor memory — the scoring
-    falls back to a shuffle join (at corpus scale: bucket both sides
-    on the gram key).  The unigram model is persisted
+    then (w1).  With ``broadcast_model=True`` (default) AND a pruned
+    model (``min_count > 1``) both model tables are broadcast-hinted,
+    so the token-stream-sized bigram explode NEVER shuffles — it flows
+    scan → explode → broadcast lookups → map-side partial agg on the
+    doc key; this also sidesteps the Zipf skew of natural-language
+    gram keys (a shuffle join on "the …" hot keys needs AQE skew
+    splitting; a broadcast join does not care).  ``min_count`` pruning
+    is what makes the bigram table model-sized, so the hint is applied
+    ONLY when ``min_count > 1``: an unpruned (default ``min_count=1``)
+    bigram table is corpus-vocabulary-scale and broadcast-hinting it
+    is exactly the executor/driver OOM this paragraph warns about —
+    unpruned calls fall back to a shuffle join regardless of the flag
+    (at corpus scale: bucket both sides on the gram key).  The unigram model is persisted
     (single-slot: each call retires the previous call's cached model,
     so long sessions never accumulate storage) and the vocab size V is
     a row-count of it (1-row broadcast cross
@@ -281,8 +283,9 @@ def lm_perplexity(
     )
     vocab = unigram_counts.agg(F.count("*").alias("v"))
 
-    bg = F.broadcast(bigram_counts) if broadcast_model else bigram_counts
-    ug = F.broadcast(unigram_counts) if broadcast_model else unigram_counts
+    hint = broadcast_model and min_count > 1
+    bg = F.broadcast(bigram_counts) if hint else bigram_counts
+    ug = F.broadcast(unigram_counts) if hint else unigram_counts
     scored = (
         pairs
         .join(bg, ["w1", "w2"], "left")
@@ -495,13 +498,17 @@ def with_repetition_signals(
     def _top_chars(sorted_grams: Column) -> Column:
         # longest equal-neighbour run over the sorted array; ties keep
         # the FIRST (lex-smallest) gram because best only moves on >
+        # chars/best accumulators are LONG: dup-gram char sums reach
+        # ~n x doc_chars, and an int32 wrap would go negative — which
+        # passes every <= threshold, silently admitting exactly the
+        # degenerate docs gopher_filter exists to reject
         return F.aggregate(
             sorted_grams,
             F.struct(
                 F.lit("\x00init\x00").alias("prev"),
                 F.lit(0).alias("run"),
-                F.lit(0).alias("best"),
-                F.lit(0).alias("best_len"),
+                F.lit(0).cast("long").alias("best"),
+                F.lit(0).cast("long").alias("best_len"),
             ),
             lambda acc, x: F.struct(
                 x.alias("prev"),
@@ -531,7 +538,7 @@ def with_repetition_signals(
             F.struct(
                 F.lit("\x00init\x00").alias("prev"),
                 F.lit(1).alias("run"),
-                F.lit(0).alias("chars"),
+                F.lit(0).cast("long").alias("chars"),
             ),
             lambda acc, x: F.struct(
                 x.alias("prev"),
@@ -570,15 +577,18 @@ def with_repetition_signals(
     def line_signals(lines: Column) -> Column:
         n_lines = F.greatest(F.size(lines), F.lit(1))
         line_chars = F.greatest(
-            F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x)),
-            F.lit(1),
+            F.aggregate(
+                lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ),
+            F.lit(1).cast("long"),
         )
         dup_frac = (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines
         # chars of occurrences BEYOND the first (a line repeated k
         # times charges (k-1) * len) — matches the oracle's (cnt-1)*len
         rep = F.aggregate(
             F.array_sort(lines),
-            F.struct(F.lit("\x00init\x00").alias("prev"), F.lit(0).alias("chars")),
+            F.struct(F.lit("\x00init\x00").alias("prev"),
+                     F.lit(0).cast("long").alias("chars")),
             lambda acc, x: F.struct(
                 x.alias("prev"),
                 (
@@ -668,7 +678,7 @@ def with_token_repetition_signals(
             F.struct(
                 F.lit("\x00init\x00").alias("prev"),
                 F.lit(1).alias("run"),
-                F.lit(0).alias("cnt"),
+                F.lit(0).cast("long").alias("cnt"),
             ),
             lambda acc, x: F.struct(
                 x.alias("prev"),
@@ -709,7 +719,8 @@ def with_token_repetition_signals(
 
 # Gopher's published rejection thresholds (Rae et al. 2021, Table A1)
 GOPHER_MAX_TOP_NGRAM = {2: 0.20, 3: 0.18, 4: 0.16}
-GOPHER_MAX_DUP_NGRAM = {5: 0.15, 10: 0.10}
+GOPHER_MAX_DUP_NGRAM = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11,
+                        10: 0.10}
 
 
 def gopher_filter(

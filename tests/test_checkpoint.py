@@ -241,6 +241,29 @@ def test_manifest_publish_is_exclusive_never_clobbers(spark, base):
     assert cp.read_table(spark, base).count() == 20
 
 
+def test_manifest_publish_falls_back_without_hardlinks(spark, base, monkeypatch):
+    # NFS/overlayfs/object-store mounts raise EPERM/ENOTSUP from
+    # os.link — publish must fall back to O_CREAT|O_EXCL (same EEXIST
+    # exclusivity), not crash every commit with an unrelated OSError
+    import errno
+    import json as _json
+
+    def no_links(src, dst, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(os, "link", no_links)
+    e1 = cp.commit(_mkdf(spark, 0, 10), base, keys=["doc_id"])
+    mdir = os.path.join(base, "_manifest")
+    with open(os.path.join(mdir, f"{e1['snapshot_id']:012d}.json")) as f:
+        assert _json.load(f)["n_rows"] == 10
+    assert not [f for f in os.listdir(mdir) if f.endswith(".tmp")]
+    # exclusivity still holds on the fallback path
+    with pytest.raises(cp.SnapshotConflictError):
+        cp._publish_manifest_row(base, e1["snapshot_id"], dict(e1, n_rows=999))
+    assert [e["n_rows"] for e in cp.manifest(spark, base)] == [10]
+    assert cp.read_table(spark, base).count() == 10
+
+
 def test_clean_orphans_sweeps_metrics_debris(spark, base):
     # a commit that crashed between the metrics write and the manifest
     # publish (or a lost race) leaves a metrics orphan too — cleanup

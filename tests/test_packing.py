@@ -317,6 +317,27 @@ def test_label_balance_bucketed_path_identical(spark):
     assert b == p and len(p) == 150
 
 
+def test_label_balance_bucketed_keeps_null_labels(spark):
+    # NULL labels are a window partition in the plain path; the bucketed
+    # offset join-back must be null-safe or those rows silently vanish —
+    # and the bucketed=None auto gate would change output with data size
+    from gbdc_spark.operators.packing import label_balance
+
+    rows = [("v1", "a"), ("v2", "a"), ("v3", "a"),
+            ("v4", None), ("v5", None), ("v6", "b")]
+    df = spark.createDataFrame(rows, "vec_id string, label string")
+    plain = sorted(map(tuple, label_balance(df, bucketed=False).collect()))
+    buck = sorted(map(tuple, label_balance(df, bucketed=True).collect()))
+    assert buck == plain
+    assert any(lbl is None for _, lbl in plain)  # nulls actually present
+    # per_class path too
+    p = sorted(map(tuple, label_balance(
+        df, per_class=2, bucketed=False).collect()))
+    b = sorted(map(tuple, label_balance(
+        df, per_class=2, bucketed=True).collect()))
+    assert b == p and sum(lbl is None for _, lbl in b) == 2
+
+
 def test_label_balance_bucketed_on_skewed_million_row_label(spark):
     # the regime the bucketed path exists for: one label with 10^6 rows
     # (a plain window serializes it into one task).  per_class keeps the

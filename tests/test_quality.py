@@ -116,6 +116,29 @@ def test_lm_perplexity_plan_is_jvm_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
 
+def test_lm_perplexity_broadcast_only_when_pruned(spark):
+    # the broadcast hint is the OOM shape when the model is unpruned
+    # (min_count=1: corpus-vocabulary-scale bigram table) — default
+    # calls must fall back to the shuffle join; pruned calls broadcast
+    from gbdc_spark.operators.quality import lm_perplexity
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 5} w{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    def n_hints(qe):
+        # ResolvedHint nodes in the analyzed plan (AQE may still
+        # broadcast a tiny table at runtime — the HINT is the contract)
+        return qe.analyzed().toString().count("ResolvedHint")
+
+    pruned = lm_perplexity(df, min_count=2)._jdf.queryExecution()
+    assert "BroadcastHashJoin" in pruned.executedPlan().toString()
+    unpruned = lm_perplexity(df)._jdf.queryExecution()
+    # exactly one hint remains unpruned: the 1-row vocab-size cross
+    # join; the two MODEL tables must not be hinted
+    assert n_hints(pruned) == n_hints(unpruned) + 2 == 3
+
+
 def test_pii_scrub_counts_and_replaces(spark):
     from gbdc_spark.operators.quality import with_pii_scrub
 
@@ -360,7 +383,17 @@ def test_token_repetition_signals_hand_and_differential(spark):
 
 
 def test_gopher_filter_flags_rejections(spark):
-    from gbdc_spark.operators.quality import gopher_filter
+    from gbdc_spark.operators.quality import (
+        GOPHER_MAX_DUP_NGRAM,
+        GOPHER_MAX_TOP_NGRAM,
+        gopher_filter,
+    )
+
+    # defaults cover the FULL published rule set, n=5..10 inclusive —
+    # a subset (e.g. only {5, 10}) is strictly more permissive than
+    # the cited Rae et al. 2021 Table A1 thresholds
+    assert GOPHER_MAX_DUP_NGRAM == {5: 0.15, 6: 0.14, 7: 0.13,
+                                    8: 0.12, 9: 0.11, 10: 0.10}
 
     rows = [
         (1, "spam spam spam spam spam spam spam spam"),  # repetitive
@@ -370,19 +403,29 @@ def test_gopher_filter_flags_rejections(spark):
             "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
             "psi omega one two three four five six seven eight nine "
             "ten eleven twelve thirteen fourteen fifteen sixteen"),
+        # a doubled 6-gram inside otherwise-unique filler: dup_6gram
+        # fraction trips 0.14 while dup_5 stays under 0.15 only via the
+        # full-rule conjunction (every occurrence of contained 5-grams
+        # duplicates too, so this doc fails both — what matters is the
+        # flag recomputation below covering n=6..9)
+        (3, "one two three four five six one two three four five six "
+            "misc filler words here to pad the doc a bit more okay"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in gopher_filter(df).collect()}
     assert got[1]["gopher_pass"] is False
     assert got[2]["gopher_pass"] is True
+    assert got[3]["gopher_pass"] is False
+    # every thresholded signal column must exist (incl. n=6..9)
+    for n in GOPHER_MAX_DUP_NGRAM:
+        assert f"dup_{n}gram_char_frac" in got[1].asDict()
     # the flag must agree with recomputing the rule from the signals
     for r in got.values():
         expect = (
-            r["top_2gram_char_frac"] <= 0.20
-            and r["top_3gram_char_frac"] <= 0.18
-            and r["top_4gram_char_frac"] <= 0.16
-            and r["dup_5gram_char_frac"] <= 0.15
-            and r["dup_10gram_char_frac"] <= 0.10
+            all(r[f"top_{n}gram_char_frac"] <= t
+                for n, t in GOPHER_MAX_TOP_NGRAM.items())
+            and all(r[f"dup_{n}gram_char_frac"] <= t
+                    for n, t in GOPHER_MAX_DUP_NGRAM.items())
             and r["dup_line_frac"] <= 0.30
             and r["dup_line_char_frac"] <= 0.20
         )
