@@ -331,6 +331,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir).select("doc_id", "text")
         ).drop("text")
 
+    def q_gopher_quality_filter(spark, sf_dir):
+        # the QUALITY half of Table A1 (word-count/mean-word-length
+        # bounds, symbol ratio, alpha-word fraction, stopword presence,
+        # bullet/ellipsis line fractions) — flag, don't drop, so the
+        # oracle checks every signal and the decision
+        from gbdc_spark.operators.quality import gopher_quality_filter
+
+        return gopher_quality_filter(
+            _docs(spark, sf_dir).select("doc_id", "text")
+        ).drop("text")
+
     def q_ngram_contamination(spark, sf_dir):
         # benchmark decontamination: a deterministic 5% md5-slice of the
         # docs is the "eval set"; flag corpus docs sharing any 8-gram
@@ -1566,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "token_repetition_signals": q_token_repetition_signals,
         "gopher_filter": q_gopher_filter,
+        "gopher_quality_filter": q_gopher_quality_filter,
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
         "lm_perplexity": q_lm_perplexity,
@@ -2325,15 +2337,18 @@ def _duck_pii_sql() -> str:
         """
 
 
-def _duck_repetition_sql(ns_top=(2, 3, 4), ns_dup=(5, 10)) -> str:
+def _duck_repetition_sql(ns_top=(2, 3, 4), ns_dup=(5, 10),
+                         source="documents") -> str:
     """Oracle for ``repetition_signals``: recomputes every Gopher
     repetition fraction from first principles (gram group-bys + the
-    same lex-smallest tie-break via ORDER BY cnt DESC, gram ASC)."""
-    ctes = ["""w AS (
+    same lex-smallest tie-break via ORDER BY cnt DESC, gram ASC).
+    ``source`` is any relation with (doc_id, text) — a table or an
+    outer CTE, so composed funnels can gate on these signals."""
+    ctes = [f"""w AS (
         SELECT doc_id, greatest(length(text), 1) AS total,
                str_split(text, ' ') AS ws,
                str_split(text, chr(10)) AS ls
-        FROM documents)"""]
+        FROM {source})"""]
     joins, cols = [], []
     for n in sorted(set(ns_top) | set(ns_dup)):
         ctes.append(f"""g{n} AS (
@@ -2379,7 +2394,7 @@ def _duck_repetition_sql(ns_top=(2, 3, 4), ns_dup=(5, 10)) -> str:
             + "\n    FROM w " + " ".join(joins))
 
 
-def _duck_gopher_filter_sql() -> str:
+def _duck_gopher_filter_sql(source="documents") -> str:
     """Oracle for ``gopher_filter``: the repetition signals for exactly
     the thresholded n values, plus the conjunction flag GENERATED from
     the same published dicts the operator defaults to (Rae et al. 2021
@@ -2398,13 +2413,80 @@ def _duck_gopher_filter_sql() -> str:
         for n, t in GOPHER_MAX_DUP_NGRAM.items()
     ] + ["dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20"]
     inner = _duck_repetition_sql(
-        ns_top=tuple(GOPHER_MAX_TOP_NGRAM), ns_dup=tuple(GOPHER_MAX_DUP_NGRAM)
+        ns_top=tuple(GOPHER_MAX_TOP_NGRAM),
+        ns_dup=tuple(GOPHER_MAX_DUP_NGRAM),
+        source=source,
     )
     return f"""
             SELECT *,
                    ({" AND ".join(conds)}) AS gopher_pass
             FROM ({inner})
         """
+
+
+def _duck_gopher_quality_sql(source="documents", min_words=50,
+                             min_stopwords=2) -> str:
+    """Oracle for ``gopher_quality_filter``: recomputes every Table-A1
+    quality signal from first principles, stopword list and bullet /
+    ellipsis prefixes pulled from the same module constants the
+    operator defaults to, and derives the flag from the ROUNDED
+    signals exactly as the Spark side does.  ``min_words`` /
+    ``min_stopwords`` mirror the operator kwargs composed plans
+    calibrate for the synthetic corpus."""
+    from gbdc_spark.operators.quality import (
+        GOPHER_BULLET_PREFIXES,
+        GOPHER_ELLIPSIS_SUFFIXES,
+        GOPHER_REQUIRED_STOPWORDS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_REQUIRED_STOPWORDS)
+    bullets = " OR ".join(
+        f"l LIKE '{p}%'" for p in GOPHER_BULLET_PREFIXES
+    )
+    ells = " OR ".join(
+        f"l LIKE '%{s}'" for s in GOPHER_ELLIPSIS_SUFFIXES
+    )
+    return f"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   str_split(text, ' ') AS ws,
+                   str_split(text, chr(10)) AS ls
+            FROM {source}),
+        sig AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   round(CAST(list_sum(list_transform(ws, x -> length(x)))
+                              AS DOUBLE) / greatest(len(ws), 1), 6)
+                       AS mean_word_len,
+                   round(((length(text) - length(replace(text, '#', '')))
+                          + (length(text)
+                             - length(replace(text, '...', ''))) / 3.0)
+                         / greatest(len(ws), 1), 6) AS symbol_word_ratio,
+                   round(CAST(len(list_filter(ws,
+                              x -> regexp_matches(x, '[A-Za-z]')))
+                              AS DOUBLE) / greatest(len(ws), 1), 6)
+                       AS alpha_word_frac,
+                   CAST(len(list_filter([{stops}],
+                        s -> list_contains(
+                            list_transform(ws, x -> lower(x)), s)))
+                        AS BIGINT) AS n_stopwords_present,
+                   round(CAST(len(list_filter(ls, l -> {bullets}))
+                              AS DOUBLE) / greatest(len(ls), 1), 6)
+                       AS bullet_line_frac,
+                   round(CAST(len(list_filter(ls, l -> {ells}))
+                              AS DOUBLE) / greatest(len(ls), 1), 6)
+                       AS ellipsis_line_frac
+            FROM w)
+        SELECT *,
+               (n_words BETWEEN {min_words} AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_word_ratio <= 0.10
+                AND alpha_word_frac >= 0.80
+                AND n_stopwords_present >= {min_stopwords}
+                AND bullet_line_frac <= 0.90
+                AND ellipsis_line_frac <= 0.30) AS gopher_quality_pass
+        FROM sig
+    """
 
 
 def _duck_token_repetition_sql(ns_top=(2,), ns_dup=(5, 10)) -> str:
@@ -2610,6 +2692,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _duck_repetition_sql(),
         "token_repetition_signals": _duck_token_repetition_sql(),
         "gopher_filter": _duck_gopher_filter_sql(),
+        "gopher_quality_filter": _duck_gopher_quality_sql(),
         "ngram_contamination": """
             WITH u AS (
                 SELECT doc_id, text,
@@ -3662,12 +3745,26 @@ def oracle_sql() -> dict[str, str]:
                   AND list_sum(list_transform(words, w ->
                         CASE WHEN w IN {_STOPWORDS_SQL} THEN 1 ELSE 0 END))
                       / len(words) <= 0.65),
+            grep_pass AS (
+                SELECT doc_id
+                FROM ({_duck_gopher_filter_sql(source="quality")})
+                WHERE gopher_pass),
+            gq_pass AS (
+                SELECT doc_id
+                FROM ({_duck_gopher_quality_sql(source="quality",
+                                                min_words=25,
+                                                min_stopwords=0)})
+                WHERE gopher_quality_pass),
+            gated AS (
+                SELECT q.* FROM quality q
+                JOIN grep_pass USING (doc_id)
+                JOIN gq_pass USING (doc_id)),
             sh AS (
                 SELECT doc_id,
                        list_transform(
                            range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
                            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')) AS shingles
-                FROM quality),
+                FROM gated),
             sig AS (
                 SELECT doc_id,
                        list_transform(range(0, 8), j ->
@@ -3687,7 +3784,7 @@ def oracle_sql() -> dict[str, str]:
                        list_distinct(list_transform(
                            range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
                            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' '))) AS s
-                FROM quality),
+                FROM gated),
             losers AS (
                 SELECT DISTINCT c.b AS doc_id
                 FROM cand c JOIN sh3 x ON x.doc_id = c.a JOIN sh3 y ON y.doc_id = c.b
@@ -3697,7 +3794,7 @@ def oracle_sql() -> dict[str, str]:
                    len(str_split(d.text, ' ')) AS n_ws_tokens,
                    CAST(ceil(length(d.text) / 4.0) AS BIGINT) AS n_bpe_est,
                    md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS fingerprint
-            FROM quality q JOIN documents d USING (doc_id)
+            FROM gated q JOIN documents d USING (doc_id)
             WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "stream_extract": f"""

@@ -21,6 +21,9 @@ from ..functions import bind_once as _bind
 
 __all__ = ["with_quality_signals", "with_repetition_signals",
            "with_token_repetition_signals", "gopher_filter",
+           "with_gopher_quality_signals", "gopher_quality_filter",
+           "GOPHER_REQUIRED_STOPWORDS", "GOPHER_BULLET_PREFIXES",
+           "GOPHER_ELLIPSIS_SUFFIXES",
            "GOPHER_MAX_TOP_NGRAM", "GOPHER_MAX_DUP_NGRAM",
            "ngram_contamination",
            "token_ngram_contamination", "lm_perplexity",
@@ -721,6 +724,185 @@ def with_token_repetition_signals(
 GOPHER_MAX_TOP_NGRAM = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_MAX_DUP_NGRAM = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11,
                         10: 0.10}
+# Table A1's quality half: a document must contain at least two of
+# these words to survive the "stop word" rule
+GOPHER_REQUIRED_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_BULLET_PREFIXES = ("•", "-", "*")
+GOPHER_ELLIPSIS_SUFFIXES = ("...", "…")
+
+
+def with_gopher_quality_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    stopwords: tuple = GOPHER_REQUIRED_STOPWORDS,
+    bullet_prefixes: tuple = GOPHER_BULLET_PREFIXES,
+    ellipsis_suffixes: tuple = GOPHER_ELLIPSIS_SUFFIXES,
+) -> DataFrame:
+    """The QUALITY half of Gopher's Table A1 (Rae et al. 2021) — the
+    shape rules ``with_repetition_signals`` deliberately leaves out:
+
+    * ``n_words`` — whitespace word count (Gopher keeps 50..100,000);
+    * ``mean_word_len`` — average word length in characters (keep 3..10);
+    * ``symbol_word_ratio`` — occurrences of ``#`` plus occurrences of
+      ``...`` over the word count (reject above 0.10);
+    * ``alpha_word_frac`` — fraction of words containing at least one
+      ASCII alphabetic character (reject below 0.80; ASCII ``[A-Za-z]``
+      so the Java-regex Spark form and the RE2 DuckDB oracle agree);
+    * ``n_stopwords_present`` — how many of the eight required stop
+      words (``GOPHER_REQUIRED_STOPWORDS``) appear in the doc, matched
+      case-insensitively as whole words (reject below 2);
+    * ``bullet_line_frac`` — fraction of lines starting with a bullet
+      prefix (reject above 0.90);
+    * ``ellipsis_line_frac`` — fraction of lines ending with an
+      ellipsis suffix (reject above 0.30).
+
+    Empty-text edge: splitting "" yields one zero-length word and one
+    empty line — ``n_words`` is 1 and every fraction is well-defined
+    (denominators are clamped to >= 1), so degenerate docs flow through
+    and fail the word-count bound rather than erroring.
+
+    All pure JVM expressions over arrays bound once per row — a
+    shuffle-free projection, same contract as the repetition half.
+    Fractions and means are rounded to 6 decimals so an engine
+    recomputing them (the DuckDB oracle) derives identical values, and
+    :func:`gopher_quality_filter` thresholds the ROUNDED columns.
+    """
+    import re as _re
+
+    def word_signals(ws: Column) -> Column:
+        n = F.greatest(F.size(ws), F.lit(1))
+        char_sum = F.aggregate(
+            ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        )
+        alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+        wsl = F.transform(ws, F.lower)
+        stops = _bind(
+            wsl,
+            lambda low: F.size(
+                F.filter(
+                    F.array(*[F.lit(s) for s in stopwords]),
+                    lambda s: F.array_contains(low, s),
+                )
+            ),
+        )
+        return F.struct(
+            F.size(ws).cast("long").alias("n_words"),
+            F.round(char_sum / n, 6).alias("mean_word_len"),
+            F.round(alpha / n, 6).alias("alpha_word_frac"),
+            stops.cast("long").alias("n_stopwords_present"),
+        )
+
+    def line_signals(lines: Column) -> Column:
+        nl = F.greatest(F.size(lines), F.lit(1))
+        bullet = F.size(
+            F.filter(
+                lines,
+                lambda l: reduce_or(
+                    [l.startswith(F.lit(p)) for p in bullet_prefixes]
+                ),
+            )
+        )
+        ell = F.size(
+            F.filter(
+                lines,
+                lambda l: reduce_or(
+                    [l.endswith(F.lit(s)) for s in ellipsis_suffixes]
+                ),
+            )
+        )
+        return F.struct(
+            F.round(bullet / nl, 6).alias("bullet_line_frac"),
+            F.round(ell / nl, 6).alias("ellipsis_line_frac"),
+        )
+
+    def reduce_or(conds: list) -> Column:
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+
+    # symbol occurrences scan the raw text, not the word array: Gopher
+    # counts every '#' and every non-overlapping '...' (replace() is
+    # left-to-right non-overlapping in both Spark and DuckDB, so the
+    # length delta is the same occurrence count in both engines)
+    t = F.col(text_col)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    out = (
+        df.withColumn("_wsig", _bind(_words(text_col), word_signals))
+        .withColumn(
+            "_lsig",
+            _bind(F.split(t, _re.escape(line_sep)), line_signals),
+        )
+        .withColumn(
+            "_symr",
+            F.round(
+                (n_hash + n_ell)
+                / F.greatest(F.size(_words(text_col)), F.lit(1)),
+                6,
+            ),
+        )
+    )
+    return out.select(
+        *df.columns,
+        "_wsig.n_words",
+        "_wsig.mean_word_len",
+        F.col("_symr").alias("symbol_word_ratio"),
+        "_wsig.alpha_word_frac",
+        "_wsig.n_stopwords_present",
+        "_lsig.bullet_line_frac",
+        "_lsig.ellipsis_line_frac",
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.10,
+    min_alpha_word_frac: float = 0.80,
+    min_stopwords: int = 2,
+    max_bullet_line_frac: float = 0.90,
+    max_ellipsis_line_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher's Table A1 QUALITY rejection rules as a boolean flag
+    (Rae et al. 2021 defaults): computes
+    :func:`with_gopher_quality_signals` and adds
+    ``gopher_quality_pass`` = true iff every bound holds.  Together
+    with :func:`gopher_filter` (the repetition half) this completes the
+    published Table A1 rule set —
+    ``gopher_filter(gopher_quality_filter(df))`` then
+    ``gopher_quality_pass AND gopher_pass`` is the full Gopher gate.
+
+    Like the repetition half: the flag is derived from the ROUNDED
+    signal columns so any engine recomputing the signals to 6 decimals
+    derives the identical boolean, and rows are flagged, not dropped —
+    a shuffle-free projection usable for audit counts.
+    """
+    out = with_gopher_quality_signals(df, text_col=text_col)
+    conds = [
+        F.col("n_words") >= min_words,
+        F.col("n_words") <= max_words,
+        F.col("mean_word_len") >= min_mean_word_len,
+        F.col("mean_word_len") <= max_mean_word_len,
+        F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        F.col("alpha_word_frac") >= min_alpha_word_frac,
+        F.col("n_stopwords_present") >= min_stopwords,
+        F.col("bullet_line_frac") <= max_bullet_line_frac,
+        F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
+    ]
+    flag = conds[0]
+    for c in conds[1:]:
+        flag = flag & c
+    return out.withColumn("gopher_quality_pass", flag)
 
 
 def gopher_filter(

@@ -432,6 +432,92 @@ def test_gopher_filter_flags_rejections(spark):
         assert r["gopher_pass"] == expect
 
 
+def test_gopher_quality_signals_hand_computed(spark):
+    from gbdc_spark.operators.quality import with_gopher_quality_signals
+
+    rows = [
+        (1, "the cat and the dog have fun with hats"),       # 9 words
+        (2, "### ### ... more symbols ### here ..."),        # symbol-heavy
+        (3, "- one\n- two\n- three\nplain"),                 # 3/4 bullets
+        (4, "going on...\nand on...\nfine line\nplain"),     # 2/4 ellipsis
+        (5, "123 456 789 abc"),                              # 1/4 alpha
+        (6, ""),                                             # degenerate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_gopher_quality_signals(df).collect()}
+
+    r1 = got[1]
+    assert r1["n_words"] == 9
+    assert r1["mean_word_len"] == pytest.approx(30 / 9, abs=1e-6)
+    # stopwords present: the, and, have, with -> 4 of the required 8
+    assert r1["n_stopwords_present"] == 4
+    assert r1["alpha_word_frac"] == 1.0
+    assert r1["symbol_word_ratio"] == 0.0
+
+    r2 = got[2]
+    # 9 hashes + 2 "..." over 8 words
+    assert r2["n_words"] == 8
+    assert r2["symbol_word_ratio"] == pytest.approx(11 / 8, abs=1e-6)
+
+    assert got[3]["bullet_line_frac"] == pytest.approx(0.75, abs=1e-6)
+    assert got[4]["ellipsis_line_frac"] == pytest.approx(0.5, abs=1e-6)
+    assert got[5]["alpha_word_frac"] == pytest.approx(0.25, abs=1e-6)
+
+    r6 = got[6]  # "" splits to one zero-length word, one empty line
+    assert r6["n_words"] == 1 and r6["mean_word_len"] == 0.0
+    assert r6["alpha_word_frac"] == 0.0 and r6["n_stopwords_present"] == 0
+    assert r6["bullet_line_frac"] == 0.0 and r6["ellipsis_line_frac"] == 0.0
+
+
+def test_gopher_quality_filter_thresholds(spark):
+    from gbdc_spark.operators.quality import gopher_quality_filter
+
+    passing = ("the quick brown fox jumps over one lazy dog and then "
+               "that same fox must have another go with renewed vigor "
+               "because morning runs are what keep a fox nimble and "
+               "ready for the long winter that will surely come with "
+               "snow and ice and wind that howl across the open field")
+    rows = [
+        (1, passing),                                  # all bounds hold
+        (2, "too short to have enough of the words"),  # < 50 words
+        (3, " ".join(["zz"] * 60)),                    # mwl 2, no stopwords
+        (4, passing + " " + "#" * 40),                 # symbol ratio > 0.1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert got[1]["gopher_quality_pass"] is True
+    assert got[2]["gopher_quality_pass"] is False
+    assert got[3]["gopher_quality_pass"] is False
+    assert got[4]["gopher_quality_pass"] is False
+    # flag agrees with recomputation from the rounded signals
+    for r in got.values():
+        expect = (
+            50 <= r["n_words"] <= 100_000
+            and 3.0 <= r["mean_word_len"] <= 10.0
+            and r["symbol_word_ratio"] <= 0.10
+            and r["alpha_word_frac"] >= 0.80
+            and r["n_stopwords_present"] >= 2
+            and r["bullet_line_frac"] <= 0.90
+            and r["ellipsis_line_frac"] <= 0.30
+        )
+        assert r["gopher_quality_pass"] == expect, r["doc_id"]
+
+
+def test_gopher_quality_plan_is_jvm_projection(spark):
+    # same contract as the repetition half: a shuffle-free projection,
+    # no Python workers
+    from gbdc_spark.operators.quality import gopher_quality_filter
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} the and text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = gopher_quality_filter(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
 def test_repetition_signals_hypothesis_adversarial(spark):
     # batched hypothesis: generate many adversarial texts (tie-prone
     # two-letter vocab, double spaces -> empty words, newlines), run
