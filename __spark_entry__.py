@@ -513,6 +513,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             seqs, max_tokens=1024, chunk_prefix=10
         ).select("doc_id", "source", "n_tok", "pack_id", "pack_fill")
 
+    def q_pack_next_fit_auto(spark, sf_dir):
+        # the size-probing router itself, pinned to BOTH outcomes by
+        # row_threshold (the probe runs live each time): one leg routes
+        # to the plain packer, one to the chunked scalable packer — the
+        # union must match the same recursive-CTE packing duplicated
+        # per path label, keeping the router honest on either branch
+        from gbdc_spark.operators.packing import pack_next_fit_auto
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "source", "n_tok"
+        )
+        legs = []
+        for label, kw in (
+            ("plain", {"row_threshold": 10_000_000}),
+            ("scalable", {"row_threshold": 0, "chunk_prefix": 10}),
+        ):
+            legs.append(
+                pack_next_fit_auto(seqs, max_tokens=1024, **kw)
+                .select("doc_id", "source", "n_tok", "pack_id",
+                        "pack_fill")
+                .withColumn("path", F.lit(label))
+            )
+        return legs[0].unionByName(legs[1])
+
     def q_stratified_sample(spark, sf_dir):
         # deterministic md5-uniform per-stratum sampling — stable under
         # parallelism/retries, reproducible in any md5-capable engine
@@ -1565,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_append": q_stream_session_append,
         "pack_next_fit": q_pack_next_fit,
         "pack_next_fit_scalable": q_pack_next_fit_scalable,
+        "pack_next_fit_auto": q_pack_next_fit_auto,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "epoch_order": q_epoch_order,
@@ -4118,6 +4143,13 @@ def oracle_sql() -> dict[str, str]:
     # the chunked two-phase packer is output-identical to the plain
     # scan by construction — same recursive-CTE oracle gates both
     oracles["pack_next_fit_scalable"] = oracles["pack_next_fit"]
+    # the router query runs both branches (row_threshold pinned under
+    # then over the probed size) tagged by a path label — the oracle is
+    # the same packing duplicated per label
+    oracles["pack_next_fit_auto"] = f"""
+        SELECT p.*, path FROM ({oracles["pack_next_fit"]}) p
+        CROSS JOIN (VALUES ('plain'), ('scalable')) AS t(path)
+    """
     # bucketed label_balance preserves the (md5-uniform, key) total
     # order exactly — same oracle gates both physical rank paths
     oracles["label_balance_bucketed"] = oracles["label_balance"]

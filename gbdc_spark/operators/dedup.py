@@ -768,7 +768,9 @@ def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embe
                         threshold: float = 0.95, tables: int | None = None,
                         bits: int | None = None, seed: int = 42,
                         target_bucket_rows: int = 64,
-                        target_recall: float = 0.9) -> DataFrame:
+                        target_recall: float = 0.9,
+                        n_rows: int | None = None,
+                        dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup: multi-table signed-random-projection
     LSH + in-bucket cosine verify.  Table t buckets on the sign pattern
     of ``bits`` seeded Gaussian hyperplane projections; a pair is a
@@ -784,8 +786,10 @@ def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embe
     was quadratic at corpus scale is gone.  NOTE both probes execute
     ``df``'s full lineage — O(1) *results*, but on a deeply derived
     input they are two extra upstream passes; for such inputs pass
-    explicit ``bits`` (callers usually know the corpus size).  Explicit
-    ``bits`` also pins the layout for cross-engine oracle comparison.
+    ``n_rows`` (approximate corpus size; feeds ``auto_sign_bits``) and
+    ``dim`` (embedding width) so the plan builds without executing the
+    lineage.  Explicit ``bits`` also skips the count and pins the
+    layout for cross-engine oracle comparison.
 
     ``tables=None`` (default) derives the table count from the final
     bit width via :func:`auto_sign_tables`, so expected recall for a
@@ -793,10 +797,12 @@ def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embe
     ``bits`` grows with the corpus (the round-3 auto-``bits`` alone
     silently traded recall for bucket occupancy).  Pass explicit
     ``tables`` to pin cost/recall manually."""
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).filter(F.col("d") > 0).first()
-    dim = int(dim_row["d"]) if dim_row else 0
+    if dim is None:
+        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).filter(F.col("d") > 0).first()
+        dim = int(dim_row["d"]) if dim_row else 0
     if bits is None:
-        bits = auto_sign_bits(df.count(), target_bucket_rows)
+        bits = auto_sign_bits(n_rows if n_rows is not None else df.count(),
+                              target_bucket_rows)
     if tables is None:
         tables = auto_sign_tables(bits, threshold, target_recall)
     planes = sign_hyperplanes(tables, bits, dim, seed)

@@ -338,6 +338,7 @@ def pack_next_fit_auto(
     row_threshold: int = 2_000_000,
     pack_out: str = "pack_id",
     fill_out: str = "pack_fill",
+    max_group_rows: int | None = None,
     **scalable_kw,
 ) -> DataFrame:
     """Route between the two identical-output packers by group size:
@@ -347,13 +348,17 @@ def pack_next_fit_auto(
     chunked scan above it (O(chunk) memory, cores-wide parallelism —
     2.6x faster at 6M rows in one group, and the only survivable shape
     at 10^9).  The probe is one map-side-combined count over ``df``'s
-    lineage; callers with derived inputs or known group sizes call the
-    concrete variant directly."""
+    lineage; callers with derived inputs pass ``max_group_rows`` (the
+    largest ``by``-group's row count, an upper bound is fine) so the
+    router decides without executing the lineage."""
     by_cols = [by] if isinstance(by, str) else list(by)
-    mx = (
-        df.groupBy(*by_cols).agg(F.count("*").alias("_c"))
-        .agg(F.max("_c").alias("_m")).first()["_m"]
-    )
+    if max_group_rows is not None:
+        mx = max_group_rows
+    else:
+        mx = (
+            df.groupBy(*by_cols).agg(F.count("*").alias("_c"))
+            .agg(F.max("_c").alias("_m")).first()["_m"]
+        )
     if mx is None or int(mx) <= row_threshold:
         return pack_next_fit(df, max_tokens, size_col, by, order,
                              pack_out, fill_out)
@@ -483,6 +488,7 @@ def label_balance(
     bucketed: bool | None = None,
     bucket_threshold: int = 2_000_000,
     buckets: int = 256,
+    max_label_rows: int | None = None,
 ) -> DataFrame:
     """Deterministic class rebalancing: keep the same number of rows
     per label — each label's md5-uniform rank up to the minority-class
@@ -506,9 +512,11 @@ def label_balance(
       of one extra tiny shuffle.
 
     ``bucketed=None`` (default) auto-picks: a map-side-combined label
-    count probe (one extra pass over ``df``'s lineage — pin the flag
-    explicitly on deeply derived inputs) switches to the bucketed rank
-    when any label exceeds ``bucket_threshold`` rows.
+    count probe (one extra pass over ``df``'s lineage) switches to the
+    bucketed rank when any label exceeds ``bucket_threshold`` rows.
+    Callers with derived inputs pass ``max_label_rows`` (the largest
+    label's row count; an upper bound is fine) so the gate decides
+    without executing the lineage — or pin ``bucketed`` outright.
     """
     from pyspark.sql import Window
 
@@ -516,10 +524,13 @@ def label_balance(
         F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
     )
     if bucketed is None:
-        mx = (
-            df.groupBy(label_col).agg(F.count("*").alias("_c"))
-            .agg(F.max("_c").alias("_m")).first()["_m"]
-        )
+        if max_label_rows is not None:
+            mx = max_label_rows
+        else:
+            mx = (
+                df.groupBy(label_col).agg(F.count("*").alias("_c"))
+                .agg(F.max("_c").alias("_m")).first()["_m"]
+            )
         bucketed = mx is not None and int(mx) > bucket_threshold
     if not bucketed:
         w = Window.partitionBy(label_col).orderBy(u, F.col(key))
