@@ -342,6 +342,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir).select("doc_id", "text")
         ).drop("text")
 
+    def q_c4_filter(spark, sf_dir):
+        # C4's line+page heuristics (Raffel et al. 2020 §2.2).  The
+        # synth docs have no line/sentence structure, so the fixture
+        # derives one deterministically with engine-portable string
+        # ops (non-overlapping replace + doc_id-keyed tails) that the
+        # oracle repeats verbatim — every signal, the kept text, and
+        # the decision are value-checked.
+        from gbdc_spark.operators.quality import c4_filter
+
+        t = F.col("text")
+        fx = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.replace(t, F.lit(" a "), F.lit(".\n")),
+                F.when(F.col("doc_id") % 13 == 0, F.lit(" {"))
+                .otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 17 == 0,
+                    F.lit("\nthe lorem ipsum line."),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.lit("\nthis page needs javascript enabled."),
+                ).otherwise(F.lit("")),
+                F.lit("\nthe value table scan ends here."),
+            ).alias("text"),
+        )
+        return c4_filter(fx, min_sentences=5).drop("text")
+
     def q_ngram_contamination(spark, sf_dir):
         # benchmark decontamination: a deterministic 5% md5-slice of the
         # docs is the "eval set"; flag corpus docs sharing any 8-gram
@@ -1603,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_repetition_signals": q_token_repetition_signals,
         "gopher_filter": q_gopher_filter,
         "gopher_quality_filter": q_gopher_quality_filter,
+        "c4_filter": q_c4_filter,
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
         "lm_perplexity": q_lm_perplexity,
@@ -2419,6 +2449,74 @@ def _duck_repetition_sql(ns_top=(2, 3, 4), ns_dup=(5, 10),
             + "\n    FROM w " + " ".join(joins))
 
 
+def _duck_c4_filter_sql(source="documents", min_sentences=5) -> str:
+    """Oracle for ``c4_filter``: rebuilds the deterministic fixture
+    (same replace + doc_id-keyed tails), re-runs the line filter with
+    DuckDB list lambdas, and recomputes every page signal and the
+    decision.  The terminal-punctuation set is pulled from the same
+    module constant the operator defaults to."""
+    from gbdc_spark.operators.quality import C4_TERMINAL_PUNCT
+
+    ends = " OR ".join(
+        f"ends_with(l, '{p}')" for p in C4_TERMINAL_PUNCT
+    )
+    return f"""
+        WITH fx AS (
+            SELECT doc_id,
+                   replace(text, ' a ', '.' || chr(10))
+                   || CASE WHEN doc_id % 13 = 0 THEN ' {{' ELSE '' END
+                   || CASE WHEN doc_id % 17 = 0
+                           THEN chr(10) || 'the lorem ipsum line.'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN chr(10)
+                                || 'this page needs javascript enabled.'
+                           ELSE '' END
+                   || chr(10) || 'the value table scan ends here.'
+                       AS text
+            FROM {source}),
+        ln AS (
+            SELECT doc_id, text, str_split(text, chr(10)) AS ls
+            FROM fx),
+        kp AS (
+            SELECT doc_id, text, ls,
+                   list_filter(ls, l ->
+                       ({ends})
+                       AND len(list_filter(
+                               str_split_regex(trim(l), '\\s+'),
+                               w -> w <> '')) >= 3
+                       AND NOT contains(lower(l), 'javascript')) AS ks
+            FROM ln),
+        sig AS (
+            SELECT doc_id, text,
+                   array_to_string(ks, chr(10)) AS c4_text,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(ks) AS BIGINT) AS n_lines_kept
+            FROM kp),
+        sent AS (
+            SELECT *,
+                   CAST((length(c4_text)
+                         - length(replace(c4_text, '.', '')))
+                      + (length(c4_text)
+                         - length(replace(c4_text, '!', '')))
+                      + (length(c4_text)
+                         - length(replace(c4_text, '?', '')))
+                        AS BIGINT) AS n_sentences,
+                   contains(text, '{{') AS has_curly_brace,
+                   contains(lower(text), 'lorem ipsum')
+                       AS has_lorem_ipsum,
+                   CAST(0 AS BIGINT) AS n_blocklist_hits
+            FROM sig)
+        SELECT doc_id, c4_text, n_lines, n_lines_kept, n_sentences,
+               has_curly_brace, has_lorem_ipsum, n_blocklist_hits,
+               (n_sentences >= {min_sentences}
+                AND NOT has_curly_brace
+                AND NOT has_lorem_ipsum
+                AND n_blocklist_hits = 0) AS c4_pass
+        FROM sent
+    """
+
+
 def _duck_gopher_filter_sql(source="documents") -> str:
     """Oracle for ``gopher_filter``: the repetition signals for exactly
     the thresholded n values, plus the conjunction flag GENERATED from
@@ -2718,6 +2816,7 @@ def oracle_sql() -> dict[str, str]:
         "token_repetition_signals": _duck_token_repetition_sql(),
         "gopher_filter": _duck_gopher_filter_sql(),
         "gopher_quality_filter": _duck_gopher_quality_sql(),
+        "c4_filter": _duck_c4_filter_sql(),
         "ngram_contamination": """
             WITH u AS (
                 SELECT doc_id, text,

@@ -25,6 +25,8 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "GOPHER_REQUIRED_STOPWORDS", "GOPHER_BULLET_PREFIXES",
            "GOPHER_ELLIPSIS_SUFFIXES",
            "GOPHER_MAX_TOP_NGRAM", "GOPHER_MAX_DUP_NGRAM",
+           "with_c4_signals", "c4_clean_lines", "c4_filter",
+           "C4_TERMINAL_PUNCT",
            "ngram_contamination",
            "token_ngram_contamination", "lm_perplexity",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
@@ -942,3 +944,182 @@ def gopher_filter(
     for c in conds[1:]:
         flag = flag & c
     return out.withColumn("gopher_pass", flag)
+
+
+# C4 heuristics (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning...", §2.2): terminal punctuation a retained line must end
+# with.  The paper names period, exclamation mark, question mark, and
+# end quotation mark.
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+# characters counted as sentence terminators by the >=5-sentences rule
+C4_SENTENCE_CHARS = (".", "!", "?")
+
+
+def _reduce_or(conds: list) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def c4_clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_words_per_line: int = 3,
+    terminal_punct: tuple = C4_TERMINAL_PUNCT,
+    drop_word: str = "javascript",
+    out_col: str = "c4_text",
+) -> DataFrame:
+    """C4's LINE-level cleaning (Raffel et al. 2020 §2.2): split
+    ``text_col`` on ``line_sep`` and retain only lines that
+
+    * end in a terminal punctuation mark (``terminal_punct``),
+    * contain at least ``min_words_per_line`` whitespace words, and
+    * do not contain ``drop_word`` (case-insensitive substring — the
+      paper drops any line with the word "Javascript").
+
+    Adds ``out_col`` (the retained lines re-joined with ``line_sep``),
+    ``n_lines`` and ``n_lines_kept``.  Pure JVM array expressions bound
+    once per row — a shuffle-free projection, same contract as the
+    Gopher family above.  Word counting splits on ``\\s+`` after trim,
+    so an all-whitespace line counts zero words.
+    """
+    import re as _re
+
+    def keep(l: Column) -> Column:
+        ends = _reduce_or([l.endswith(F.lit(p)) for p in terminal_punct])
+        n_words = F.size(
+            F.filter(
+                F.split(F.trim(l), r"\s+"), lambda w: F.length(w) > 0
+            )
+        )
+        no_drop = ~F.contains(F.lower(l), F.lit(drop_word.lower()))
+        return ends & (n_words >= min_words_per_line) & no_drop
+
+    lines = F.split(F.col(text_col), _re.escape(line_sep))
+    out = df.withColumn(
+        "_c4l",
+        _bind(
+            lines,
+            lambda ls: _bind(
+                F.filter(ls, keep),
+                lambda kept: F.struct(
+                    F.array_join(kept, line_sep).alias("text"),
+                    F.size(ls).cast("long").alias("n_lines"),
+                    F.size(kept).cast("long").alias("n_kept"),
+                ),
+            ),
+        ),
+    )
+    return out.select(
+        *df.columns,
+        F.col("_c4l.text").alias(out_col),
+        F.col("_c4l.n_lines").alias("n_lines"),
+        F.col("_c4l.n_kept").alias("n_lines_kept"),
+    )
+
+
+def _count_char(col: Column, ch: str) -> Column:
+    # left-to-right non-overlapping replace() has identical semantics
+    # in Spark and DuckDB, so the length delta is the same occurrence
+    # count in both engines (same trick as the Gopher symbol ratio)
+    return F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
+
+
+def with_c4_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_words_per_line: int = 3,
+    blocklist: tuple = (),
+) -> DataFrame:
+    """All of C4's PAGE-level signals (Raffel et al. 2020 §2.2), built
+    on :func:`c4_clean_lines`:
+
+    * ``c4_text`` / ``n_lines`` / ``n_lines_kept`` — the line filter;
+    * ``n_sentences`` — sentence terminators (``. ! ?``) remaining in
+      the CLEANED text (the paper discards pages with fewer than 5
+      sentences, counted after line filtering);
+    * ``has_curly_brace`` — ``{`` anywhere in the ORIGINAL page (the
+      paper removes pages containing code markers);
+    * ``has_lorem_ipsum`` — case-insensitive "lorem ipsum" anywhere in
+      the original page;
+    * ``n_blocklist_hits`` — how many ``blocklist`` entries appear as
+      whole whitespace-delimited tokens (case-insensitive, punctuation
+      NOT stripped — "bad." does not match "bad") in the original
+      page.  The paper uses an external word list ("List of Dirty,
+      Naughty, Obscene..."); it is a parameter here — the default
+      ``()`` yields a constant 0 column so the schema is stable either
+      way.
+
+    Everything is a JVM projection; booleans and counts are exact, so
+    no rounding contract is needed (unlike the fraction-valued Gopher
+    signals).
+    """
+    t = F.col(text_col)
+    out = c4_clean_lines(
+        df, text_col=text_col, line_sep=line_sep,
+        min_words_per_line=min_words_per_line,
+    )
+    n_sent = _bind(
+        F.col("c4_text"),
+        lambda k: sum(
+            (_count_char(k, c) for c in C4_SENTENCE_CHARS),
+            F.lit(0).cast("long"),
+        ),
+    )
+    if blocklist:
+        hits = _bind(
+            F.transform(F.split(t, r"\s+"), F.lower),
+            lambda lw: F.size(
+                F.filter(
+                    F.array(*[F.lit(b.lower()) for b in blocklist]),
+                    lambda b: F.array_contains(lw, b),
+                )
+            ).cast("long"),
+        )
+    else:
+        hits = F.lit(0).cast("long")
+    return (
+        out.withColumn("n_sentences", n_sent)
+        .withColumn("has_curly_brace", F.contains(t, F.lit("{")))
+        .withColumn(
+            "has_lorem_ipsum",
+            F.contains(F.lower(t), F.lit("lorem ipsum")),
+        )
+        .withColumn("n_blocklist_hits", hits)
+    )
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    blocklist: tuple = (),
+) -> DataFrame:
+    """C4's page rejection rule as a boolean flag: computes
+    :func:`with_c4_signals` and adds ``c4_pass`` = true iff the cleaned
+    page has at least ``min_sentences`` sentences, no curly brace, no
+    "lorem ipsum", and no blocklisted word.  Rows are flagged, not
+    dropped, and the flag derives from the exact integer/boolean signal
+    columns — same audit-friendly contract as :func:`gopher_filter`
+    (an engine recomputing the signals derives the identical flag).
+
+    The remaining published C4 step — three-sentence-span dedup across
+    the corpus — is corpus-level, not per-page; compose with
+    ``operators.dedup.substring_dedup`` / ``line_dedup`` for that.
+    """
+    out = with_c4_signals(
+        df, text_col=text_col, line_sep=line_sep,
+        min_words_per_line=min_words_per_line, blocklist=blocklist,
+    )
+    flag = (
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_curly_brace")
+        & ~F.col("has_lorem_ipsum")
+        & (F.col("n_blocklist_hits") == 0)
+    )
+    return out.withColumn("c4_pass", flag)

@@ -548,3 +548,76 @@ def test_repetition_signals_hypothesis_adversarial(spark):
         for k, v in _rep_ref(text).items():
             assert got[doc_id][k] == pytest.approx(v, abs=1e-6), \
                 (repr(text), k, got[doc_id][k], v)
+
+
+def test_c4_clean_lines_hand_computed(spark):
+    from gbdc_spark.operators.quality import c4_clean_lines
+
+    rows = [
+        # kept: ends in '.', 3 words; dropped: no terminal punct;
+        # dropped: 2 words; dropped: javascript; kept: ends in '?'
+        (1, "the cat sat.\nno punct here\nshort one.\n"
+            "please enable JavaScript now.\nis that so?"),
+        (2, ""),                        # one empty line, dropped
+        (3, 'he said "stop".\nshe said "go now"'),  # 2nd ends in quote
+        (4, "   \t .\nwords only two."),  # whitespace line: 1 word '.'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_clean_lines(df).collect()}
+
+    r1 = got[1]
+    assert r1["c4_text"] == "the cat sat.\nis that so?"
+    assert r1["n_lines"] == 5 and r1["n_lines_kept"] == 2
+
+    assert got[2]["c4_text"] == "" and got[2]["n_lines"] == 1
+    assert got[2]["n_lines_kept"] == 0
+
+    r3 = got[3]  # both lines end in terminal punct ('.', '"'), 3 words
+    assert r3["n_lines_kept"] == 2
+
+    r4 = got[4]  # '   \t .' = 1 word after \s+ split -> dropped
+    assert r4["c4_text"] == "words only two." and r4["n_lines_kept"] == 1
+
+
+def test_c4_signals_and_filter(spark):
+    from gbdc_spark.operators.quality import c4_filter, with_c4_signals
+
+    five = "one two three.\n" * 5            # 5 sentences, passes
+    rows = [
+        (1, five.rstrip("\n")),
+        (2, five.rstrip("\n") + " {"),        # brace page
+        (3, "Lorem IPSUM dolor sit.\n" + five.rstrip("\n")),
+        (4, "just one sentence here."),       # < 5 sentences
+        (5, "what is this?! is it two?\n" + "a b c.\n" * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_filter(df).collect()}
+
+    assert got[1]["n_sentences"] == 5 and got[1]["c4_pass"] is True
+    # '{' is on the kept-line-breaking trailing fragment but the brace
+    # rule reads the ORIGINAL page
+    assert got[2]["has_curly_brace"] is True and got[2]["c4_pass"] is False
+    assert got[3]["has_lorem_ipsum"] is True and got[3]["c4_pass"] is False
+    assert got[4]["n_sentences"] == 1 and got[4]["c4_pass"] is False
+    # '?!' + '?' = 3 terminators on line 1, plus 3 periods
+    assert got[5]["n_sentences"] == 6 and got[5]["c4_pass"] is True
+
+    # blocklist: whole whitespace token, case-insensitive, original
+    # page; punctuation is not stripped ('three.' does not hit 'three')
+    bl = with_c4_signals(df, blocklist=("LOREM", "dolor", "three")).collect()
+    hits = {r["doc_id"]: r["n_blocklist_hits"] for r in bl}
+    assert hits[3] == 2          # 'Lorem' and 'dolor'; 'three.' no hit
+    assert hits[1] == 0 and hits[4] == 0
+    flagged = {r["doc_id"]: r["c4_pass"]
+               for r in c4_filter(df, blocklist=("two",)).collect()}
+    assert flagged[1] is False   # blocklisted word kills the page
+
+    # flag agrees with recomputation from the signal columns
+    for r in got.values():
+        expect = (
+            r["n_sentences"] >= 5
+            and not r["has_curly_brace"]
+            and not r["has_lorem_ipsum"]
+            and r["n_blocklist_hits"] == 0
+        )
+        assert r["c4_pass"] == expect
