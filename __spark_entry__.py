@@ -2062,7 +2062,10 @@ def _duck_base_features_sql() -> str:
     -- connected components among used variables (clause co-occurrence
     -- closure); gap variables 1..n_vars re-enter as singletons below
     vcp AS (SELECT DISTINCT doc_id, cid, v FROM L),
-    nbr AS (SELECT DISTINCT a.doc_id, a.v, b.v AS w
+    -- MATERIALIZED: the reach recursion joins nbr per closure round;
+    -- unmaterialized, DuckDB re-derives it (back to tokenization) each
+    -- round
+    nbr AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.v, b.v AS w
             FROM vcp a JOIN vcp b USING (doc_id, cid)),
     reach AS (
         SELECT doc_id, v, w FROM nbr
@@ -3000,7 +3003,11 @@ def oracle_sql() -> dict[str, str]:
             FROM p CROSS JOIN z
         """,
         "pack_next_fit": f"""
-            WITH RECURSIVE d AS (
+            -- d is MATERIALIZED: DuckDB otherwise re-inlines (and
+            -- re-tokenizes) the CTE on every recursion step, turning a
+            -- depth-N pack scan into N full tokenization passes (>13
+            -- min at sf1 vs 12 s materialized; identical results)
+            WITH RECURSIVE d AS MATERIALIZED (
                 SELECT doc_id, source, n_tok,
                        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
                 FROM (SELECT {_DOC_KEY} AS doc_id, source,
@@ -3157,7 +3164,12 @@ def oracle_sql() -> dict[str, str]:
                                 / 4294967296.0) / n_kept, 6) AS score
                 FROM clean WHERE n_kept > 0
                 ORDER BY score DESC, doc_id LIMIT 150),
-            d AS (SELECT *, row_number() OVER (PARTITION BY source
+            -- MATERIALIZED: the packing recursion below joins d per
+            -- step; unmaterialized, DuckDB re-inlines the entire
+            -- upstream pipeline (tokenize/dedup/decontaminate/sample)
+            -- once per recursion step
+            d AS MATERIALIZED (
+                  SELECT *, row_number() OVER (PARTITION BY source
                                                ORDER BY doc_id) AS rn
                   FROM samp),
             p AS (
@@ -3539,7 +3551,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_DUCK_MINHASH_CAND},
-            edges AS (SELECT a AS src, b AS dst FROM cand
+            -- MATERIALIZED: the reach recursion joins edges per step;
+            -- unmaterialized, the minhash candidate chain recomputes
+            -- once per closure round
+            edges AS MATERIALIZED (
+                      SELECT a AS src, b AS dst FROM cand
                       UNION SELECT b, a FROM cand),
             reach AS (
                 SELECT src AS v, dst AS w FROM edges
