@@ -40,6 +40,7 @@ __all__ = [
     "embedding_near_dups",
     "auto_sign_bits",
     "auto_sign_tables",
+    "sign_recall",
     "sign_hyperplanes",
     "dup_clusters",
     "dup_clusters_star",
@@ -754,6 +755,19 @@ def auto_sign_tables(bits: int, threshold: float,
     return max(lo, min(hi, math.ceil(need)))
 
 
+def sign_recall(bits: int, tables: int, threshold: float) -> float:
+    """Expected probability that a pair AT the cosine ``threshold``
+    boundary collides in at least one of ``tables`` sign-LSH tables of
+    ``bits`` hyperplanes each: 1 − (1 − p^bits)^tables with
+    p = 1 − θ/π (Charikar STOC'02).  The inverse of
+    :func:`auto_sign_tables` — use it to audit what recall a capped or
+    explicit table count actually buys."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    return 1.0 - (1.0 - p ** bits) ** tables
+
+
 def sign_hyperplanes(tables: int, bits: int, dim: int, seed: int = 42) -> np.ndarray:
     """Seeded Gaussian random hyperplanes, shape (tables, bits, dim) —
     the classic signed-random-projection family.  Deterministic for a
@@ -805,6 +819,29 @@ def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embe
                               target_bucket_rows)
     if tables is None:
         tables = auto_sign_tables(bits, threshold, target_recall)
+        achieved = sign_recall(bits, tables, threshold)
+        if achieved < target_recall - 1e-9:
+            # the SRP formula wanted more tables than the cap allows:
+            # wide-angle thresholds collapse p^bits, so boundary recall
+            # is unreachable AND every extra table multiplies candidate
+            # volume (~tables * n * expected_bucket / 2 pairs to
+            # verify) — at 20k rows / threshold 0.3 this is already a
+            # many-minute query.  Out of sign-LSH's working regime.
+            import warnings
+
+            warnings.warn(
+                f"embedding_near_dups: auto tables hit the cap "
+                f"({tables}) — boundary-pair recall {achieved:.2f} < "
+                f"target {target_recall} at bits={bits}, "
+                f"threshold={threshold}.  Wide-angle thresholds are "
+                "outside sign-LSH's working regime (p^bits collapses; "
+                "candidate volume scales with the table count).  Use "
+                "a tighter threshold, explicit (bits, tables), or "
+                "IVF-bucketed candidates (similarity.ivf_assign) for "
+                "wide-angle similarity at scale.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     planes = sign_hyperplanes(tables, bits, dim, seed)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 

@@ -532,3 +532,40 @@ def test_auto_sign_tables_math():
     # clamps
     assert auto_sign_tables(30, -1.0) == 64
     assert auto_sign_tables(1, 1.0) == 1
+
+
+def test_sign_recall_inverts_auto_tables():
+    import math
+
+    from gbdc_spark.operators.dedup import auto_sign_tables, sign_recall
+
+    # where the formula is NOT capped, the derived table count achieves
+    # the target recall (and one table fewer would not)
+    for bits, thr in [(4, 0.95), (9, 0.9), (12, 0.95)]:
+        t = auto_sign_tables(bits, thr, target_recall=0.9)
+        assert sign_recall(bits, t, thr) >= 0.9 - 1e-12
+        if t > 1:
+            assert sign_recall(bits, t - 1, thr) < 0.9
+    # wide angle at scale-sized bits: capped, recall short of target
+    t = auto_sign_tables(9, 0.3, target_recall=0.9)
+    assert t == 64 and sign_recall(9, 64, 0.3) < 0.9
+    # perfect-similarity edge
+    assert sign_recall(8, 1, 1.0) == pytest.approx(1.0)
+
+
+def test_embedding_near_dups_warns_outside_lsh_regime(spark):
+    import warnings
+
+    from gbdc_spark.operators.dedup import embedding_near_dups
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5, -1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    # wide-angle threshold with scale-sized bits -> capped tables, warn
+    with pytest.warns(RuntimeWarning, match="outside sign-LSH"):
+        embedding_near_dups(df, threshold=0.3, bits=9, n_rows=50, dim=4)
+    # tight threshold: formula satisfiable, no warning (plan build only)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        embedding_near_dups(df, threshold=0.95, bits=9, n_rows=50, dim=4)
