@@ -1139,6 +1139,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the verify returns a non-trivial pair set at sf0.01)
         return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.3)
 
+    def q_embedding_near_dups_ivf(spark, sf_dir):
+        # the wide-angle scale path the sign-LSH warning points to:
+        # IVF-bucketed candidates (2-probe, first-8-rows centroids) +
+        # exact cosine verify at the 0.3 threshold that is OUTSIDE
+        # sign-LSH's working regime (auto tables cap at recall 0.46
+        # there) — candidate volume here is angle-independent
+        e = _emb(spark, sf_dir)
+        cents = similarity.centroids_from_rows(e, list(range(8)))
+        return dedup.embedding_near_dups_ivf(e, cents, threshold=0.3, n_probe=2)
+
     def q_ivf_topk(spark, sf_dir):
         # the at-scale shape: materialize the assignment ONCE partitioned
         # by cell, then probe = partition-pruned scan of n_probe cells
@@ -1681,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_auto": q_embedding_near_dups_auto,
+        "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
         "ivf_topk": q_ivf_topk,
         "ivf_recall": q_ivf_recall,
         "ivf_trained_topk": q_ivf_trained_topk,
@@ -3680,6 +3691,25 @@ def oracle_sql() -> dict[str, str]:
                    round(ms.m, 6) AS max_sim_earlier,
                    CAST(CASE WHEN ms.m >= 0.4 THEN 0 ELSE 1 END AS INTEGER) AS keep
             FROM a LEFT JOIN ms USING (vec_id)
+        """,
+        "embedding_near_dups_ivf": f"""
+            WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
+                       FROM embeddings WHERE vec_id < 8),
+            a AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               {_duck_cos("CAST(e.embedding AS DOUBLE[])", "c.centroid")}
+                               DESC, c.cell) AS rn
+                    FROM embeddings e CROSS JOIN c) WHERE rn <= 2)
+            SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+                   {_duck_cos("CAST(le.embedding AS DOUBLE[])",
+                              "CAST(re.embedding AS DOUBLE[])")} AS cosine
+            FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
+            JOIN embeddings le ON le.vec_id = l.vec_id
+            JOIN embeddings re ON re.vec_id = r.vec_id
+            WHERE {_duck_cos("CAST(le.embedding AS DOUBLE[])",
+                             "CAST(re.embedding AS DOUBLE[])")} >= 0.3
         """,
         "ivf_topk": f"""
             WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid

@@ -38,6 +38,7 @@ __all__ = [
     "substring_dedup",
     "semantic_dedup",
     "embedding_near_dups",
+    "embedding_near_dups_ivf",
     "auto_sign_bits",
     "auto_sign_tables",
     "sign_recall",
@@ -837,8 +838,8 @@ def embedding_near_dups(df: DataFrame, key: str = "vec_id", vec_col: str = "embe
                 "outside sign-LSH's working regime (p^bits collapses; "
                 "candidate volume scales with the table count).  Use "
                 "a tighter threshold, explicit (bits, tables), or "
-                "IVF-bucketed candidates (similarity.ivf_assign) for "
-                "wide-angle similarity at scale.",
+                "IVF-bucketed candidates (embedding_near_dups_ivf) "
+                "for wide-angle similarity at scale.",
                 RuntimeWarning,
                 stacklevel=2,
             )
@@ -937,4 +938,59 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame, key: str = "vec_id",
             F.when(F.col("max_sim_earlier") >= threshold, F.lit(0))
             .otherwise(F.lit(1)).alias("keep"),
         )
+    )
+
+
+def embedding_near_dups_ivf(df: DataFrame, centroids: DataFrame,
+                            key: str = "vec_id", vec_col: str = "embedding",
+                            threshold: float = 0.95,
+                            n_probe: int = 2) -> DataFrame:
+    """Embedding-cosine near-dup pairs via IVF-bucketed candidates —
+    the wide-angle scale path :func:`embedding_near_dups` points to
+    when sign-LSH leaves its working regime.  Sign-LSH recall at a
+    LOW cosine threshold needs a table count that grows faster than
+    the verify budget (p^bits collapses), but an IVF coarse quantizer
+    does not care about the angle: candidates are pairs that share any
+    of their ``n_probe`` max-cosine centroid cells
+    (:func:`~gbdc_spark.operators.similarity.ivf_multiprobe_assign`),
+    then exact cosine verifies each candidate, so precision is always
+    1.0 and recall is governed by cell geometry, not threshold.
+
+    Returns (a, b, cosine) with a < b, one row per verified pair
+    (multi-probe duplicates collapse with one distinct).
+
+    Scale shape: assignment is one broadcast nested-loop pass over the
+    k-row centroid table (map-only); the candidate join is an
+    equi-join on cell whose cost is sum over probed cells of
+    C(cell_size, 2) — the SemDeDup regime, bounded by choosing k
+    proportional to n so cells stay O(n/k) (Abbas et al. 2023 run
+    k=11k on 100M embeddings; a fixed k makes this corpus-quadratic,
+    so scale k with the corpus).  Nothing here depends on the
+    threshold: the same candidate set serves any verify angle.
+    """
+    from .similarity import ivf_multiprobe_assign
+
+    probes = ivf_multiprobe_assign(df, centroids, n_probe=n_probe,
+                                   key=key, vec_col=vec_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = df.select(F.col(key), v.alias("v"))
+    banded = probes.select(key, "cell").join(vecs, key)
+    l, r = banded.alias("l"), banded.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (norm(F.col("l.v")) * norm(F.col("r.v")))
+    return (
+        l.join(
+            r,
+            (F.col("l.cell") == F.col("r.cell"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"), "cosine")
+        .distinct()
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine_topk",
     "ivf_assign",
+    "ivf_multiprobe_assign",
     "ivf_topk",
     "ivf_index_write",
     "ivf_probe",
@@ -83,6 +84,30 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, key: str = "vec_id",
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(F.col(key), F.col("cell"), F.col("cosine").alias("cell_cosine"))
+    )
+
+
+def ivf_multiprobe_assign(df: DataFrame, centroids: DataFrame, n_probe: int = 2,
+                          key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its ``n_probe`` max-cosine centroid cells
+    (rank 1 = the :func:`ivf_assign` cell).  Multi-probe is the standard
+    IVF recall lever for SYMMETRIC candidate generation: a pair sitting
+    on a cell boundary splits under single-assignment, but with p >= 2
+    probes each side also lands in its runner-up cell, so boundary pairs
+    meet wherever their probe sets overlap.  Same broadcast
+    nested-loop + per-key rank shape as ``ivf_assign`` — cost is the
+    identical one map-side pass, output is ``n_probe`` rows per vector.
+
+    Returns (key, cell, probe_rank), probe_rank in [1, n_probe]; ties
+    break to the smallest cell id, so the output is deterministic."""
+    v = _to_double(F.col(vec_col))
+    joined = df.select(F.col(key), v.alias("v")).crossJoin(F.broadcast(centroids))
+    scored = joined.withColumn("cosine", cosine_similarity(F.col("v"), F.col("centroid")))
+    w = Window.partitionBy(key).orderBy(F.desc("cosine"), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col(key), F.col("cell"), F.col("rn").alias("probe_rank"))
     )
 
 

@@ -569,3 +569,85 @@ def test_embedding_near_dups_warns_outside_lsh_regime(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         embedding_near_dups(df, threshold=0.95, bits=9, n_rows=50, dim=4)
+
+
+def test_embedding_near_dups_ivf_multiprobe_recovers_boundary_pair(spark):
+    # a near-dup pair straddling the 45-degree cell boundary between
+    # centroids at 0 and 90 degrees: single-probe assigns the two
+    # vectors to DIFFERENT cells (pair invisible), 2-probe lands both
+    # in both cells -> the pair surfaces.  This is the exact recall
+    # failure mode multi-probe exists for.
+    import math
+
+    from gbdc_spark.operators.dedup import embedding_near_dups_ivf
+    from gbdc_spark.operators.similarity import centroids_from_rows
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [(0, unit(0.0)), (1, unit(90.0)),   # the two centroids
+            (2, unit(43.0)), (3, unit(47.0))]  # the boundary pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = centroids_from_rows(df, [0, 1])
+
+    one = {(r["a"], r["b"]) for r in
+           embedding_near_dups_ivf(df, cents, threshold=0.99,
+                                   n_probe=1).collect()}
+    assert (2, 3) not in one  # split across cells under single-probe
+
+    two = embedding_near_dups_ivf(df, cents, threshold=0.99, n_probe=2)
+    got = {(r["a"], r["b"]): r["cosine"] for r in two.collect()}
+    assert (2, 3) in got
+    assert got[(2, 3)] == pytest.approx(math.cos(math.radians(4.0)), abs=1e-6)
+
+
+def test_embedding_near_dups_ivf_exact_verify_and_no_duplicates(spark):
+    # precision is 1.0 by construction: every returned pair re-checks
+    # against numpy's exact cosine; multi-probe bucket duplicates must
+    # collapse to one row per (a, b)
+    import random
+
+    import numpy as np
+
+    from gbdc_spark.operators.dedup import embedding_near_dups_ivf
+    from gbdc_spark.operators.similarity import centroids_from_rows
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = centroids_from_rows(df, [0, 1, 2, 3])
+
+    out = embedding_near_dups_ivf(df, cents, threshold=0.3, n_probe=2).collect()
+    assert len(out) > 0  # the fixture must exercise the verify path
+    pairs = [(r["a"], r["b"]) for r in out]
+    assert len(pairs) == len(set(pairs))  # distinct collapsed the probes
+    vec = {i: np.array(v) for i, v in rows}
+    for r in out:
+        a, b = vec[r["a"]], vec[r["b"]]
+        exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["a"] < r["b"]
+        assert round(exact, 6) >= 0.3
+        assert r["cosine"] == pytest.approx(exact, abs=1e-6)
+
+
+def test_embedding_near_dups_ivf_probe_monotone_recall(spark):
+    # raising n_probe can only ADD candidate pairs (cells are a superset
+    # per vector), never remove one — verified pairs are monotone in p
+    import random
+
+    from gbdc_spark.operators.dedup import embedding_near_dups_ivf
+    from gbdc_spark.operators.similarity import centroids_from_rows
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = centroids_from_rows(df, [0, 1, 2, 3, 4])
+
+    sets = []
+    for p in (1, 2, 3):
+        got = {(r["a"], r["b"]) for r in
+               embedding_near_dups_ivf(df, cents, threshold=0.2,
+                                       n_probe=p).collect()}
+        sets.append(got)
+    assert sets[0] <= sets[1] <= sets[2]
+    assert sets[0] < sets[2]  # the fixture must show recall actually grow

@@ -220,6 +220,14 @@ CHECKS = {
          r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "embedding_near_dups_ivf": [
+        ("centroid table broadcast for the multi-probe assignment",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("candidate pairs via a real equi-join on cell (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("cosine verify JVM-side (no Python workers)",
+         r"^(?!.*ArrowEvalPython)"),
+    ],
     "source_temperature": [
         ("single count-per-source shuffle, totals broadcast",
          r"BroadcastNestedLoopJoin|BroadcastExchange"),
