@@ -963,6 +963,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top-10 — model-sized joins, broadcast N, per-group window
         return text.tfidf_topk(_docs(spark, sf_dir), group="source", k=10)
 
+    def q_bm25_topk(spark, sf_dir):
+        # BM25 retrieval (Lucene idf variant): filtered explode ->
+        # query-matches-sized partial agg, broadcast df_t and (N,
+        # avgdl), TakeOrdered top-k; score rounded before ranking and
+        # ties break on doc_id so the cut at k is engine-independent
+        return text.bm25_topk(
+            _docs(spark, sf_dir),
+            ["hash", "join", "merge", "vector"],
+            k=50,
+        )
+
+    def q_ccnet_buckets(spark, sf_dir):
+        # CCNet head/middle/tail per language: LM perplexity (pruned
+        # self-trained bigram model, same as lm_perplexity) ranked
+        # per-lang via the two-phase monotone-quantization rank
+        # (bucketed=True exercises the giant-language scale path; the
+        # window path is pytest-proven output-identical). Bucket edges
+        # are integer rank arithmetic (3*rn <= n), so the oracle
+        # derives the identical label; null-perplexity docs keep a
+        # NULL bucket in both engines (NULL ordering differs between
+        # them, so NULLs never enter the rank).
+        from gbdc_spark.operators.quality import ccnet_buckets, lm_perplexity
+
+        docs = _docs(spark, sf_dir)
+        ppl = lm_perplexity(docs.select("doc_id", "text"), min_count=2)
+        scored = ppl.join(docs.select("doc_id", "lang"), "doc_id").select(
+            "doc_id", "lang", "perplexity"
+        )
+        return ccnet_buckets(scored, bucketed=True)
+
     def q_source_divergence(spark, sf_dir):
         # mixture drift: per-source unigram KL vs the corpus
         # distribution — one corpus scan, ReuseExchange fans it out
@@ -1673,6 +1703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_pairs": q_winnow_pairs,
         "bigram_topk": q_bigram_topk,
+        "bm25_topk": q_bm25_topk,
+        "ccnet_buckets": q_ccnet_buckets,
         "tfidf_topk": q_tfidf_topk,
         "source_divergence": q_source_divergence,
         "source_len_quantiles": q_source_len_quantiles,
@@ -3373,6 +3405,77 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT str_split(text, ' ') AS words FROM documents))
             GROUP BY gram
             ORDER BY n_occurrences DESC, gram LIMIT 20
+        """,
+        "bm25_topk": """
+            WITH w AS (
+                SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+            l AS (SELECT doc_id, len(ws) AS dl FROM w),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM l),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+                WHERE term IN ('hash', 'join', 'merge', 'vector')
+                GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+            sc AS (
+                SELECT tf.doc_id, count(*) AS n_matched,
+                       round(sum(
+                           ln(1 + (stats.n_docs - dfq.dfc + 0.5)
+                                  / (dfq.dfc + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75
+                              + 0.75 * l.dl / stats.avgdl))), 6) AS score
+                FROM tf JOIN dfq USING (term) JOIN l USING (doc_id)
+                CROSS JOIN stats
+                GROUP BY tf.doc_id),
+            ranked AS (
+                SELECT doc_id, n_matched, score, row_number() OVER (
+                    ORDER BY score DESC, doc_id ASC) AS rnk
+                FROM sc)
+            SELECT doc_id, n_matched, score, CAST(rnk AS INTEGER) AS rank
+            FROM ranked WHERE rnk <= 50
+        """,
+        "ccnet_buckets": """
+            WITH w AS (
+                SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+            p AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+                       unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+                FROM w WHERE len(ws) >= 2),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM p
+                   GROUP BY w1, w2 HAVING count(*) >= 2),
+            uc AS (SELECT word AS w1, count(*) AS c1
+                   FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
+            v AS (SELECT count(DISTINCT word) AS v
+                  FROM (SELECT unnest(ws) AS word FROM w)),
+            h AS (
+                SELECT p.doc_id,
+                       avg(-ln((coalesce(bc.c12, 0) + 1)
+                               / CAST(uc.c1 + v.v AS DOUBLE))) AS h
+                FROM p
+                LEFT JOIN bc USING (w1, w2)
+                JOIN uc USING (w1)
+                CROSS JOIN v
+                GROUP BY p.doc_id),
+            ppl AS (
+                SELECT d.doc_id, d.lang, round(exp(h.h), 6) AS perplexity
+                FROM documents d LEFT JOIN h USING (doc_id)),
+            nn AS (
+                SELECT doc_id, lang, perplexity,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY perplexity ASC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM ppl WHERE perplexity IS NOT NULL)
+            SELECT doc_id, lang, perplexity,
+                   CASE WHEN 3 * rn <= n THEN 'head'
+                        WHEN 3 * rn <= 2 * n THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM nn
+            UNION ALL
+            SELECT doc_id, lang, perplexity, NULL AS ppl_bucket
+            FROM ppl WHERE perplexity IS NULL
         """,
         "tfidf_topk": """
             WITH w AS (

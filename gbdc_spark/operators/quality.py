@@ -1123,3 +1123,121 @@ def c4_filter(
         & (F.col("n_blocklist_hits") == 0)
     )
     return out.withColumn("c4_pass", flag)
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    score_col: str = "perplexity",
+    group_col: str = "lang",
+    key: str = "doc_id",
+    bucketed: bool | None = None,
+    bucket_threshold: int = 2_000_000,
+    quant: float = 16.0,
+    max_group_rows: int | None = None,
+    out: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning (Wenzek et al. 2020
+    §4.4): within each group (CCNet buckets per language), rank rows
+    by ascending LM score and split them into equal thirds — ``head``
+    is the best-scoring (lowest-perplexity) third, the slice CCNet
+    keeps for high-quality pretraining data.  Compose downstream of
+    :func:`lm_perplexity` (or any scorer).
+
+    Bucket assignment is pure integer arithmetic on the within-group
+    rank — head iff ``3*rn <= n``, middle iff ``3*rn <= 2*n`` — so two
+    engines that agree on the total order (``score_col`` asc, ``key``
+    asc) agree bucket-for-bucket with no float-percentile
+    interpolation anywhere.  Rows with a NULL score (docs too short to
+    score) keep a NULL bucket and are excluded from ``n``: NULL
+    ordering is where engines disagree (Spark sorts NULLs first,
+    DuckDB last), so NULLs never enter the rank at all.
+
+    Ranking has two physical paths with the SAME total order
+    (identical output, tested):
+
+    * ``bucketed=False`` — one rank window per group.  Parallel across
+      groups, but per-language corpora are exactly the few-giant-
+      groups shape: one language can be most of the corpus, and its
+      window partition serializes.
+    * ``bucketed=True`` — the :func:`~gbdc_spark.operators.packing.
+      label_balance` two-phase rank, adapted to a FLOAT rank key: rows
+      pre-bucket by the monotone quantization ``floor(score*quant)``
+      (monotone ⇒ bucket order == score order, the same invariant the
+      hex-prefix trick provides for md5 ranks), a per-(group, bucket)
+      count aggregate broadcasts cumulative offsets, and each bucket
+      ranks independently.  Within-group parallelism ~ #distinct
+      quantized score cells; ``quant`` trades bucket count against
+      offset-table size (cross-entropy-scale scores at the default 16
+      give a few hundred cells per group).
+    * ``bucketed=None`` (default) auto-picks via a group-count probe;
+      derived-input callers pass ``max_group_rows`` (an upper bound is
+      fine) to skip the probe, or pin ``bucketed`` outright.
+
+    Returns ``df``'s columns plus ``out`` ∈ {'head','middle','tail',
+    NULL}.  One tiny count aggregate + one rank pass either way; the
+    group-size join-backs are null-safe broadcasts (NULL group is a
+    legal group, same hazard as label_balance's null-label fix).
+    """
+    from pyspark.sql import Window
+
+    scored = df.filter(F.col(score_col).isNotNull())
+    nulls = df.filter(F.col(score_col).isNull()).withColumn(
+        out, F.lit(None).cast("string")
+    )
+
+    if bucketed is None:
+        if max_group_rows is not None:
+            mx = max_group_rows
+        else:
+            mx = (
+                scored.groupBy(group_col).agg(F.count("*").alias("_c"))
+                .agg(F.max("_c").alias("_m")).first()["_m"]
+            )
+        bucketed = mx is not None and int(mx) > bucket_threshold
+
+    if not bucketed:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(score_col).asc(), F.col(key).asc()
+        )
+        ranked = scored.withColumn("_rn", F.row_number().over(w))
+    else:
+        qb = F.floor(F.col(score_col) * F.lit(float(quant))).cast("long")
+        pre = scored.withColumn("_b", qb)
+        counts = pre.groupBy(group_col, "_b").agg(F.count("*").alias("_c"))
+        wc = Window.partitionBy(group_col).orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.withColumn(
+            "_off", F.coalesce(F.sum("_c").over(wc), F.lit(0))
+        ).select(
+            F.col(group_col).alias("_og"), F.col("_b").alias("_ob"), "_off"
+        )
+        wr = Window.partitionBy(group_col, "_b").orderBy(
+            F.col(score_col).asc(), F.col(key).asc()
+        )
+        ranked = (
+            pre.join(
+                F.broadcast(offsets),
+                F.col(group_col).eqNullSafe(F.col("_og"))
+                & (F.col("_b") == F.col("_ob")),
+            )
+            .withColumn("_rn", F.col("_off") + F.row_number().over(wr))
+            .select(*df.columns, "_rn")  # join reordered keys first
+        )
+
+    sizes = scored.groupBy(group_col).agg(F.count("*").alias("_n")).select(
+        F.col(group_col).alias("_sg"), "_n"
+    )
+    bucketed_rows = (
+        ranked.join(
+            F.broadcast(sizes), F.col(group_col).eqNullSafe(F.col("_sg"))
+        )
+        .withColumn(
+            out,
+            F.when(3 * F.col("_rn") <= F.col("_n"), F.lit("head"))
+            .when(3 * F.col("_rn") <= 2 * F.col("_n"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .select(*df.columns, out)
+    )
+    return bucketed_rows.unionByName(nulls)

@@ -245,3 +245,79 @@ def source_divergence(df: DataFrame, text_col: str = "text",
         .groupBy(group, "n_tokens", "n_terms")
         .agg(F.round(F.sum("term_kl"), 6).alias("kl_to_corpus"))
     )
+
+
+def bm25_topk(df: DataFrame, query: list[str], text_col: str = "text",
+              key: str = "doc_id", k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 retrieval over the corpus (Robertson et al.; the Lucene
+    idf variant, which is always positive):
+
+        idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1*(1 - b + b*dl/avgdl))
+        score(d) = sum over query terms t of s(d, t)
+
+    with N = corpus docs, df_t = docs containing t, tf = t's count in
+    d, dl = d's word length, avgdl the corpus mean.  Returns the top-k
+    docs as (key, n_matched, score, rank) — the corpus-side half of a
+    retrieval stack (dedup-by-query, eval-set mining, hard-negative
+    sampling against a training corpus).
+
+    Deterministic: score is rounded to 6 before ranking and ties break
+    on ``key`` asc, so the cut at rank k never depends on float
+    summation order.
+
+    Scale shape: the explode is filtered to the query's terms BEFORE
+    the (doc, term) partial agg, so the shuffled stream is
+    query-matches-sized, not token-stream-sized; df_t (≤ |query| rows)
+    and the 1-row (N, avgdl) aggregate come back as broadcasts; doc
+    lengths join on the doc key (the (doc,term) side is post-agg ≤
+    |query| rows per doc).  The final top-k is a global
+    ``TakeOrdered`` (per-partition heaps + driver merge of k·P rows),
+    never a full sort.  All JVM expressions, no Python workers.
+    """
+    terms = [t for t in query if t]
+    if not terms:
+        raise ValueError("query must contain at least one non-empty term")
+    ws = _words(text_col)
+    lengths = df.select(F.col(key), F.size(ws).alias("_dl"))
+    stats = lengths.agg(
+        F.count("*").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    )
+    tf = (
+        df.select(F.col(key), F.explode(ws).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(key, "term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lengths, key)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            F.log(
+                1
+                + (F.col("_n_docs") - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5)
+            )
+            * (F.col("_tf") * (k1 + 1))
+            / (
+                F.col("_tf")
+                + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(F.sum("_s"), 6).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("score"), F.asc(key)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(key))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        key, "n_matched", "score", "rank"
+    )

@@ -621,3 +621,81 @@ def test_c4_signals_and_filter(spark):
             and r["n_blocklist_hits"] == 0
         )
         assert r["c4_pass"] == expect
+
+
+def test_ccnet_buckets_hand_computed(spark):
+    # one group, 7 scored rows: 3*rn<=7 -> head {1,2},
+    # 3*rn<=14 -> middle {3,4}, tail {5,6,7}; null score -> null bucket
+    from gbdc_spark.operators.quality import ccnet_buckets
+
+    rows = [(i, "en", float(i)) for i in range(1, 8)] + [(99, "en", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, perplexity double"
+    )
+    out = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in ccnet_buckets(df, bucketed=False).collect()
+    }
+    assert out == {
+        1: "head", 2: "head", 3: "middle", 4: "middle",
+        5: "tail", 6: "tail", 7: "tail", 99: None,
+    }
+
+
+def test_ccnet_buckets_per_group_and_tiebreak(spark):
+    # equal scores order by key; groups bucket independently
+    from gbdc_spark.operators.quality import ccnet_buckets
+
+    rows = [
+        (1, "en", 5.0), (2, "en", 5.0), (3, "en", 5.0),
+        (4, "fr", 9.0), (5, "fr", 1.0), (6, "fr", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, perplexity double"
+    )
+    out = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in ccnet_buckets(df, bucketed=False).collect()
+    }
+    assert out == {
+        1: "head", 2: "middle", 3: "tail",
+        5: "head", 6: "middle", 4: "tail",
+    }
+
+
+def test_ccnet_buckets_bucketed_path_identical(spark):
+    # the two-phase monotone-quantization rank must equal the window
+    # path row-for-row — incl. a NULL group, NULL scores, negative
+    # scores (floor on negatives), and heavy score ties across the
+    # quantization boundary
+    from gbdc_spark.operators.quality import ccnet_buckets
+
+    rows = []
+    for i in range(300):
+        lang = [None, "en", "fr", "de"][i % 4]
+        ppl = [None, -3.7, 0.0625, 0.0625, 5.25, 5.3, 120.9][i % 7]
+        rows.append((i, lang, ppl))
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, perplexity double"
+    )
+    plain = sorted(
+        tuple(r) for r in ccnet_buckets(df, bucketed=False).collect()
+    )
+    two_phase = sorted(
+        tuple(r) for r in ccnet_buckets(df, bucketed=True).collect()
+    )
+    assert plain == two_phase
+
+
+def test_ccnet_buckets_auto_gate_and_hint(spark):
+    from gbdc_spark.operators.quality import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(30)],
+        "doc_id long, lang string, perplexity double",
+    )
+    # hint skips the probe and pins the path; tiny input -> plain path
+    out = ccnet_buckets(df, max_group_rows=30)
+    assert out.count() == 30
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

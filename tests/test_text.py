@@ -74,3 +74,62 @@ def test_text_analysis_plans_are_jvm_only(spark):
     for q in (tfidf_topk(df), source_divergence(df)):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_bm25_topk_hand_computed(spark):
+    from math import log
+
+    from gbdc_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash join hash scan"),
+            (2, "join scan scan scan"),
+            (3, "row row row row"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_topk(df, ["hash", "join"], k=3).collect()}
+
+    def s(tf, dfreq, dl, n=3, avgdl=4.0, k1=1.2, b=0.75):
+        idf = log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    # doc3 matches nothing -> absent; doc1: hash tf=2 df=1, join tf=1 df=2
+    exp1 = s(2, 1, 4) + s(1, 2, 4)
+    exp2 = s(1, 2, 4)
+    assert set(out) == {1, 2}
+    assert out[1]["score"] == pytest.approx(exp1, abs=1e-6)
+    assert out[2]["score"] == pytest.approx(exp2, abs=1e-6)
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2
+    assert out[1]["n_matched"] == 2 and out[2]["n_matched"] == 1
+
+
+def test_bm25_topk_cut_and_ties_deterministic(spark):
+    # identical docs tie on rounded score -> cut at k breaks on doc_id
+    from gbdc_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "hash join") for i in range(10)], "doc_id long, text string"
+    )
+    out = bm25_topk(df, ["hash"], k=4).collect()
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3]
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+
+
+def test_bm25_topk_plan_jvm_only_and_validates(spark):
+    from gbdc_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} hash w{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = (
+        bm25_topk(df, ["hash", "w1"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_topk(df, [])
