@@ -154,6 +154,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "click_id", "click_value",
         )
 
+    def q_asof_forward(spark, sf_dir):
+        # forward as-of (label attachment: the NEXT click after each
+        # purchase); among duplicate right timestamps the MIN tiebreak
+        # wins (pandas merge_asof forward semantics, pinned by tests)
+        ev = _events(spark, sf_dir)
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        out = temporal.asof_join(
+            left, right, by="user_id", left_ts="ts", right_ts="click_ts",
+            allow_exact_matches=False, right_tiebreak=["click_id"],
+            direction="forward",
+        )
+        return out.select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+            F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+            "click_id",
+        )
+
+    def q_asof_nearest(spark, sf_dir):
+        # nearest as-of: closest click by |Δt|; equidistant resolves to
+        # the PRIOR row, duplicate-ts ties to max-tiebreak prior /
+        # min-tiebreak later — the exact pandas rule, replicated in the
+        # oracle's CASE'd tiebreak
+        ev = _events(spark, sf_dir)
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        out = temporal.asof_join(
+            left, right, by="user_id", left_ts="ts", right_ts="click_ts",
+            allow_exact_matches=False, right_tiebreak=["click_id"],
+            direction="nearest",
+        )
+        return out.select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+            F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+            "click_id",
+        )
+
     def q_asof_tolerance(spark, sf_dir):
         # as-of with a max-staleness tolerance: matches older than 10
         # minutes are rejected (stale-feature guard in PIT joins)
@@ -1646,6 +1699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         "asof_tolerance": q_asof_tolerance,
         "lag_lead": q_lag_lead,
         "ffill": q_ffill,
@@ -2711,6 +2766,29 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY p.event_id
                 ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) = 1
+        """,
+        "asof_forward": """
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+                   epoch_us(c.ts) AS click_ts_us, c.event_id AS click_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts > p.ts
+            QUALIFY row_number() OVER (
+                PARTITION BY p.event_id
+                ORDER BY c.ts ASC NULLS LAST, c.event_id ASC) = 1
+        """,
+        "asof_nearest": """
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+                   epoch_us(c.ts) AS click_ts_us, c.event_id AS click_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts <> p.ts
+            QUALIFY row_number() OVER (
+                PARTITION BY p.event_id
+                ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC NULLS LAST,
+                         (c.ts < p.ts) DESC,
+                         CASE WHEN c.ts < p.ts THEN -c.event_id
+                              ELSE c.event_id END ASC) = 1
         """,
         "asof_tolerance": """
             SELECT event_id, user_id, click_ts_us, click_id FROM (

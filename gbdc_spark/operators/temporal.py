@@ -72,10 +72,27 @@ def asof_join(
     right_tiebreak: list[str] | None = None,
     narrow_key: list[str] | None = None,
     target_bucket_bytes: int = 64 << 20,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: each left row gets the latest right row with
     ``right_ts < left_ts`` (strictly prior by default ⇒ zero temporal
     leakage); unmatched rows keep nulls.
+
+    ``direction`` selects which temporal neighbour matches (pandas
+    ``merge_asof`` semantics, pinned by tests so an engine port cannot
+    drift):
+
+    * ``"backward"`` (default) — latest prior row; among duplicate
+      right timestamps the MAX ``right_tiebreak`` wins.
+    * ``"forward"`` — earliest later row (label-side joins: attach the
+      NEXT outcome event to a feature row); among duplicates the MIN
+      tiebreak wins.
+    * ``"nearest"`` — closest by absolute time distance; equidistant
+      prior/later resolves to the PRIOR row, duplicate-timestamp ties
+      to max-tiebreak on the prior side / min-tiebreak on the later
+      side.  Only ``"backward"`` is leakage-free — the other two read
+      the future by construction and exist for label attachment and
+      offline analysis, not for point-in-time features.
 
     Right-side columns other than (by, right_ts) are carried over and must
     not collide with left column names.
@@ -90,12 +107,17 @@ def asof_join(
     join.  The flagship therefore uses the wide path; the option exists
     for payload-heavy schemas.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'"
+        )
     if narrow_key:
         slim_cols = list(dict.fromkeys([by, left_ts, *narrow_key]))
         core = asof_join(
             left.select(*slim_cols), right, by=by, left_ts=left_ts,
             right_ts=right_ts, allow_exact_matches=allow_exact_matches,
             buckets=buckets, tolerance=tolerance, right_tiebreak=right_tiebreak,
+            direction=direction,
         )
         attach_cols = list(dict.fromkeys(narrow_key)) + [
             f.name for f in right.schema.fields if f.name != by
@@ -131,9 +153,10 @@ def asof_join(
             for c in right_cols:
                 out[c] = None
             return out
-        # among equal right timestamps merge_asof picks the LAST row, so
-        # sorting by (ts, tiebreak) makes the max-tiebreak row win —
-        # deterministic regardless of shuffle order
+        # among equal right timestamps merge_asof picks the LAST row
+        # backward and the FIRST row forward, so sorting by
+        # (ts, tiebreak) pins max-tiebreak backward / min-tiebreak
+        # forward — deterministic regardless of shuffle order
         rpdf = rpdf.sort_values(
             [right_ts] + (right_tiebreak or [by]), kind="mergesort"
         ).reset_index(drop=True)
@@ -143,7 +166,7 @@ def asof_join(
             left_on=left_ts,
             right_on=right_ts,
             by=by,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=allow_exact_matches,
             tolerance=tolerance,
         )

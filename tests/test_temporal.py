@@ -224,3 +224,106 @@ def test_asof_join_same_result_any_bucket_count(spark):
     ka = sorted(map(tuple, a.collect()))
     kb = sorted(map(tuple, b.collect()))
     assert ka == kb
+
+
+def _dir_fixture(spark):
+    # left: one purchase per user at ts 10, 20, 30 (seconds)
+    def ts(s):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": ["u1", "u2", "u3"], "ingest_ts": [ts(10), ts(20), ts(30)]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["u1", "u1", "u1", "u2", "u2", "u3", "u3", "u3"],
+                "snapshot_ts": [
+                    ts(8), ts(14), ts(14),          # u1: prior + dup later
+                    ts(15), ts(25),                 # u2: equidistant pair
+                    ts(30), ts(33), ts(33),         # u3: exact + dup later
+                ],
+                "snap_id": [1, 2, 3, 4, 5, 6, 7, 8],
+            }
+        )
+    )
+    return left, right, ts
+
+
+def test_asof_direction_forward(spark):
+    left, right, ts = _dir_fixture(spark)
+    out = {
+        r["doc_id"]: r["snap_id"]
+        for r in temporal.asof_join(
+            left, right, direction="forward", right_tiebreak=["snap_id"],
+            buckets=4,
+        ).collect()
+    }
+    # u1: later dups at 14 -> FIRST (min tiebreak) wins; u3: exact at 30
+    # excluded (allow_exact_matches=False) -> dup at 33 -> min tiebreak
+    assert out == {"u1": 2, "u2": 5, "u3": 7}
+
+
+def test_asof_direction_nearest(spark):
+    left, right, ts = _dir_fixture(spark)
+    out = {
+        r["doc_id"]: r["snap_id"]
+        for r in temporal.asof_join(
+            left, right, direction="nearest", right_tiebreak=["snap_id"],
+            allow_exact_matches=True, buckets=4,
+        ).collect()
+    }
+    # u1: |10-8|=2 < |14-10|=4 -> prior; u2: equidistant (15 vs 25) ->
+    # PRIOR wins; u3: exact match at 30 allowed -> itself
+    assert out == {"u1": 1, "u2": 4, "u3": 6}
+
+
+def test_asof_direction_nearest_excludes_exact_and_dup_ties(spark):
+    left, right, ts = _dir_fixture(spark)
+    out = {
+        r["doc_id"]: r["snap_id"]
+        for r in temporal.asof_join(
+            left, right, direction="nearest", right_tiebreak=["snap_id"],
+            allow_exact_matches=False, buckets=4,
+        ).collect()
+    }
+    # u3: exact 30 excluded -> forward dup pair at 33 -> MIN tiebreak
+    assert out["u3"] == 7
+
+
+def test_asof_direction_matches_pandas_oracle(spark, seqs_pdf, snaps_pdf):
+    # full-fixture differential vs a single-process merge_asof for both
+    # non-default directions
+    left = spark.createDataFrame(seqs_pdf)
+    right = spark.createDataFrame(snaps_pdf)
+    for direction in ("forward", "nearest"):
+        got = (
+            temporal.asof_join(
+                left, right, direction=direction, buckets=8,
+                right_tiebreak=["snapshot_ts"],
+            )
+            .toPandas()
+            .sort_values(["doc_id", "ingest_ts"])
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            seqs_pdf.sort_values(["ingest_ts", "doc_id"]),
+            snaps_pdf.sort_values(["snapshot_ts"]),
+            left_on="ingest_ts",
+            right_on="snapshot_ts",
+            by="doc_id",
+            direction=direction,
+            allow_exact_matches=False,
+        ).sort_values(["doc_id", "ingest_ts"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_asof_direction_validates(spark, seqs_pdf, snaps_pdf):
+    with pytest.raises(ValueError):
+        temporal.asof_join(
+            spark.createDataFrame(seqs_pdf),
+            spark.createDataFrame(snaps_pdf),
+            direction="sideways",
+        )
