@@ -159,6 +159,25 @@ CHECKS = {
         ("corpus N broadcast (1-row cross join)", r"BroadcastNestedLoopJoin"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "bm25_topk": [
+        ("global top-k without full sort", r"TakeOrderedAndProject"),
+        ("df_t and (N, avgdl) broadcast, never shuffled",
+         r"BroadcastHashJoin"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "ccnet_buckets": [
+        # the two-phase rank's offset and group-size tables join back as
+        # broadcasts; no per-language giant window partition exists
+        ("offsets/sizes broadcast join-back", r"BroadcastHashJoin"),
+        ("per-(group, quantized-cell) rank window", r"Window"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "asof_forward": [
+        ("cogrouped Arrow merge on hash buckets", r"FlatMapCoGroupsInPandas"),
+    ],
+    "asof_nearest": [
+        ("cogrouped Arrow merge on hash buckets", r"FlatMapCoGroupsInPandas"),
+    ],
     "source_divergence": [
         # the model-table branch point is persisted (join-pushed
         # isnotnull filters defeat ReuseExchange canonicalization), so
