@@ -167,7 +167,15 @@ def _publish_manifest_row(base: str, sid: int, entry: dict) -> None:
         os.close(fd)
 
 
-def manifest(spark: SparkSession, base: str) -> list[dict]:
+class SnapshotExpiredError(RuntimeError):
+    """Time-travel read past the compaction horizon: the requested
+    snapshot's data files were reclaimed by :func:`compact` (the same
+    failure mode as reading an expired Iceberg snapshot)."""
+
+
+def manifest(
+    spark: SparkSession, base: str, as_of: int | None = None
+) -> list[dict]:
     """LIVE committed snapshots, ascending by id.
 
     A compaction entry carries ``replaces: [ids]``; any entry whose id
@@ -175,6 +183,15 @@ def manifest(spark: SparkSession, base: str) -> list[dict]:
     hidden here — readers/resume always see exactly one copy of every
     row, even if the superseded json/data files still exist (the
     post-compaction cleanup is allowed to crash at any point).
+
+    ``as_of`` time-travels: only entries with ``snapshot_id <= as_of``
+    are considered, and the superseded-hiding is computed WITHIN that
+    subset — a later compaction does not hide the snapshots it replaced
+    from a reader positioned before it (it didn't exist yet).  Whether
+    the time-travel read is still SERVABLE is the reader's problem
+    (:func:`read_table` raises :class:`SnapshotExpiredError` when
+    compaction already reclaimed the data files), exactly Iceberg's
+    snapshot-expiry contract.
     """
     mdir = _manifest_dir(base)
     if not os.path.isdir(mdir):
@@ -184,6 +201,8 @@ def manifest(spark: SparkSession, base: str) -> list[dict]:
         if fn.endswith(".json"):
             with open(os.path.join(mdir, fn)) as f:
                 entries.append(json.load(f))
+    if as_of is not None:
+        entries = [e for e in entries if e["snapshot_id"] <= as_of]
     replaced: set[int] = set()
     for e in entries:
         replaced.update(e.get("replaces", []))
@@ -397,9 +416,42 @@ def compact(
     return entry
 
 
-def read_table(spark: SparkSession, base: str) -> DataFrame | None:
-    """Current table state = union of all committed snapshots."""
-    entries = manifest(spark, base)
+def read_table(
+    spark: SparkSession, base: str, as_of: int | None = None
+) -> DataFrame | None:
+    """Table state = union of live committed snapshots.
+
+    ``as_of`` reads the table as it stood at snapshot ``as_of`` (time
+    travel).  Raises :class:`SnapshotExpiredError` when that history
+    was reclaimed: either a surviving manifest row's data directory is
+    gone (compaction cleanup won), or every manifest row ≤ ``as_of``
+    was swept away by a compaction that replaced ids at or before it.
+    Returns None only when the table genuinely had no snapshot yet at
+    ``as_of`` (or has none at all).
+    """
+    entries = manifest(spark, base, as_of=as_of)
     if not entries:
+        if as_of is not None:
+            expired = any(
+                r <= as_of
+                for e in manifest(spark, base)
+                for r in e.get("replaces", [])
+            )
+            if expired:
+                raise SnapshotExpiredError(
+                    f"snapshots <= {as_of} were compacted away; the "
+                    "earliest readable state is the compaction snapshot"
+                )
         return None
+    if as_of is not None:
+        # current-state reads never hit this: live rows always own their
+        # data; only a time-travel view can reference reclaimed dirs
+        # (manifest-json cleanup crashed, data rmtree won)
+        missing = [
+            e["snapshot_id"] for e in entries if not os.path.isdir(e["data_dir"])
+        ]
+        if missing:
+            raise SnapshotExpiredError(
+                f"data for snapshot(s) {missing} was reclaimed by compaction"
+            )
     return spark.read.parquet(*[e["data_dir"] for e in entries])

@@ -279,3 +279,74 @@ def test_clean_orphans_sweeps_metrics_debris(spark, base):
     assert removed == {"snapshot=2-feedfacecafe"} or len(removed) == 2
     assert os.path.isdir(e1["metrics_dir"]) and os.path.isdir(e1["data_dir"])
     assert not os.path.isdir(orphan_m) and not os.path.isdir(orphan_d)
+
+
+def test_time_travel_reads_prefix_of_history(spark, base):
+    dfs = [
+        spark.createDataFrame([(i * 10 + j, f"v{i}{j}") for j in range(4)],
+                              "k long, v string")
+        for i in range(3)
+    ]
+    for df in dfs:
+        cp.commit(df, base, keys=["k"])
+    # as-of snapshot 2: first two commits only
+    view = cp.read_table(spark, base, as_of=2)
+    got = {(r["k"], r["v"]) for r in view.collect()}
+    exp = {(i * 10 + j, f"v{i}{j}") for i in range(2) for j in range(4)}
+    assert got == exp
+    assert [e["snapshot_id"] for e in cp.manifest(spark, base, as_of=2)] == [1, 2]
+    # before the first snapshot: table did not exist -> None, no error
+    assert cp.read_table(spark, base, as_of=0) is None
+
+
+def test_time_travel_past_compaction_raises_expired(spark, base):
+    for i in range(3):
+        cp.commit(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
+            base, keys=["k"],
+        )
+    entry = cp.compact(spark, base, target_partitions=1)
+    # current read and as-of-the-compaction read both fine
+    assert cp.read_table(spark, base).count() == 3
+    assert cp.read_table(spark, base, as_of=entry["snapshot_id"]).count() == 3
+    # history before the compaction horizon is expired, and says so
+    with pytest.raises(cp.SnapshotExpiredError):
+        cp.read_table(spark, base, as_of=2)
+
+
+def test_time_travel_sees_precompaction_view_when_cleanup_crashed(
+    spark, tmp_path
+):
+    # if the compaction's cleanup never ran (crash), the superseded
+    # json+data survive and the as-of reader must serve the ORIGINAL
+    # snapshots (the compaction row does not exist for its past)
+    import shutil
+
+    base = str(tmp_path / "tbl")
+    for i in range(3):
+        cp.commit(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
+            base, keys=["k"],
+        )
+    # snapshot the manifest+data, compact, then restore the superseded
+    # files to simulate a crash between manifest publish and cleanup
+    backup = str(tmp_path / "bak")
+    shutil.copytree(base, backup)
+    entry = cp.compact(spark, base, target_partitions=1)
+    for sub in ("data", "_manifest"):
+        src, dst = os.path.join(backup, sub), os.path.join(base, sub)
+        for fn in os.listdir(src):
+            if not os.path.exists(os.path.join(dst, fn)):
+                sp = os.path.join(src, fn)
+                if os.path.isdir(sp):
+                    shutil.copytree(sp, os.path.join(dst, fn))
+                else:
+                    shutil.copy(sp, os.path.join(dst, fn))
+    # current state: compaction row hides the restored originals
+    assert [e["snapshot_id"] for e in cp.manifest(spark, base)] == [
+        entry["snapshot_id"]
+    ]
+    assert cp.read_table(spark, base).count() == 3
+    # as-of 2: the compaction row is filtered out, originals serve
+    view = cp.read_table(spark, base, as_of=2)
+    assert {r["k"] for r in view.collect()} == {0, 1}
