@@ -549,6 +549,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )).alias("chunk_md5"),
         )
 
+    def q_mask_tokens(spark, sf_dir):
+        # deterministic MLM masking over the pre-tokenized sequences:
+        # per-position md5 Bernoulli under an integer threshold, 0
+        # separators preserved; arrays projected to md5 (array cells
+        # crash the driver canonicalizer)
+        from gbdc_spark.operators.packing import mask_tokens
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "tokens"
+        )
+        out = mask_tokens(seqs, rate=0.15, mask_id=-999, salt="mlm")
+        return out.select(
+            "doc_id",
+            F.size("tokens").alias("n_tok"),
+            "n_masked",
+            F.md5(F.concat_ws(
+                ",", F.transform(F.col("tokens_masked"),
+                                 lambda x: x.cast("string")),
+            )).alias("masked_md5"),
+            F.md5(F.concat_ws(
+                ",", F.transform(F.col("mask_positions"),
+                                 lambda x: x.cast("string")),
+            )).alias("pos_md5"),
+        )
+
+    def q_temperature_mix(spark, sf_dir):
+        # applied temperature mixing: per-doc copy counts under the
+        # mT5 T=2 rule — rounded boost, integer-threshold md5 keep, so
+        # the oracle derives identical copy counts
+        from gbdc_spark.operators.quality import temperature_mix
+
+        return temperature_mix(
+            _docs(spark, sf_dir).select("doc_id", "source"), temperature=2.0
+        )
+
     def q_dsir_weights(spark, sf_dir):
         # DSIR data selection: source 'src0' docs are the target set,
         # the rest are the raw corpus; hashed-unigram log-likelihood
@@ -1734,6 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
         "dsir_weights": q_dsir_weights,
+        "mask_tokens": q_mask_tokens,
+        "temperature_mix": q_temperature_mix,
         "source_temperature": q_source_temperature,
         "chunk_sequences": q_chunk_sequences,
         "stream_dedup": q_stream_dedup,
@@ -3060,6 +3097,55 @@ def oracle_sql() -> dict[str, str]:
             FROM c LEFT JOIN kept k USING (doc_id)
         """,
         "pii_scrub": _duck_pii_sql(),
+        "mask_tokens": f"""
+            WITH s AS (
+                SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                FROM documents),
+            m AS (
+                -- NB the mask-position lambda variable must NOT be
+                -- named i: _duck_md5_u32 expands to a list_transform
+                -- whose own i would shadow it (silent wrong hashes)
+                SELECT doc_id, toks,
+                       list_transform(range(1, len(toks) + 1), mp ->
+                           CASE WHEN toks[mp] != 0
+                                 AND {_duck_md5_u32("concat('mlm:', doc_id, ':', CAST(mp - 1 AS VARCHAR))")} < 644245094
+                                THEN -999 ELSE toks[mp] END) AS masked,
+                       list_filter(
+                           list_transform(range(1, len(toks) + 1), mp ->
+                               CASE WHEN toks[mp] != 0
+                                     AND {_duck_md5_u32("concat('mlm:', doc_id, ':', CAST(mp - 1 AS VARCHAR))")} < 644245094
+                                    THEN mp - 1 ELSE NULL END),
+                           x -> x IS NOT NULL) AS pos
+                FROM s)
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tok,
+                   CAST(len(pos) AS INTEGER) AS n_masked,
+                   -- array_to_string([]) is NULL in DuckDB (concat_ws
+                   -- in Spark gives '') — coalesce to match empty docs
+                   md5(coalesce(array_to_string(masked, ','), '')) AS masked_md5,
+                   md5(coalesce(array_to_string(pos, ','), '')) AS pos_md5
+            FROM m
+        """,
+        "temperature_mix": f"""
+            WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            t AS (SELECT sum(n) AS tot FROM c),
+            p AS (SELECT source, n / CAST(t.tot AS DOUBLE) AS p_raw
+                  FROM c CROSS JOIN t),
+            z AS (SELECT sum(pow(p_raw, 0.5)) AS z FROM p),
+            b AS (SELECT source,
+                         round(pow(p_raw, 0.5) / z.z / p_raw, 6) AS boost
+                  FROM p CROSS JOIN z),
+            e AS (SELECT source, boost,
+                         CAST(floor(boost) AS INTEGER) AS base,
+                         CAST(floor((boost - floor(boost)) * 4294967296.0)
+                              AS BIGINT) AS thr
+                  FROM b)
+            SELECT d.doc_id, d.source, e.boost,
+                   CAST(e.base + CASE WHEN
+                       {_duck_md5_u32("concat('tmix:', CAST(d.doc_id AS VARCHAR))")}
+                       < e.thr THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+            FROM documents d JOIN e USING (source)
+        """,
         "dsir_weights": f"""
             WITH w AS (
                 SELECT doc_id, source, unnest(str_split(text, ' ')) AS w

@@ -667,3 +667,79 @@ def chunk_sequences(df: DataFrame, max_len: int, overlap: int = 0,
         F.size("c.chunk_tokens").alias("chunk_len"),
         F.col("c.chunk_tokens"),
     )
+
+
+def mask_tokens(
+    df: DataFrame,
+    rate: float = 0.15,
+    mask_id: int = -2_000_000_000,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    preserve_ids: tuple = (0,),
+    salt: str = "mlm",
+) -> DataFrame:
+    """Deterministic MLM-style token masking (the corruption step of a
+    BERT/T5 pretraining batch pipeline): position ``p`` of each doc is
+    masked iff the 32-bit md5 uniform of ``salt:key:p`` falls under the
+    INTEGER threshold ``floor(rate * 2^32)`` — per-position Bernoulli
+    with zero RNG state, so re-runs, resumes and engines agree
+    mask-for-mask.  Structural ids in ``preserve_ids`` (default: the
+    0 clause/sequence separator) are never masked, preserving framing.
+
+    Adds ``tokens_masked`` (``mask_id`` substituted), ``mask_positions``
+    (0-based, ascending — the label-gather index a trainer needs) and
+    ``n_masked``.  The 80/10/10 replace/keep/random refinement composes
+    on top of ``mask_positions``; the corruption itself is the part
+    that must be deterministic for resumable data loading.
+
+    Scale shape: pure per-row array transforms over the scan — no
+    shuffle, no Python workers; cost is one md5 per token (the same
+    per-element hashing budget as minhash shingling).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    thr = int(rate * (1 << 32))
+    toks = F.col(tokens_col)
+
+    def _u32(p: Column) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col(key).cast("string"),
+                        p.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def _is_masked(p: Column) -> Column:
+        hit = _u32(p) < F.lit(thr)
+        keep = F.lit(False)
+        for pid in preserve_ids:
+            keep = keep | (F.element_at(toks, p + 1) == F.lit(pid))
+        return hit & ~keep
+
+    # F.sequence(0, n-1) yields [0, -1] on n = 0 (default step -1) —
+    # guard empty docs explicitly
+    positions = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    masked = F.transform(
+        positions,
+        lambda p: F.when(_is_masked(p), F.lit(mask_id))
+        .otherwise(F.element_at(toks, p + 1))
+        .cast("int"),
+    )
+    mask_pos = F.filter(positions, lambda p: _is_masked(p)).cast("array<int>")
+    return (
+        df.withColumn("tokens_masked", masked)
+        .withColumn("mask_positions", mask_pos)
+        .withColumn("n_masked", F.size("mask_positions"))
+    )

@@ -1241,3 +1241,77 @@ def ccnet_buckets(
         .select(*df.columns, out)
     )
     return bucketed_rows.unionByName(nulls)
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    key: str = "doc_id",
+    temperature: float = 2.0,
+    salt: str = "tmix",
+) -> DataFrame:
+    """APPLY the mT5 temperature-mixing rule to the corpus (the sampler
+    :func:`temperature_weights` only computes weights for): each doc
+    gets ``n_copies`` = how many times a temperature-T epoch visits it.
+    A source with boost b (= p_sampled/p_raw) emits ``floor(b)`` copies
+    of every doc plus one more for the deterministic md5-uniform
+    fraction ``frac(b)`` of its docs — so per-source totals hit the
+    temperature share in expectation with zero RNG state, and re-runs /
+    engines agree row-for-row.  Rows with ``n_copies = 0`` are KEPT
+    (flagged, not dropped): the rejection is auditable and downstream
+    repeats-expansion is one ``explode(sequence(1, n_copies))``.
+
+    Determinism across engines: ``boost`` is rounded to 6 decimals
+    BEFORE the floor/frac split and the fractional keep compares the
+    32-bit md5 uniform against the INTEGER threshold
+    ``floor(frac * 2^32)`` — no float-boundary coin flips between
+    Spark's and an oracle's pow() at the keep/drop edge.
+
+    Scale shape: one count-per-source shuffle (map-side combined,
+    cardinality = #sources), two 1-row broadcast totals, and the boost
+    table joins back as a broadcast — the corpus itself never
+    reshuffles and never crosses into Python.
+    """
+    from .packing import _md5_uniform
+
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    tot = counts.agg(F.sum("_n").alias("_tot"))
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        source_col, (F.col("_n") / F.col("_tot")).alias("_p_raw")
+    )
+    z = p.agg(F.sum(F.pow(F.col("_p_raw"), 1.0 / temperature)).alias("_z"))
+    boosts = (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            F.col(source_col).alias("_bsrc"),
+            F.round(
+                F.pow(F.col("_p_raw"), 1.0 / temperature)
+                / F.col("_z")
+                / F.col("_p_raw"),
+                6,
+            ).alias("_boost"),
+        )
+        .withColumn("_base", F.floor("_boost").cast("int"))
+        .withColumn(
+            "_thr",
+            F.floor((F.col("_boost") - F.floor("_boost")) * F.lit(float(1 << 32)))
+            .cast("long"),
+        )
+    )
+    u = _md5_uniform(
+        F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
+    )
+    return (
+        df.join(
+            F.broadcast(boosts),
+            F.col(source_col).eqNullSafe(F.col("_bsrc")),
+        )
+        .withColumn(
+            "n_copies",
+            (F.col("_base") + F.when(u < F.col("_thr"), 1).otherwise(0)).cast(
+                "int"
+            ),
+        )
+        .withColumn("boost", F.col("_boost"))
+        .select(*df.columns, "boost", "n_copies")
+    )

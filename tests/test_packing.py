@@ -404,3 +404,50 @@ def test_pack_next_fit_auto_routes_by_group_size(spark):
     assert n_groupmaps(small) == 2 * 1
     assert n_groupmaps(big) == 2 * 3
     assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
+def test_mask_tokens_deterministic_and_preserves_separators(spark):
+    import hashlib
+
+    from gbdc_spark.operators.packing import mask_tokens
+
+    rows = [("d1", [5, -3, 0, 7, 2, 0]), ("d2", [1, 1, 1, 1]), ("d3", [])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {
+        r["doc_id"]: r
+        for r in mask_tokens(df, rate=0.5, mask_id=-9, salt="s").collect()
+    }
+
+    thr = int(0.5 * (1 << 32))
+
+    def u32(doc, p):
+        return int(hashlib.md5(f"s:{doc}:{p}".encode()).hexdigest()[:8], 16)
+
+    for doc, toks in rows:
+        exp_pos = [
+            p for p, t in enumerate(toks) if u32(doc, p) < thr and t != 0
+        ]
+        got = out[doc]
+        assert list(got["mask_positions"]) == exp_pos
+        assert got["n_masked"] == len(exp_pos)
+        exp_masked = [
+            -9 if p in exp_pos else t for p, t in enumerate(toks)
+        ]
+        assert list(got["tokens_masked"]) == exp_masked
+    # separators never masked
+    assert out["d1"]["tokens_masked"][2] == 0 and out["d1"]["tokens_masked"][5] == 0
+
+
+def test_mask_tokens_rate_bounds_and_plan(spark):
+    import pytest as _pytest
+
+    from gbdc_spark.operators.packing import mask_tokens
+
+    df = spark.createDataFrame(
+        [("d", [1, 2, 3])], "doc_id string, tokens array<int>"
+    )
+    with _pytest.raises(ValueError):
+        mask_tokens(df, rate=1.5)
+    plan = mask_tokens(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Exchange" not in plan

@@ -699,3 +699,57 @@ def test_ccnet_buckets_auto_gate_and_hint(spark):
     assert out.count() == 30
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_temperature_mix_hand_computed(spark):
+    import hashlib
+
+    from gbdc_spark.operators.quality import temperature_mix
+
+    # 8 docs src a, 2 docs src b, T=2: p_a=0.8, p_b=0.2
+    rows = [(i, "a") for i in range(8)] + [(i, "b") for i in range(8, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["doc_id"]: r for r in temperature_mix(df, temperature=2.0).collect()}
+
+    import math
+
+    z = 0.8 ** 0.5 + 0.2 ** 0.5
+    boost_a = round((0.8 ** 0.5 / z) / 0.8, 6)
+    boost_b = round((0.2 ** 0.5 / z) / 0.2, 6)
+    assert out[0]["boost"] == pytest.approx(boost_a)
+    assert out[9]["boost"] == pytest.approx(boost_b)
+
+    def u32(k):
+        return int(hashlib.md5(f"tmix:{k}".encode()).hexdigest()[:8], 16)
+
+    for i, src in rows:
+        b = boost_a if src == "a" else boost_b
+        base = math.floor(b)
+        thr = math.floor((b - base) * (1 << 32))
+        exp = base + (1 if u32(i) < thr else 0)
+        assert out[i]["n_copies"] == exp, (i, src, b)
+    # downsampled source can drop docs; upsampled source keeps >= 1
+    assert all(out[i]["n_copies"] >= 1 for i in (8, 9))
+
+
+def test_temperature_mix_expectation_tracks_share(spark):
+    # at corpus scale the copy totals approximate the temperature share
+    from gbdc_spark.operators.quality import temperature_mix
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, temperature=3.0)
+    import pyspark.sql.functions as F
+
+    tot = {
+        r["source"]: r["copies"]
+        for r in out.groupBy("source")
+        .agg(F.sum("n_copies").alias("copies"))
+        .collect()
+    }
+    z = 0.9 ** (1 / 3) + 0.1 ** (1 / 3)
+    share_small = (0.1 ** (1 / 3)) / z
+    got_share = tot["small"] / (tot["small"] + tot["big"])
+    assert abs(got_share - share_small) < 0.03
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -172,6 +172,17 @@ CHECKS = {
         ("per-(group, quantized-cell) rank window", r"Window"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "mask_tokens": [
+        # the only exchange is ensure_parallelism's deliberate
+        # round-robin input-split fix — never a key shuffle
+        ("no hash/range shuffle (per-row array transform)",
+         r"^(?!.*(hashpartitioning|rangepartitioning))"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "temperature_mix": [
+        ("boost table broadcast back to the corpus", r"BroadcastHashJoin"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "asof_forward": [
         ("cogrouped Arrow merge on hash buckets", r"FlatMapCoGroupsInPandas"),
     ],
