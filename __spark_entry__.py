@@ -848,6 +848,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "status",
         )
 
+    def q_stream_asof(spark, sf_dir):
+        # REAL streaming point-in-time enrichment: purchases replayed
+        # as ordered files -> foreachBatch as-of join against the
+        # static click-snapshot table, idempotent batch=<id> sink.
+        # Batch-invariance makes the ORACLE the one-shot batch as-of
+        # SQL — identical to asof_join's QUALIFY form.
+        import tempfile
+
+        from gbdc_spark.streaming.pipeline import stream_asof
+
+        base = tempfile.mkdtemp(prefix="gbdc_sasof_")
+        ev = _events(spark, sf_dir)
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id",
+            F.col("ts").cast("timestamp").alias("ts"), "value",
+        )
+        right = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        ).persist()
+        # 4 ordered files = 4 availableNow micro-batches
+        left.repartition(4).write.mode("overwrite").parquet(f"{base}/in")
+        src = (
+            spark.readStream.schema(left.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+        )
+        q = stream_asof(
+            src, right, f"{base}/out", f"{base}/ckpt",
+            by="user_id", left_ts="ts", right_ts="click_ts",
+            allow_exact_matches=False, right_tiebreak=["click_id"],
+        )
+        q.awaitTermination(300)
+        right.unpersist()
+        out = spark.read.parquet(f"{base}/out/batch=*")
+        return out.select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "value",
+            F.unix_micros(F.col("click_ts")).alias("click_ts_us"),
+            "click_id", "click_value",
+        )
+
     def q_stream_dedup(spark, sf_dir):
         # REAL stateful streaming dedup (applyInPandasWithState) across
         # micro-batches: the documents replayed as four ordered files,
@@ -1773,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "source_temperature": q_source_temperature,
         "chunk_sequences": q_chunk_sequences,
+        "stream_asof": q_stream_asof,
         "stream_dedup": q_stream_dedup,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
@@ -2826,6 +2872,17 @@ def oracle_sql() -> dict[str, str]:
                          (c.ts < p.ts) DESC,
                          CASE WHEN c.ts < p.ts THEN -c.event_id
                               ELSE c.event_id END ASC) = 1
+        """,
+        "stream_asof": """
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+                   epoch_us(c.ts) AS click_ts_us, c.event_id AS click_id,
+                   c.value AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts < p.ts
+            QUALIFY row_number() OVER (
+                PARTITION BY p.event_id
+                ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) = 1
         """,
         "asof_tolerance": """
             SELECT event_id, user_id, click_ts_us, click_id FROM (

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..operators import extract
 from ..schemas import SEQUENCES_SCHEMA
 
-__all__ = ["stream_extract", "stream_sessionize", "run_file_stream"]
+__all__ = ["stream_asof", "stream_extract", "stream_sessionize", "run_file_stream"]
 
 
 def stream_extract(stream_df: DataFrame) -> DataFrame:
@@ -162,3 +162,56 @@ def stream_dedup(
             timeoutConf=timeout,
         )
     )
+
+
+def stream_asof(
+    stream_df: DataFrame,
+    right: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    by: str = "doc_id",
+    left_ts: str = "ingest_ts",
+    right_ts: str = "snapshot_ts",
+    available_now: bool = True,
+    **asof_kwargs,
+):
+    """Streaming point-in-time enrichment: every micro-batch of the
+    event stream is as-of joined (strictly-prior by default — the
+    zero-leakage contract of ``temporal.asof_join``) against a STATIC
+    snapshot table, the feature-store lookup pattern for online
+    training-data assembly.
+
+    Structured Streaming has no native inequality stream-static join,
+    so this runs the batch as-of inside ``foreachBatch`` — semantics
+    are batch-invariant by construction: the join is per-left-row
+    against an immutable right side, so ANY partitioning of the stream
+    into micro-batches yields exactly the rows of the one-shot batch
+    join (asserted in tests).
+
+    Exactly-once: ``foreachBatch`` replays a batch after a failure, so
+    the sink must be idempotent — each batch writes (overwrite) its own
+    ``batch=<id>`` partition directory keyed by the checkpoint's batch
+    id; a retried batch rewrites the same directory instead of
+    appending duplicates.  Readers glob ``out_dir/batch=*``.
+
+    Scale shape: per batch this is the batch operator unchanged (hash-
+    bucketed cogroup, one shuffle of the batch + one of the snapshot
+    slice); the snapshot table should be pre-persisted by the caller —
+    foreachBatch re-executes its plan every trigger otherwise.
+    """
+    from ..operators.temporal import asof_join
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        out = asof_join(
+            batch_df, right, by=by, left_ts=left_ts, right_ts=right_ts,
+            **asof_kwargs,
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
