@@ -574,6 +574,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )).alias("pos_md5"),
         )
 
+    def q_span_corrupt(spark, sf_dir):
+        # T5 span corruption over the pre-tokenized sequences: same
+        # deterministic mask as mask_tokens (same salt), maximal masked
+        # runs -> sentinel spans; arrays projected to md5
+        from gbdc_spark.operators.packing import span_corrupt
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "tokens"
+        )
+        out = span_corrupt(seqs, rate=0.15, salt="mlm")
+        return out.select(
+            "doc_id",
+            "n_spans",
+            F.md5(F.concat_ws(
+                ",", F.transform(F.col("input_ids"),
+                                 lambda x: x.cast("string")),
+            )).alias("input_md5"),
+            F.md5(F.concat_ws(
+                ",", F.transform(F.col("target_ids"),
+                                 lambda x: x.cast("string")),
+            )).alias("target_md5"),
+        )
+
     def q_temperature_mix(spark, sf_dir):
         # applied temperature mixing: per-doc copy counts under the
         # mT5 T=2 rule — rounded boost, integer-threshold md5 keep, so
@@ -1815,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "dsir_weights": q_dsir_weights,
         "mask_tokens": q_mask_tokens,
+        "span_corrupt": q_span_corrupt,
         "temperature_mix": q_temperature_mix,
         "source_temperature": q_source_temperature,
         "chunk_sequences": q_chunk_sequences,
@@ -3182,6 +3206,44 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(array_to_string(masked, ','), '')) AS masked_md5,
                    md5(coalesce(array_to_string(pos, ','), '')) AS pos_md5
             FROM m
+        """,
+        "span_corrupt": f"""
+            WITH s AS (
+                SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                FROM documents),
+            m AS (
+                -- mp (not i): _duck_md5_u32 expands to a list_transform
+                -- whose own i would shadow the position variable
+                SELECT doc_id, toks,
+                       list_transform(range(1, len(toks) + 1), mp ->
+                           toks[mp] != 0
+                           AND list_sum(list_transform(range(0, 8), i -> CAST(strpos('0123456789abcdef', substr(md5(concat('mlm:', doc_id, ':', CAST(mp - 1 AS VARCHAR))), CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT) * CAST(pow(16, 7 - i) AS BIGINT))) < 644245094) AS msk
+                FROM s),
+            sp AS (
+                -- out-of-range probes msk[0]/msk[len+1] are NULL; the
+                -- OR's TRUE branch wins under three-valued logic
+                SELECT doc_id, toks, msk,
+                       list_filter(range(1, len(toks) + 1), mp ->
+                           msk[mp] AND (mp = 1 OR NOT msk[mp - 1])) AS starts,
+                       list_filter(range(1, len(toks) + 1), mp ->
+                           msk[mp] AND (mp = len(toks) OR NOT msk[mp + 1])) AS ends
+                FROM m),
+            built AS (
+                SELECT doc_id,
+                       CAST(len(starts) AS INTEGER) AS n_spans,
+                       flatten(list_transform(range(1, len(toks) + 1), mp ->
+                           CASE WHEN coalesce(list_position(starts, mp), 0) > 0
+                                THEN [-1000000 - (list_position(starts, mp) - 1)]
+                                WHEN msk[mp] THEN []
+                                ELSE [toks[mp]] END)) AS input_ids,
+                       flatten(list_transform(range(1, len(starts) + 1), k ->
+                           list_concat([-1000000 - (CAST(k AS INTEGER) - 1)],
+                                       toks[starts[k]:ends[k]]))) AS target_ids
+                FROM sp)
+            SELECT doc_id, n_spans,
+                   md5(coalesce(array_to_string(input_ids, ','), '')) AS input_md5,
+                   md5(coalesce(array_to_string(target_ids, ','), '')) AS target_md5
+            FROM built
         """,
         "temperature_mix": f"""
             WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),

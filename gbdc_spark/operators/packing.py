@@ -743,3 +743,116 @@ def mask_tokens(
         .withColumn("mask_positions", mask_pos)
         .withColumn("n_masked", F.size("mask_positions"))
     )
+
+
+def span_corrupt(
+    df: DataFrame,
+    rate: float = 0.15,
+    sentinel_base: int = -1_000_000,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    preserve_ids: tuple = (0,),
+    salt: str = "mlm",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4) with the
+    same deterministic per-position md5 Bernoulli as :func:`mask_tokens`
+    (same salt ⇒ the same positions corrupt): each MAXIMAL RUN of
+    masked positions becomes one span; ``input_ids`` replaces span k
+    with the sentinel ``sentinel_base - k`` and ``target_ids`` is the
+    concatenation of ``[sentinel_k, span tokens...]`` over spans — the
+    encoder/decoder pair a T5 pretraining batch feeds.  Preserved ids
+    (sequence separators) never corrupt, so framing survives in the
+    inputs.
+
+    Span reconstruction is exact: splicing each target span back over
+    its sentinel reproduces the original sequence bit-for-bit (the
+    inverse property the tests assert) — a corrupted corpus remains
+    auditable against its source.
+
+    Shape: spans are recovered WITHOUT a per-position scan-carry — a
+    position starts a span iff it is masked and its predecessor is not,
+    ends one iff masked and its successor is not; the two filtered
+    position lists align 1:1 by rank, so targets are a flat transform
+    over (start, end) pairs and inputs one over positions.  All
+    per-row JVM array expressions: no shuffle, no Python workers; the
+    only superlinear term is ``array_position`` over the ~rate·n/2
+    span starts (O(spans²) per doc, negligible at context lengths).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    thr = int(rate * (1 << 32))
+    toks = F.col(tokens_col)
+
+    def _u32(p: Column) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col(key).cast("string"),
+                        p.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def _is_masked(p: Column) -> Column:
+        # guarded for out-of-range probes (p = -1 / p = n): the >= 0 /
+        # < n conjuncts force False while greatest/least keep the
+        # element_at index legal (Spark does not short-circuit)
+        n = F.size(toks)
+        safe = F.greatest(F.least(p, n - 1), F.lit(0))
+        hit = (p >= 0) & (p < n) & (_u32(p) < F.lit(thr))
+        keep = F.lit(False)
+        for pid in preserve_ids:
+            keep = keep | (F.element_at(toks, safe + 1) == F.lit(pid))
+        return hit & ~keep
+
+    positions = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.filter(
+        positions, lambda p: _is_masked(p) & ~_is_masked(p - 1)
+    )
+    ends = F.filter(
+        positions, lambda p: _is_masked(p) & ~_is_masked(p + 1)
+    )
+    out = df.withColumn("_starts", starts).withColumn("_ends", ends)
+    s_col, e_col = F.col("_starts"), F.col("_ends")
+    inputs = F.flatten(
+        F.transform(
+            positions,
+            lambda p: F.when(
+                F.array_position(s_col, p) > 0,
+                F.array(
+                    (F.lit(sentinel_base)
+                     - (F.array_position(s_col, p) - 1)).cast("int")
+                ),
+            )
+            .when(_is_masked(p), F.array().cast("array<int>"))
+            .otherwise(F.array(F.element_at(toks, p + 1).cast("int"))),
+        )
+    )
+    targets = F.flatten(
+        F.transform(
+            s_col,
+            lambda s, k: F.concat(
+                F.array((F.lit(sentinel_base) - k).cast("int")),
+                F.transform(
+                    F.sequence(s, F.element_at(e_col, k + 1)),
+                    lambda q: F.element_at(toks, q + 1).cast("int"),
+                ),
+            ),
+        )
+    )
+    return (
+        out.withColumn("input_ids", inputs)
+        .withColumn("target_ids", targets)
+        .withColumn("n_spans", F.size("_starts"))
+        .drop("_starts", "_ends")
+    )

@@ -451,3 +451,79 @@ def test_mask_tokens_rate_bounds_and_plan(spark):
     plan = mask_tokens(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "Exchange" not in plan
+
+
+def test_span_corrupt_reconstruction_and_hand_check(spark):
+    # the inverse property: splicing each target span over its sentinel
+    # in input_ids reproduces the original tokens bit-for-bit
+    import hashlib
+
+    from gbdc_spark.operators.packing import span_corrupt
+
+    rows = [
+        ("d%d" % i, [((j * 7 + i) % 17) - 8 if (j % 5) else 0 for j in range(40)])
+        for i in range(20)
+    ] + [("empty", []), ("allzero", [0, 0, 0])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {r["doc_id"]: r for r in span_corrupt(df, rate=0.4, salt="sc").collect()}
+
+    thr = int(0.4 * (1 << 32))
+
+    def masked(doc, toks, p):
+        u = int(hashlib.md5(f"sc:{doc}:{p}".encode()).hexdigest()[:8], 16)
+        return u < thr and toks[p] != 0
+
+    SB = -1_000_000
+    for doc, toks in rows:
+        r = out[doc]
+        # hand-derive spans
+        spans, cur = [], None
+        for p, t in enumerate(toks):
+            if masked(doc, toks, p):
+                if cur is None:
+                    cur = [p, p]
+                else:
+                    cur[1] = p
+            elif cur is not None:
+                spans.append(tuple(cur)); cur = None
+        if cur is not None:
+            spans.append(tuple(cur))
+        assert r["n_spans"] == len(spans), doc
+        exp_inputs, k = [], 0
+        p = 0
+        while p < len(toks):
+            if k < len(spans) and spans[k][0] == p:
+                exp_inputs.append(SB - k)
+                p = spans[k][1] + 1
+                k += 1
+            else:
+                exp_inputs.append(toks[p]); p += 1
+        assert list(r["input_ids"]) == exp_inputs, doc
+        exp_targets = []
+        for k, (s, e) in enumerate(spans):
+            exp_targets.extend([SB - k] + toks[s:e + 1])
+        assert list(r["target_ids"]) == exp_targets, doc
+        # reconstruction
+        tgt = list(r["target_ids"])
+        rec = []
+        for tok in r["input_ids"]:
+            if tok <= SB:
+                k = SB - tok
+                i = tgt.index(SB - k)
+                j = i + 1
+                while j < len(tgt) and tgt[j] > SB:
+                    j += 1
+                rec.extend(tgt[i + 1:j])
+            else:
+                rec.append(tok)
+        assert rec == toks, doc
+
+
+def test_span_corrupt_plan_jvm_only(spark):
+    from gbdc_spark.operators.packing import span_corrupt
+
+    df = spark.createDataFrame(
+        [("d", list(range(1, 30)))], "doc_id string, tokens array<int>"
+    )
+    plan = span_corrupt(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

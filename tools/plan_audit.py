@@ -183,6 +183,13 @@ CHECKS = {
         ("boost table broadcast back to the corpus", r"BroadcastHashJoin"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "span_corrupt": [
+        # the only exchange is ensure_parallelism's deliberate
+        # round-robin input-split fix — never a key shuffle
+        ("no hash/range shuffle (per-row span assembly)",
+         r"^(?!.*(hashpartitioning|rangepartitioning))"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "asof_forward": [
         ("cogrouped Arrow merge on hash buckets", r"FlatMapCoGroupsInPandas"),
     ],
