@@ -574,6 +574,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )).alias("pos_md5"),
         )
 
+    def q_fim_transform(spark, sf_dir):
+        # fill-in-the-middle: deterministic apply coin + two uniform
+        # cuts, PSM layout; arrays projected to md5
+        from gbdc_spark.operators.packing import fim_transform
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "tokens"
+        )
+        out = fim_transform(seqs, rate=0.5, mode="psm")
+        return out.select(
+            "doc_id", "fim_applied", "fim_a", "fim_b",
+            F.md5(F.concat_ws(
+                ",", F.transform(F.col("fim_ids"),
+                                 lambda x: x.cast("string")),
+            )).alias("fim_md5"),
+        )
+
     def q_span_corrupt(spark, sf_dir):
         # T5 span corruption over the pre-tokenized sequences: same
         # deterministic mask as mask_tokens (same salt), maximal masked
@@ -1838,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "dsir_weights": q_dsir_weights,
         "mask_tokens": q_mask_tokens,
+        "fim_transform": q_fim_transform,
         "span_corrupt": q_span_corrupt,
         "temperature_mix": q_temperature_mix,
         "source_temperature": q_source_temperature,
@@ -3206,6 +3224,33 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(array_to_string(masked, ','), '')) AS masked_md5,
                    md5(coalesce(array_to_string(pos, ','), '')) AS pos_md5
             FROM m
+        """,
+        "fim_transform": f"""
+            WITH s AS (
+                SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                FROM documents),
+            c AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       list_sum(list_transform(range(0, 8), i -> CAST(strpos('0123456789abcdef', substr(md5(concat('fim:', doc_id, ':apply')), CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT) * CAST(pow(16, 7 - i) AS BIGINT))) < 2147483648 AS applied,
+                       CAST(list_sum(list_transform(range(0, 8), i -> CAST(strpos('0123456789abcdef', substr(md5(concat('fim:', doc_id, ':cut1')), CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT) * CAST(pow(16, 7 - i) AS BIGINT))) % (len(toks) + 1) AS INTEGER) AS c1,
+                       CAST(list_sum(list_transform(range(0, 8), i -> CAST(strpos('0123456789abcdef', substr(md5(concat('fim:', doc_id, ':cut2')), CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT) * CAST(pow(16, 7 - i) AS BIGINT))) % (len(toks) + 1) AS INTEGER) AS c2
+                FROM s),
+            cuts AS (
+                SELECT doc_id, toks, n, applied,
+                       least(c1, c2) AS a, greatest(c1, c2) AS b
+                FROM c),
+            built AS (
+                SELECT doc_id, applied,
+                       CASE WHEN applied THEN a END AS fim_a,
+                       CASE WHEN applied THEN b END AS fim_b,
+                       CASE WHEN applied THEN
+                            [-2000001] || toks[1:a] || [-2000003]
+                            || toks[b + 1:n] || [-2000002] || toks[a + 1:b]
+                       ELSE toks END AS fim_ids
+                FROM cuts)
+            SELECT doc_id, applied AS fim_applied, fim_a, fim_b,
+                   md5(coalesce(array_to_string(fim_ids, ','), '')) AS fim_md5
+            FROM built
         """,
         "span_corrupt": f"""
             WITH s AS (

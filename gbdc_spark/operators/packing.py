@@ -856,3 +856,90 @@ def span_corrupt(
         .withColumn("n_spans", F.size("_starts"))
         .drop("_starts", "_ends")
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    rate: float = 0.5,
+    mode: str = "psm",
+    pre_id: int = -2_000_001,
+    mid_id: int = -2_000_002,
+    suf_id: int = -2_000_003,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022): a
+    deterministic md5-selected ``rate`` of docs is split at two
+    uniform cut points a <= b into (prefix, middle, suffix) and
+    re-serialized for infilling training —
+
+    * ``mode="psm"``: ``[PRE] prefix [SUF] suffix [MID] middle``
+    * ``mode="spm"``: ``[PRE] [SUF] suffix [MID] middle`` is the
+      paper's joined variant; here SPM emits
+      ``[SUF] suffix [PRE] prefix [MID] middle`` (suffix-first,
+      the key property: the model sees the suffix before the span
+      it must fill).
+
+    Untransformed docs pass through unchanged (``fim_ids`` = tokens,
+    ``fim_applied`` = false) — the paper's 50/50 mixture keeps plain
+    autoregressive ability.  All decisions hash ``salt:key[:field]``
+    (the apply coin, then two independent cut draws mod n+1), so
+    re-runs, resumes and engines agree split-for-split with zero RNG
+    state.
+
+    Scale shape: per-row slice/concat JVM expressions over the scan —
+    no shuffle, no Python workers.
+    """
+    if mode not in ("psm", "spm"):
+        raise ValueError("mode must be 'psm' or 'spm'")
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    thr = int(rate * (1 << 32))
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+
+    def _u32(field: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col(key).cast("string"),
+                        F.lit(field),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    applied = _u32("apply") < F.lit(thr)
+    c1 = (_u32("cut1") % (n + 1)).cast("int")
+    c2 = (_u32("cut2") % (n + 1)).cast("int")
+    a = F.least(c1, c2)
+    b = F.greatest(c1, c2)
+    prefix = F.slice(toks, 1, a)
+    middle = F.slice(toks, a + 1, b - a)
+    suffix = F.slice(toks, b + 1, n - b)
+    sent = lambda i: F.array(F.lit(i).cast("int"))  # noqa: E731
+    if mode == "psm":
+        fim = F.concat(
+            sent(pre_id), prefix, sent(suf_id), suffix, sent(mid_id), middle
+        )
+    else:
+        fim = F.concat(
+            sent(suf_id), suffix, sent(pre_id), prefix, sent(mid_id), middle
+        )
+    return (
+        df.withColumn("fim_applied", applied)
+        .withColumn("fim_a", F.when(applied, a))
+        .withColumn("fim_b", F.when(applied, b))
+        .withColumn(
+            "fim_ids",
+            F.when(applied, fim).otherwise(
+                F.transform(toks, lambda x: x.cast("int"))
+            ),
+        )
+    )

@@ -527,3 +527,60 @@ def test_span_corrupt_plan_jvm_only(spark):
     )
     plan = span_corrupt(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_fim_transform_hand_computed(spark):
+    import hashlib
+
+    from gbdc_spark.operators.packing import fim_transform
+
+    rows = [("d%d" % i, [j + 1 for j in range(10 + i)]) for i in range(12)]
+    rows += [("empty", [])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {r["doc_id"]: r for r in fim_transform(df, rate=0.7, salt="f").collect()}
+
+    thr = int(0.7 * (1 << 32))
+
+    def u32(doc, field):
+        return int(hashlib.md5(f"f:{doc}:{field}".encode()).hexdigest()[:8], 16)
+
+    PRE, MID, SUF = -2_000_001, -2_000_002, -2_000_003
+    n_applied = 0
+    for doc, toks in rows:
+        r = out[doc]
+        n = len(toks)
+        if u32(doc, "apply") < thr:
+            n_applied += 1
+            c1, c2 = u32(doc, "cut1") % (n + 1), u32(doc, "cut2") % (n + 1)
+            a, b = min(c1, c2), max(c1, c2)
+            exp = [PRE] + toks[:a] + [SUF] + toks[b:] + [MID] + toks[a:b]
+            assert r["fim_applied"] and r["fim_a"] == a and r["fim_b"] == b
+            assert list(r["fim_ids"]) == exp, doc
+        else:
+            assert not r["fim_applied"]
+            assert r["fim_a"] is None and r["fim_b"] is None
+            assert list(r["fim_ids"]) == toks, doc
+    assert 0 < n_applied < len(rows)  # both branches exercised
+
+
+def test_fim_transform_spm_and_validation(spark):
+    import pytest as _pytest
+
+    from gbdc_spark.operators.packing import fim_transform
+
+    df = spark.createDataFrame(
+        [("d", list(range(1, 9)))], "doc_id string, tokens array<int>"
+    )
+    r = fim_transform(df, rate=1.0, mode="spm").collect()[0]
+    ids = list(r["fim_ids"])
+    # suffix sentinel leads in SPM; all three sentinels present once
+    assert ids[0] == -2_000_003
+    assert sorted(x for x in ids if x < -1_999_000) == [
+        -2_000_003, -2_000_002, -2_000_001,
+    ]
+    # token multiset preserved
+    assert sorted(x for x in ids if x > 0) == list(range(1, 9))
+    with _pytest.raises(ValueError):
+        fim_transform(df, mode="bad")
+    plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

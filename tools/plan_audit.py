@@ -183,6 +183,11 @@ CHECKS = {
         ("boost table broadcast back to the corpus", r"BroadcastHashJoin"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "fim_transform": [
+        ("no hash/range shuffle (per-row slice/concat)",
+         r"^(?!.*(hashpartitioning|rangepartitioning))"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "span_corrupt": [
         # the only exchange is ensure_parallelism's deliberate
         # round-robin input-split fix — never a key shuffle
