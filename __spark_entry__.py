@@ -1266,6 +1266,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.dup_clusters_star(pairs)
 
+    def q_dedup_keep_best(spark, sf_dir):
+        # quality-aware survivorship over the same minhash pair graph:
+        # per cluster keep the LONGEST doc (n_chars), ties to the
+        # smallest doc_id; singletons keep themselves
+        docs = _docs(spark, sf_dir)
+        pairs = dedup.minhash_candidate_pairs(
+            docs, key="doc_id", num_perm=8, bands=4, shingle_n=3
+        )
+        return dedup.dedup_keep_best(
+            docs.select("doc_id", "n_chars"), pairs, "n_chars"
+        )
+
     def q_ngram_jaccard(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         pairs = docs.select(F.col("doc_id").alias("a")).join(
@@ -1894,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_minhash_pairs": q_token_minhash_pairs,
         "substring_dedup": q_substring_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_clusters_star": q_dedup_clusters_star,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -4005,6 +4018,28 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.v, e.dst FROM reach r JOIN edges e ON r.w = e.src),
             comp AS (SELECT v, least(v, min(w)) AS keeper FROM reach GROUP BY v)
             SELECT v AS doc_id, keeper FROM comp
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_DUCK_MINHASH_CAND},
+            edges AS MATERIALIZED (
+                      SELECT a AS src, b AS dst FROM cand
+                      UNION SELECT b, a FROM cand),
+            reach AS (
+                SELECT src AS v, dst AS w FROM edges
+                UNION
+                SELECT r.v, e.dst FROM reach r JOIN edges e ON r.w = e.src),
+            comp AS (SELECT v, least(v, min(w)) AS keeper FROM reach GROUP BY v),
+            lbl AS (
+                SELECT d.doc_id, coalesce(c.keeper, d.doc_id) AS cluster,
+                       d.n_chars
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+            r AS (
+                SELECT doc_id, cluster, n_chars,
+                       row_number() OVER (
+                           PARTITION BY cluster
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM lbl)
+            SELECT doc_id, n_chars, cluster, rn = 1 AS keep FROM r
         """,
         "ngram_jaccard": """
             WITH sh AS (

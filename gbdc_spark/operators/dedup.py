@@ -994,3 +994,59 @@ def embedding_near_dups_ivf(df: DataFrame, centroids: DataFrame,
         .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"), "cosine")
         .distinct()
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    key: str = "doc_id",
+    cluster_out: str = "cluster",
+    keep_out: str = "keep",
+    clusterer=None,
+) -> DataFrame:
+    """Quality-aware survivorship: resolve near-dup candidate ``pairs``
+    into clusters and keep, per cluster, the row MAXIMIZING
+    ``quality_col`` (ties break to the smallest ``key``) — what
+    production dedup actually ships, vs the min-key rule of
+    :func:`dup_clusters` which can keep the worst copy of a page.
+    Docs in no pair form singleton clusters and keep themselves.
+
+    ``quality_col`` must be numeric (length, an LM score, a composed
+    quality signal...).  Returns ``df``'s columns plus ``cluster_out``
+    (the cluster's min-key label) and boolean ``keep_out`` — rows are
+    flagged, not dropped, same audit contract as the filter family.
+
+    ``clusterer`` defaults to :func:`dup_clusters` (min-label
+    propagation); pass :func:`dup_clusters_star` for graphs that may
+    contain long paths.
+
+    Scale shape: the cluster labeling is the chosen clusterer's cost;
+    on top of it, ONE left join of the corpus against the pair-node
+    labels (pair nodes ≪ corpus), one per-cluster argmax aggregate
+    (map-side combined min of a (-quality, key) struct), and one
+    equi-join of that (≤ #clusters rows) back — no windows over the
+    corpus, no Python.
+    """
+    labeler = clusterer or dup_clusters
+    labels = labeler(pairs)
+    if key != "doc_id":
+        labels = labels.withColumnRenamed("doc_id", key)
+    lbl = (
+        df.join(labels, key, "left")
+        .withColumn(cluster_out, F.coalesce(F.col("keeper"), F.col(key)))
+        .drop("keeper")
+    )
+    best = lbl.groupBy(cluster_out).agg(
+        F.min(
+            F.struct(
+                (-F.col(quality_col)).alias("nq"), F.col(key).alias("k")
+            )
+        ).alias("_b")
+    )
+    return (
+        lbl.join(best, cluster_out)
+        .withColumn(keep_out, F.col(key) == F.col("_b.k"))
+        .drop("_b")
+        .select(*df.columns, cluster_out, keep_out)
+    )

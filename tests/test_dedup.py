@@ -651,3 +651,37 @@ def test_embedding_near_dups_ivf_probe_monotone_recall(spark):
         sets.append(got)
     assert sets[0] <= sets[1] <= sets[2]
     assert sets[0] < sets[2]  # the fixture must show recall actually grow
+
+
+def test_dedup_keep_best_keeps_argmax_quality(spark):
+    from gbdc_spark.operators.dedup import dedup_keep_best, dup_clusters_star
+
+    # clusters: {1,2,3} (chain), {5,6}; 4 and 7 singletons
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0), (5, 7.0), (6, 7.0), (7, 1.0)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long"
+    )
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs, pairs, "q").collect()}
+    # cluster {1,2,3}: best q=30 -> doc 2; cluster label = min member
+    assert [out[i]["cluster"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    # tie on q in {5,6} -> smallest key wins
+    assert out[5]["keep"] and not out[6]["keep"]
+    # singletons keep themselves
+    assert out[4]["keep"] and out[7]["keep"]
+    assert out[4]["cluster"] == 4
+    # exactly one keeper per cluster
+    kept = [r for r in out.values() if r["keep"]]
+    assert len(kept) == 4
+
+    # the star clusterer yields the identical decision set
+    out2 = {
+        r["doc_id"]: r["keep"]
+        for r in dedup_keep_best(
+            docs, pairs, "q", clusterer=dup_clusters_star
+        ).collect()
+    }
+    assert out2 == {k: v["keep"] for k, v in out.items()}

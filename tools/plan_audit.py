@@ -183,6 +183,13 @@ CHECKS = {
         ("boost table broadcast back to the corpus", r"BroadcastHashJoin"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "dedup_keep_best": [
+        ("per-cluster argmax is a map-side-combined partial agg",
+         r"partial_min"),
+        ("corpus x labels and argmax join-backs are real equi-joins",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "fim_transform": [
         ("no hash/range shuffle (per-row slice/concat)",
          r"^(?!.*(hashpartitioning|rangepartitioning))"),
