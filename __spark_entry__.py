@@ -1278,6 +1278,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.select("doc_id", "n_chars"), pairs, "n_chars"
         )
 
+    def q_dedup_against(spark, sf_dir):
+        # incremental-crawl shape: dedup the doc_id%3==0 batch against
+        # the rest of the corpus as the prior snapshot
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        snap = docs.filter(F.col("doc_id") % 3 != 0)
+        return dedup.dedup_against(new, snap).select(
+            "doc_id", "dup_exact", "dup_near"
+        )
+
     def q_ngram_jaccard(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         pairs = docs.select(F.col("doc_id").alias("a")).join(
@@ -1907,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_against": q_dedup_against,
         "dedup_clusters_star": q_dedup_clusters_star,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -4040,6 +4051,39 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY n_chars DESC, doc_id ASC) AS rn
                 FROM lbl)
             SELECT doc_id, n_chars, cluster, rn = 1 AS keep FROM r
+        """,
+        "dedup_against": """
+            WITH sh AS (
+                SELECT doc_id, text,
+                       list_transform(
+                           range(1, greatest(len(words) - 2, 1) + 1),
+                           i -> array_to_string(list_slice(words, i, i + 2), ' ')) AS shingles
+                FROM (SELECT doc_id, text, str_split(text, ' ') AS words
+                      FROM documents)),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 8), j ->
+                           list_min(list_transform(shingles,
+                               s -> md5(concat(CAST(j AS VARCHAR), ':', s))))) AS mh
+                FROM sh),
+            banded AS (
+                SELECT doc_id, b.band,
+                       concat(mh[b.band * 2 + 1], '|', mh[b.band * 2 + 2]) AS bkey
+                FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+            oldb AS (SELECT DISTINCT band, bkey FROM banded
+                     WHERE doc_id % 3 <> 0),
+            near AS (SELECT DISTINCT n.doc_id FROM banded n JOIN oldb o
+                       ON n.band = o.band AND n.bkey = o.bkey
+                     WHERE n.doc_id % 3 = 0),
+            oldh AS (SELECT DISTINCT md5(text) AS h FROM documents
+                     WHERE doc_id % 3 <> 0)
+            SELECT d.doc_id,
+                   (h.h IS NOT NULL) AS dup_exact,
+                   (nr.doc_id IS NOT NULL) AS dup_near
+            FROM documents d
+            LEFT JOIN oldh h ON md5(d.text) = h.h
+            LEFT JOIN near nr ON d.doc_id = nr.doc_id
+            WHERE d.doc_id % 3 = 0
         """,
         "ngram_jaccard": """
             WITH sh AS (

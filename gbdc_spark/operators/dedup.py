@@ -45,6 +45,8 @@ __all__ = [
     "sign_hyperplanes",
     "dup_clusters",
     "dup_clusters_star",
+    "dedup_keep_best",
+    "dedup_against",
 ]
 
 
@@ -96,14 +98,13 @@ def with_minhash_signature(
     return df.withColumn(out, sig)
 
 
-def _band_pairs(sig: DataFrame, key: str, num_perm: int, bands: int) -> DataFrame:
-    """LSH banding over a (key, minhash) frame: keys sharing any band of
-    the signature become a candidate pair (a < b).  Equi-join on the band
-    key — shuffle is on band hashes, never a cross join."""
+def _banded(sig: DataFrame, key: str, num_perm: int, bands: int) -> DataFrame:
+    """Explode a (key, minhash) frame into one row per LSH band:
+    (key, band, bkey).  The band structs are built inside a bound
+    lambda: referencing the `minhash` column directly 2×bands times
+    would make project-collapse inline (and re-evaluate) the whole
+    signature expression per reference."""
     rows_per_band = num_perm // bands
-    # build the band structs inside a bound lambda: referencing the
-    # `minhash` column directly 2×bands times would make project-collapse
-    # inline (and re-evaluate) the whole signature expression per reference
     band_arr = _bind(
         F.col("minhash"),
         lambda mh: F.array(
@@ -119,9 +120,16 @@ def _band_pairs(sig: DataFrame, key: str, num_perm: int, bands: int) -> DataFram
             ]
         ),
     )
-    banded = sig.select(F.col(key), F.explode(band_arr).alias("bk")).select(
+    return sig.select(F.col(key), F.explode(band_arr).alias("bk")).select(
         key, "bk.band", "bk.bkey"
     )
+
+
+def _band_pairs(sig: DataFrame, key: str, num_perm: int, bands: int) -> DataFrame:
+    """LSH banding over a (key, minhash) frame: keys sharing any band of
+    the signature become a candidate pair (a < b).  Equi-join on the band
+    key — shuffle is on band hashes, never a cross join."""
+    banded = _banded(sig, key, num_perm, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -1049,4 +1057,69 @@ def dedup_keep_best(
         .withColumn(keep_out, F.col(key) == F.col("_b.k"))
         .drop("_b")
         .select(*df.columns, cluster_out, keep_out)
+    )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    snapshot_df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    exact_out: str = "dup_exact",
+    near_out: str = "dup_near",
+) -> DataFrame:
+    """Incremental dedup: flag rows of a NEW batch that duplicate an
+    EXISTING corpus snapshot — the recurring-crawl shape (each dump is
+    deduped against everything already ingested) that the within-batch
+    operators (:func:`exact_dedup_groups`, :func:`minhash_candidate_pairs`)
+    don't cover.
+
+    Two independent boolean flags per new row (flag, don't drop):
+
+    * ``exact_out`` — md5(``text_col``) appears in the snapshot.
+    * ``near_out`` — any MinHash-LSH band of the new row's signature
+      collides with a snapshot band (same signature scheme as
+      :func:`minhash_candidate_pairs`, so thresholds tune identically).
+
+    Scale shape: both probes are equi-joins against DISTINCT snapshot
+    keys — a left join on the 1-column hash set and a left-semi join on
+    the (band, bkey) set — shuffled, NOT broadcast: the snapshot is
+    corpus-scale and may be orders of magnitude larger than the batch.
+    Signatures are the pure-JVM md5 folds; nothing crosses into Python
+    and nothing is driver-side.  At 100 TB the snapshot side would be
+    the persisted signature/hash tables of the prior ingest, read
+    directly rather than recomputed (compute them with
+    :func:`with_minhash_signature` at ingest time and store alongside).
+    """
+    old_hashes = snapshot_df.select(
+        F.md5(F.col(text_col)).alias("_h")
+    ).distinct()
+    new_hashed = new_df.withColumn("_h", F.md5(F.col(text_col)))
+    exact = new_hashed.join(
+        old_hashes.withColumn("_hit", F.lit(True)), "_h", "left"
+    ).select(*new_df.columns, F.coalesce("_hit", F.lit(False)).alias(exact_out))
+
+    new_sig = with_minhash_signature(
+        ensure_parallelism(new_df), text_col, num_perm, shingle_n
+    ).select(key, "minhash")
+    old_sig = with_minhash_signature(
+        ensure_parallelism(snapshot_df), text_col, num_perm, shingle_n
+    ).select(key, "minhash")
+    old_bands = _banded(old_sig, key, num_perm, bands).select(
+        "band", "bkey"
+    ).distinct()
+    near_keys = (
+        _banded(new_sig, key, num_perm, bands)
+        .join(old_bands, ["band", "bkey"], "left_semi")
+        .select(key)
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    return exact.join(near_keys, key, "left").select(
+        *new_df.columns,
+        exact_out,
+        F.coalesce("_near", F.lit(False)).alias(near_out),
     )

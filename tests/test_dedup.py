@@ -685,3 +685,37 @@ def test_dedup_keep_best_keeps_argmax_quality(spark):
         ).collect()
     }
     assert out2 == {k: v["keep"] for k, v in out.items()}
+
+
+def test_dedup_against_flags_exact_and_near(spark):
+    from gbdc_spark.operators.dedup import dedup_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    snapshot = spark.createDataFrame(
+        [(100, base), (101, "completely different snapshot content here ok")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                                     # exact dup
+            (2, base.replace("dog", "cat")),               # near dup (1 word)
+            (3, "nothing like anything in the old corpus at all zz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_against(new, snapshot).collect()}
+    assert out[1]["dup_exact"] and out[1]["dup_near"]
+    assert not out[2]["dup_exact"] and out[2]["dup_near"]
+    assert not out[3]["dup_exact"] and not out[3]["dup_near"]
+    # row-preserving, original columns intact
+    assert sorted(out) == [1, 2, 3]
+    assert out[2]["text"] == base.replace("dog", "cat")
+
+
+def test_dedup_against_empty_snapshot(spark):
+    from gbdc_spark.operators.dedup import dedup_against
+
+    new = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    snap = spark.createDataFrame([], "doc_id long, text string")
+    row = dedup_against(new, snap).collect()[0]
+    assert not row["dup_exact"] and not row["dup_near"]

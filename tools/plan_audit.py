@@ -190,6 +190,14 @@ CHECKS = {
          r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "dedup_against": [
+        ("band probe is a left-semi equi-join (never cross)",
+         r"LeftSemi"),
+        ("hash/band probes are real equi-joins (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no cartesian product", r"^(?!.*CartesianProduct)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "fim_transform": [
         ("no hash/range shuffle (per-row slice/concat)",
          r"^(?!.*(hashpartitioning|rangepartitioning))"),
