@@ -1147,6 +1147,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=50,
         )
 
+    def q_percentile_gate(spark, sf_dir):
+        # FineWeb-Edu-style per-source top-X% gate: keep the longest
+        # 25% of docs per source. Integer rank cut (100*rn <= 25*n),
+        # so the oracle derives the identical boolean; bucketed=True
+        # exercises the two-phase giant-group rank (window path is
+        # pytest-proven identical).
+        from gbdc_spark.operators.quality import percentile_gate
+
+        docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+        return percentile_gate(
+            docs, "n_chars", "source", keep_pct=25, bucketed=True, quant=0.25
+        )
+
     def q_ccnet_buckets(spark, sf_dir):
         # CCNet head/middle/tail per language: LM perplexity (pruned
         # self-trained bigram model, same as lm_perplexity) ranked
@@ -1907,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_topk": q_bigram_topk,
         "bm25_topk": q_bm25_topk,
         "ccnet_buckets": q_ccnet_buckets,
+        "percentile_gate": q_percentile_gate,
         "tfidf_topk": q_tfidf_topk,
         "source_divergence": q_source_divergence,
         "source_len_quantiles": q_source_len_quantiles,
@@ -3786,6 +3800,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM sc)
             SELECT doc_id, n_matched, score, CAST(rnk AS INTEGER) AS rank
             FROM ranked WHERE rnk <= 50
+        """,
+        "percentile_gate": """
+            WITH s AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM documents)
+            SELECT doc_id, source, n_chars, (100 * rn <= 25 * n) AS keep
+            FROM s
         """,
         "ccnet_buckets": """
             WITH w AS (

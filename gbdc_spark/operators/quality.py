@@ -30,7 +30,8 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "ngram_contamination",
            "token_ngram_contamination", "lm_perplexity",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
-           "temperature_weights"]
+           "temperature_weights", "ccnet_buckets", "temperature_mix",
+           "percentile_gate"]
 
 # Redaction rules: name -> (regex, replacement token).  Patterns are
 # restricted to the syntax subset where Java regex (Spark) and RE2
@@ -1178,11 +1179,50 @@ def ccnet_buckets(
     group-size join-backs are null-safe broadcasts (NULL group is a
     legal group, same hazard as label_balance's null-label fix).
     """
+    ranked = _group_rank_sizes(
+        df, score_col, group_col, key, True, bucketed, bucket_threshold,
+        quant, max_group_rows,
+    )
+    bucketed_rows = ranked.filter(F.col("_rn").isNotNull()).withColumn(
+        out,
+        F.when(3 * F.col("_rn") <= F.col("_n"), F.lit("head"))
+        .when(3 * F.col("_rn") <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    nulls = ranked.filter(F.col("_rn").isNull()).withColumn(
+        out, F.lit(None).cast("string")
+    )
+    return bucketed_rows.unionByName(nulls).select(*df.columns, out)
+
+
+def _group_rank_sizes(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    key: str,
+    ascending: bool,
+    bucketed: bool | None,
+    bucket_threshold: int,
+    quant: float,
+    max_group_rows: int | None,
+) -> DataFrame:
+    """Within-group dense ordering shared by :func:`ccnet_buckets` and
+    :func:`percentile_gate`: ``df``'s columns plus ``_rn`` (1-based
+    within-group rank by ``score_col`` asc/desc, ``key`` asc — NULL for
+    NULL-score rows) and ``_n`` (group size over non-NULL scores; NULL
+    on NULL-score rows).  Two physical paths with the same total order
+    — one rank window per group, or the label_balance two-phase rank
+    pre-bucketed by the monotone quantization ``floor(±score*quant)``
+    (negated for descending so bucket order == rank order) — picked by
+    ``bucketed`` / the group-count probe.  All join-backs null-safe
+    broadcasts (NULL group is a legal group)."""
     from pyspark.sql import Window
 
     scored = df.filter(F.col(score_col).isNotNull())
-    nulls = df.filter(F.col(score_col).isNull()).withColumn(
-        out, F.lit(None).cast("string")
+    nulls = (
+        df.filter(F.col(score_col).isNull())
+        .withColumn("_rn", F.lit(None).cast("int"))
+        .withColumn("_n", F.lit(None).cast("long"))
     )
 
     if bucketed is None:
@@ -1195,13 +1235,16 @@ def ccnet_buckets(
             )
         bucketed = mx is not None and int(mx) > bucket_threshold
 
+    order = (
+        F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+        F.col(key).asc(),
+    )
     if not bucketed:
-        w = Window.partitionBy(group_col).orderBy(
-            F.col(score_col).asc(), F.col(key).asc()
-        )
+        w = Window.partitionBy(group_col).orderBy(*order)
         ranked = scored.withColumn("_rn", F.row_number().over(w))
     else:
-        qb = F.floor(F.col(score_col) * F.lit(float(quant))).cast("long")
+        sgn = 1.0 if ascending else -1.0
+        qb = F.floor(F.col(score_col) * F.lit(sgn * float(quant))).cast("long")
         pre = scored.withColumn("_b", qb)
         counts = pre.groupBy(group_col, "_b").agg(F.count("*").alias("_c"))
         wc = Window.partitionBy(group_col).orderBy("_b").rowsBetween(
@@ -1212,9 +1255,7 @@ def ccnet_buckets(
         ).select(
             F.col(group_col).alias("_og"), F.col("_b").alias("_ob"), "_off"
         )
-        wr = Window.partitionBy(group_col, "_b").orderBy(
-            F.col(score_col).asc(), F.col(key).asc()
-        )
+        wr = Window.partitionBy(group_col, "_b").orderBy(*order)
         ranked = (
             pre.join(
                 F.broadcast(offsets),
@@ -1228,19 +1269,61 @@ def ccnet_buckets(
     sizes = scored.groupBy(group_col).agg(F.count("*").alias("_n")).select(
         F.col(group_col).alias("_sg"), "_n"
     )
-    bucketed_rows = (
-        ranked.join(
-            F.broadcast(sizes), F.col(group_col).eqNullSafe(F.col("_sg"))
-        )
-        .withColumn(
-            out,
-            F.when(3 * F.col("_rn") <= F.col("_n"), F.lit("head"))
-            .when(3 * F.col("_rn") <= 2 * F.col("_n"), F.lit("middle"))
-            .otherwise(F.lit("tail")),
-        )
-        .select(*df.columns, out)
+    with_sizes = ranked.join(
+        F.broadcast(sizes), F.col(group_col).eqNullSafe(F.col("_sg"))
+    ).select(*df.columns, "_rn", "_n")
+    return with_sizes.unionByName(nulls)
+
+
+def percentile_gate(
+    df: DataFrame,
+    score_col: str = "score",
+    group_col: str = "source",
+    key: str = "doc_id",
+    keep_pct: int = 20,
+    descending: bool = True,
+    bucketed: bool | None = None,
+    bucket_threshold: int = 2_000_000,
+    quant: float = 16.0,
+    max_group_rows: int | None = None,
+    out: str = "keep",
+) -> DataFrame:
+    """Per-group percentile gate: within each ``group_col`` value keep
+    the top ``keep_pct`` percent of rows by ``score_col`` — the
+    FineWeb-Edu-style "keep the classifier's top X%" curation rule,
+    applied per source/language so one high-scoring source can't crowd
+    every other group out of the corpus.
+
+    The cut is pure integer arithmetic on the within-group rank
+    (``descending`` rank by score, ties to the smallest ``key``): keep
+    iff ``100*rn <= keep_pct*n``.  No float-percentile interpolation
+    anywhere — engines that agree on the total order agree row-for-row
+    (the same contract as :func:`ccnet_buckets`, whose rank machinery
+    this shares).  The floor rounding means a group with fewer than
+    ``100/keep_pct`` rows keeps nothing — strict "top X%", documented
+    rather than padded.
+
+    Rows with a NULL score get a NULL ``out`` (auditable, excluded from
+    ``n``); everything else gets a boolean.  Flag, don't drop.
+
+    Scale shape: one rank pass (windowed per group, or the two-phase
+    quantized-bucket rank for few-giant-group corpora — ``bucketed``/
+    probe/``max_group_rows`` exactly as :func:`ccnet_buckets`) plus a
+    broadcast group-size join-back.
+    """
+    if not 0 < keep_pct <= 100:
+        raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
+    ranked = _group_rank_sizes(
+        df, score_col, group_col, key, not descending, bucketed,
+        bucket_threshold, quant, max_group_rows,
     )
-    return bucketed_rows.unionByName(nulls)
+    return ranked.withColumn(
+        out,
+        F.when(
+            F.col("_rn").isNotNull(),
+            100 * F.col("_rn") <= F.lit(int(keep_pct)) * F.col("_n"),
+        ),
+    ).select(*df.columns, out)
 
 
 def temperature_mix(

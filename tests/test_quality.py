@@ -753,3 +753,95 @@ def test_temperature_mix_expectation_tracks_share(spark):
     assert abs(got_share - share_small) < 0.03
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_percentile_gate_hand_computed(spark):
+    # one group, 10 scored rows, keep top 20% by score desc:
+    # ranks 1..10 by score desc -> keep iff 100*rn <= 20*10 -> rn in {1,2}
+    from gbdc_spark.operators.quality import percentile_gate
+
+    rows = [(i, "en", float(i)) for i in range(1, 11)] + [(99, "en", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in percentile_gate(
+            df, "score", "source", keep_pct=20, bucketed=False
+        ).collect()
+    }
+    assert out[10] and out[9]                 # the two highest scores
+    assert not any(out[i] for i in range(1, 9))
+    assert out[99] is None                    # NULL score -> NULL flag
+
+
+def test_percentile_gate_per_group_ties_and_floor(spark):
+    from gbdc_spark.operators.quality import percentile_gate
+
+    rows = [
+        # group en: 4 rows, keep_pct=50 -> top 2; tie at 7.0 -> smaller key
+        (1, "en", 7.0), (2, "en", 7.0), (3, "en", 7.0), (4, "en", 1.0),
+        # group fr: 1 row, keep_pct=50 -> floor keeps nothing
+        (5, "fr", 100.0),
+        # NULL group is a legal group
+        (6, None, 3.0), (7, None, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in percentile_gate(
+            df, "score", "source", keep_pct=50, bucketed=False
+        ).collect()
+    }
+    assert out == {1: True, 2: True, 3: False, 4: False,
+                   5: False, 6: True, 7: False}
+
+
+def test_percentile_gate_ascending_and_bucketed_identical(spark):
+    # descending=False keeps the LOWEST scores (perplexity-style);
+    # the two-phase path must equal the window path row-for-row
+    from gbdc_spark.operators.quality import percentile_gate
+
+    rows = []
+    for i in range(300):
+        src = [None, "a", "b", "c"][i % 4]
+        sc = [None, -3.7, 0.0625, 0.0625, 5.25, 5.3, 120.9][i % 7]
+        rows.append((i, src, sc))
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    for desc in (True, False):
+        plain = sorted(
+            tuple(r)
+            for r in percentile_gate(
+                df, "score", "source", keep_pct=30,
+                descending=desc, bucketed=False,
+            ).collect()
+        )
+        two_phase = sorted(
+            tuple(r)
+            for r in percentile_gate(
+                df, "score", "source", keep_pct=30,
+                descending=desc, bucketed=True,
+            ).collect()
+        )
+        assert plain == two_phase
+    # sanity: ascending keeps the lowest
+    low = {
+        r["doc_id"]: r["keep"]
+        for r in percentile_gate(
+            spark.createDataFrame(
+                [(i, "x", float(i)) for i in range(1, 11)],
+                "doc_id long, source string, score double",
+            ),
+            "score", "source", keep_pct=20, descending=False, bucketed=False,
+        ).collect()
+    }
+    assert low[1] and low[2] and not any(low[i] for i in range(3, 11))
+
+
+def test_percentile_gate_rejects_bad_pct(spark):
+    from gbdc_spark.operators.quality import percentile_gate
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, source string, score double")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        percentile_gate(df, "score", "source", keep_pct=0)
+    with _pt.raises(ValueError):
+        percentile_gate(df, "score", "source", keep_pct=101)

@@ -172,6 +172,13 @@ CHECKS = {
         ("per-(group, quantized-cell) rank window", r"Window"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "percentile_gate": [
+        # same two-phase rank shape as ccnet_buckets: offset/size
+        # tables broadcast back, rank windows per quantized cell
+        ("offsets/sizes broadcast join-back", r"BroadcastHashJoin"),
+        ("per-(group, quantized-cell) rank window", r"Window"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "mask_tokens": [
         # the only exchange is ensure_parallelism's deliberate
         # round-robin input-split fix — never a key shuffle
