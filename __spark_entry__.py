@@ -1335,6 +1335,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.count("*") / F.lit(5.0)).alias("recall_at_5")
         )
 
+    def q_embedding_decontam(spark, sf_dir):
+        # semantic eval-set decontamination: vec_id%29==0 plays the
+        # benchmark set, the rest is the corpus; flag cosine >= 0.4
+        # (the sf tables' cluster design tops out near 0.48 against this
+        # eval split, so 0.4 exercises both outcomes)
+        e = _emb(spark, sf_dir)
+        evals = e.filter(F.col("vec_id") % 29 == 0)
+        corpus = e.filter(F.col("vec_id") % 29 != 0).select("vec_id", "embedding")
+        return similarity.embedding_decontam(corpus, evals, threshold=0.4).select(
+            "vec_id", "max_eval_cosine", "nearest_eval_id", "contaminated"
+        )
+
     def q_cosine_topk(spark, sf_dir):
         return similarity.cosine_topk(
             _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=5
@@ -1937,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
+        "embedding_decontam": q_embedding_decontam,
         "ivf_assign": q_ivf_assign,
         "semantic_dedup": q_semantic_dedup,
         "embedding_near_dups": q_embedding_near_dups,
@@ -4121,6 +4134,28 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
             FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+        """,
+        "embedding_decontam": """
+            WITH ev AS (
+                SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 29 = 0),
+            c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 29 <> 0),
+            s AS (
+                SELECT c.vec_id, ev.eid,
+                       round(list_dot_product(c.v, ev.v)
+                             / (sqrt(list_dot_product(c.v, c.v))
+                                * sqrt(list_dot_product(ev.v, ev.v))), 6) AS cos
+                FROM c, ev),
+            m AS (SELECT vec_id, max(cos) AS max_eval_cosine
+                  FROM s GROUP BY vec_id)
+            SELECT s.vec_id, m.max_eval_cosine,
+                   min(s.eid) AS nearest_eval_id,
+                   (m.max_eval_cosine >= 0.4) AS contaminated
+            FROM s JOIN m
+              ON s.vec_id = m.vec_id AND s.cos = m.max_eval_cosine
+            GROUP BY s.vec_id, m.max_eval_cosine
         """,
         "cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

@@ -32,6 +32,7 @@ __all__ = [
     "pq_codebook_refine",
     "with_residuals",
     "ivfpq_topk",
+    "embedding_decontam",
 ]
 
 
@@ -511,3 +512,70 @@ def kmeans_fit(
         return cents
     finally:
         df.unpersist()
+
+
+def embedding_decontam(
+    df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_key: str | None = None,
+    eval_vec_col: str | None = None,
+    out: str = "contaminated",
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: flag corpus rows whose
+    max cosine similarity to ANY eval-set embedding reaches
+    ``threshold`` — the semantic complement of the n-gram
+    decontamination in :mod:`~gbdc_spark.operators.quality`, catching
+    paraphrased benchmark leakage that exact-gram overlap misses.
+
+    Returns ``df``'s columns plus ``max_eval_cosine`` (round-6),
+    ``nearest_eval_id`` (the closest eval row's key, ties to the
+    smallest id — the audit trail: which benchmark item leaked), and
+    boolean ``out``.  Flag, don't drop.  An EMPTY eval set yields NULL
+    cosine/id and ``out`` = false.
+
+    Scale shape: the eval set is collapsed to ONE row of (id, vector)
+    structs and broadcast-cross-joined to the corpus — eval sets are
+    benchmark-sized (10²-10⁴ rows) by definition, the same bound the
+    gram-based decontamination relies on.  The per-row max is a JVM
+    array fold over that broadcast list (the corpus never shuffles,
+    never crosses into Python); the corpus vector is bound once so the
+    fold doesn't re-cast it per eval element.
+    """
+    from ..functions import bind_once as _bind
+
+    ek = eval_key or key
+    ev = eval_df.agg(
+        F.collect_list(
+            F.struct(
+                F.col(ek).alias("id"),
+                _to_double(F.col(eval_vec_col or vec_col)).alias("v"),
+            )
+        ).alias("_eval")
+    )
+    best = _bind(
+        _to_double(F.col(vec_col)),
+        lambda vv: F.array_max(
+            F.transform(
+                F.col("_eval"),
+                lambda e: F.struct(
+                    cosine_similarity(vv, e["v"]).alias("c"),
+                    (-e["id"]).alias("ni"),
+                ),
+            )
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(ev))
+        .withColumn("_m", best)
+        .select(
+            *df.columns,
+            F.col("_m.c").alias("max_eval_cosine"),
+            (-F.col("_m.ni")).alias("nearest_eval_id"),
+            F.coalesce(
+                F.col("_m.c") >= F.lit(float(threshold)), F.lit(False)
+            ).alias(out),
+        )
+    )

@@ -167,3 +167,45 @@ def test_pq_refinement_improves_recall_and_keeps_empty_codes(spark, emb):
         .count()
     )
     assert moved > 0
+
+
+def test_embedding_decontam_flags_near_eval(spark):
+    from gbdc_spark.operators.similarity import embedding_decontam
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),     # identical to eval 10
+            (2, [0.9, 0.1, 0.0]),     # close to eval 10
+            (3, [0.0, 0.0, 1.0]),     # orthogonal to both evals
+            (4, [0.5, 0.5, 0.0]),     # equidistant tie between 10 and 11
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    evals = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in embedding_decontam(corpus, evals, threshold=0.95).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["max_eval_cosine"] == 1.0
+    assert out[1]["nearest_eval_id"] == 10
+    assert out[2]["contaminated"]          # cos ~0.9939
+    assert not out[3]["contaminated"] and out[3]["max_eval_cosine"] == 0.0
+    # tie on cosine -> smallest eval id
+    assert out[4]["nearest_eval_id"] == 10 and not out[4]["contaminated"]
+    # row-preserving
+    assert sorted(out) == [1, 2, 3, 4]
+
+
+def test_embedding_decontam_empty_eval(spark):
+    from gbdc_spark.operators.similarity import embedding_decontam
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    evals = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    row = embedding_decontam(corpus, evals).collect()[0]
+    assert row["contaminated"] is False
+    assert row["max_eval_cosine"] is None and row["nearest_eval_id"] is None

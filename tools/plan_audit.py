@@ -172,6 +172,14 @@ CHECKS = {
         ("per-(group, quantized-cell) rank window", r"Window"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "embedding_decontam": [
+        # the eval set collapses to one struct-list row and broadcasts;
+        # the corpus-side max is a JVM array fold — no shuffle, no Python
+        ("eval list broadcast to the corpus", r"BroadcastNestedLoopJoin"),
+        ("corpus never hash/range-shuffles",
+         r"^(?!.*(hashpartitioning|rangepartitioning))"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "percentile_gate": [
         # same two-phase rank shape as ccnet_buckets: offset/size
         # tables broadcast back, rank windows per quantized cell
