@@ -574,6 +574,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )).alias("pos_md5"),
         )
 
+    def q_sft_mask(spark, sf_dir):
+        # SFT completion-only masking: each doc's token stream plays a
+        # 4-turn user/assistant conversation (contiguous chunks of
+        # q = max(n//4, 1) tokens, remainder in the last turn); labels
+        # mask everything except assistant content + its end-of-turn.
+        # Arrays projected to md5 (driver canonicalizer contract).
+        from gbdc_spark.operators.packing import sft_mask
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "tokens"
+        )
+        n = F.size("tokens")
+        q = F.greatest(F.floor(n / 4).cast("int"), F.lit(1))
+        turns = F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda i: F.struct(
+                F.when(i % 2 == 0, F.lit("user"))
+                .otherwise(F.lit("assistant"))
+                .alias("role"),
+                F.when(i < 3, F.slice(F.col("tokens"), i * q + 1, q))
+                .otherwise(
+                    F.slice(F.col("tokens"), 3 * q + 1, F.greatest(n - 3 * q, F.lit(1)))
+                )
+                .alias("tokens"),
+            ),
+        )
+        conv = seqs.select("doc_id", turns.alias("turns"))
+        out = sft_mask(conv)
+        return out.select(
+            "doc_id",
+            F.size("input_ids").alias("n_tok"),
+            "n_train_tokens",
+            F.md5(F.concat_ws(
+                ",", F.transform(F.col("input_ids"),
+                                 lambda x: x.cast("string")),
+            )).alias("ids_md5"),
+            F.md5(F.concat_ws(
+                ",", F.transform(F.col("labels"),
+                                 lambda x: x.cast("string")),
+            )).alias("labels_md5"),
+        )
+
     def q_fim_transform(spark, sf_dir):
         # fill-in-the-middle: deterministic apply coin + two uniform
         # cuts, PSM layout; arrays projected to md5
@@ -1902,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "dsir_weights": q_dsir_weights,
         "mask_tokens": q_mask_tokens,
+        "sft_mask": q_sft_mask,
         "fim_transform": q_fim_transform,
         "span_corrupt": q_span_corrupt,
         "temperature_mix": q_temperature_mix,
@@ -3275,6 +3318,45 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(array_to_string(masked, ','), '')) AS masked_md5,
                    md5(coalesce(array_to_string(pos, ','), '')) AS pos_md5
             FROM m
+        """,
+        "sft_mask": f"""
+            WITH t AS (
+                SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                FROM documents),
+            p AS (SELECT doc_id, toks, len(toks) AS n,
+                         greatest(len(toks) // 4, 1) AS q
+                  FROM t),
+            tu AS (
+                SELECT doc_id, g.i,
+                       CASE WHEN g.i % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       CASE WHEN g.i < 3 THEN toks[g.i*q + 1 : g.i*q + q]
+                            ELSE toks[3*q + 1 : n] END AS tt
+                FROM p, (SELECT unnest(range(0, 4)) AS i) g),
+            r AS (
+                SELECT doc_id, i,
+                       (CASE WHEN role = 'user' THEN [-101]
+                             ELSE [-102] END) || tt || [-103] AS ids,
+                       [-100]
+                       || (CASE WHEN role = 'assistant' THEN tt
+                                ELSE list_transform(tt, x -> -100) END)
+                       || (CASE WHEN role = 'assistant' THEN [-103]
+                                ELSE [-100] END) AS labels
+                FROM tu),
+            f AS (
+                SELECT doc_id,
+                       flatten(list(ids ORDER BY i)) AS input_ids,
+                       flatten(list(labels ORDER BY i)) AS labels
+                FROM r GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(len(input_ids) AS INTEGER) AS n_tok,
+                   CAST(len(list_filter(labels, x -> x != -100))
+                        AS INTEGER) AS n_train_tokens,
+                   md5(coalesce(array_to_string(input_ids, ','), ''))
+                       AS ids_md5,
+                   md5(coalesce(array_to_string(labels, ','), ''))
+                       AS labels_md5
+            FROM f
         """,
         "fim_transform": f"""
             WITH s AS (

@@ -37,6 +37,7 @@ __all__ = [
     "label_balance",
     "epoch_shuffle",
     "chunk_sequences",
+    "sft_mask",
 ]
 
 
@@ -942,4 +943,89 @@ def fim_transform(
                 F.transform(toks, lambda x: x.cast("int"))
             ),
         )
+    )
+
+
+def sft_mask(
+    df: DataFrame,
+    turns_col: str = "turns",
+    assistant_role: str = "assistant",
+    role_prefix_ids: dict[str, tuple[int, ...]] | None = None,
+    turn_suffix_ids: tuple[int, ...] = (-103,),
+    mask_value: int = -100,
+    train_on_suffix: bool = True,
+    ids_out: str = "input_ids",
+    labels_out: str = "labels",
+) -> DataFrame:
+    """Chat-template flattening with completion-only loss masks — the
+    SFT counterpart of :func:`mask_tokens`: render a conversation
+    (``turns_col``: ``array<struct<role string, tokens array<int>>>``)
+    into one training sequence plus a label array where every token the
+    model should NOT be trained on (role headers, user/system content,
+    and optionally the end-of-turn marker of non-assistant turns) is
+    ``mask_value`` and assistant-content tokens carry their own id —
+    the HF-style "completion-only" collation, precomputed at corpus
+    scale instead of per-batch in the trainer.
+
+    Template: each turn renders as ``role_prefix_ids[role] ++ tokens ++
+    turn_suffix_ids`` (unknown roles get an empty prefix); labels are
+    ``mask_value`` everywhere except assistant content, plus the
+    assistant turn's suffix when ``train_on_suffix`` (so the model
+    learns to emit end-of-turn).  Defaults use negative marker ids that
+    can't collide with real vocab; pass your tokenizer's special ids in
+    production.
+
+    Adds ``ids_out``, ``labels_out`` (equal length) and
+    ``n_train_tokens`` (labels != ``mask_value`` — the per-row loss
+    denominator batch samplers want).
+
+    Scale shape: pure per-row array transforms over the scan — the
+    turn structs are flattened by ONE bound transform (ids and labels
+    both read the materialized per-turn structs, not re-derived), no
+    shuffle, no Python workers.
+    """
+    from ..functions import bind_once as _bind
+
+    prefixes = role_prefix_ids or {"user": (-101,), "assistant": (-102,),
+                                   "system": (-104,)}
+    suffix = F.array(*[F.lit(int(x)).cast("int") for x in turn_suffix_ids])
+    mask = F.lit(int(mask_value)).cast("int")
+
+    def _masked(arr: Column) -> Column:
+        return F.transform(arr, lambda _: mask)
+
+    def per_turn(t: Column) -> Column:
+        prefix = F.array().cast("array<int>")
+        for role, ids in prefixes.items():
+            parr = F.array(*[F.lit(int(x)).cast("int") for x in ids])
+            prefix = F.when(t["role"] == F.lit(role), parr).otherwise(prefix)
+        is_asst = t["role"] == F.lit(assistant_role)
+        toks = t["tokens"]
+        ids_t = F.concat(prefix, toks, suffix)
+        # the suffix is trained only on assistant turns (and only when
+        # train_on_suffix)
+        labels_t = F.concat(
+            _masked(prefix),
+            F.when(is_asst, toks).otherwise(_masked(toks)),
+            F.when(is_asst & F.lit(bool(train_on_suffix)), suffix)
+            .otherwise(_masked(suffix)),
+        )
+        return F.struct(ids_t.alias("ids"), labels_t.alias("labels"))
+
+    rendered = _bind(
+        F.transform(F.col(turns_col), per_turn),
+        lambda per: F.struct(
+            F.flatten(F.transform(per, lambda x: x["ids"])).alias("ids"),
+            F.flatten(F.transform(per, lambda x: x["labels"])).alias("labels"),
+        ),
+    )
+    return (
+        df.withColumn("_r", rendered)
+        .withColumn(ids_out, F.col("_r.ids"))
+        .withColumn(labels_out, F.col("_r.labels"))
+        .withColumn(
+            "n_train_tokens",
+            F.size(F.filter(F.col(labels_out), lambda x: x != mask)),
+        )
+        .drop("_r")
     )

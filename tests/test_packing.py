@@ -584,3 +584,66 @@ def test_fim_transform_spm_and_validation(spark):
         fim_transform(df, mode="bad")
     plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_sft_mask_hand_computed(spark):
+    from pyspark.sql import functions as F
+    from gbdc_spark.operators.packing import sft_mask
+
+    df = spark.createDataFrame(
+        [(1, [("user", [5, 6]), ("assistant", [7]), ("user", [8]),
+              ("assistant", [9, 10])])],
+        "conv_id long, turns array<struct<role string, tokens array<int>>>",
+    )
+    row = sft_mask(df).collect()[0]
+    M = -100
+    # template: user -101, assistant -102, suffix -103
+    assert row["input_ids"] == [
+        -101, 5, 6, -103,   -102, 7, -103,   -101, 8, -103,   -102, 9, 10, -103,
+    ]
+    assert row["labels"] == [
+        M, M, M, M,         M, 7, -103,      M, M, M,         M, 9, 10, -103,
+    ]
+    assert len(row["input_ids"]) == len(row["labels"])
+    assert row["n_train_tokens"] == 5
+
+
+def test_sft_mask_roles_and_options(spark):
+    from gbdc_spark.operators.packing import sft_mask
+
+    # system turn masked; unknown role gets empty prefix and is masked;
+    # train_on_suffix=False masks even assistant suffixes
+    df = spark.createDataFrame(
+        [(1, [("system", [1]), ("tool", [2]), ("assistant", [3])])],
+        "conv_id long, turns array<struct<role string, tokens array<int>>>",
+    )
+    row = sft_mask(df, train_on_suffix=False).collect()[0]
+    M = -100
+    assert row["input_ids"] == [-104, 1, -103,   2, -103,   -102, 3, -103]
+    assert row["labels"] == [M, M, M,   M, M,   M, 3, M]
+    assert row["n_train_tokens"] == 1
+
+    # custom template ids
+    row2 = sft_mask(
+        df,
+        role_prefix_ids={"assistant": (90, 91)},
+        turn_suffix_ids=(99,),
+        mask_value=-1,
+    ).collect()[0]
+    assert row2["input_ids"] == [1, 99,   2, 99,   90, 91, 3, 99]
+    assert row2["labels"] == [-1, -1,   -1, -1,   -1, -1, 3, 99]
+
+
+def test_sft_mask_empty_turns_and_empty_tokens(spark):
+    from gbdc_spark.operators.packing import sft_mask
+
+    df = spark.createDataFrame(
+        [(1, []), (2, [("assistant", [])])],
+        "conv_id long, turns array<struct<role string, tokens array<int>>>",
+    )
+    out = {r["conv_id"]: r for r in sft_mask(df).collect()}
+    assert out[1]["input_ids"] == [] and out[1]["labels"] == []
+    assert out[1]["n_train_tokens"] == 0
+    assert out[2]["input_ids"] == [-102, -103]
+    assert out[2]["labels"] == [-100, -103]
+    assert out[2]["n_train_tokens"] == 1

@@ -194,6 +194,12 @@ CHECKS = {
          r"^(?!.*(hashpartitioning|rangepartitioning))"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "sft_mask": [
+        # render + mask is one bound per-row transform over the scan
+        ("no hash/range shuffle (per-row template render)",
+         r"^(?!.*(hashpartitioning|rangepartitioning))"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "temperature_mix": [
         ("boost table broadcast back to the corpus", r"BroadcastHashJoin"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
