@@ -1888,6 +1888,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_sessions", "n_errors",
         )
 
+    def q_data_card(spark, sf_dir):
+        # per-source corpus data card: one dup hash pass + one rollup
+        from gbdc_spark.plans.report import data_card
+
+        return data_card(_docs(spark, sf_dir))
+
     def q_curation_pipeline(spark, sf_dir):  # DuckDB-oracled E2E funnel
         from gbdc_spark.plans.curation import run_curation
 
@@ -2029,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "flagship_docs": q_flagship_docs,
         "curation_pipeline": q_curation_pipeline,
+        "data_card": q_data_card,
         "flagship_pipeline": q_flagship_pipeline,
     }
 
@@ -4552,6 +4559,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN snapmatch m USING (doc_id)
             JOIN sess s USING (source)
             GROUP BY b.source
+        """,
+        "data_card": """
+            WITH h AS (
+                SELECT doc_id, source, lang,
+                       length(text) AS chars,
+                       len(str_split(text, ' ')) AS words,
+                       md5(text) AS hh
+                FROM documents),
+            c AS (SELECT hh, count(*) AS n_same FROM h GROUP BY hh)
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(chars) AS BIGINT) AS total_chars,
+                   CAST(sum(words) AS BIGINT) AS total_words,
+                   count(DISTINCT lang) AS n_langs,
+                   CAST(sum(CASE WHEN c.n_same > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs,
+                   CAST(min(chars) AS INTEGER) AS min_chars,
+                   CAST(max(chars) AS INTEGER) AS max_chars,
+                   round(avg(chars), 6) AS avg_chars,
+                   round(sum(CASE WHEN c.n_same > 1 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS dup_rate
+            FROM h JOIN c ON h.hh = c.hh
+            GROUP BY source
         """,
         "curation_pipeline": f"""
             WITH keepers AS (

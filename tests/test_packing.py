@@ -647,3 +647,27 @@ def test_sft_mask_empty_turns_and_empty_tokens(spark):
     assert out[2]["input_ids"] == [-102, -103]
     assert out[2]["labels"] == [-100, -103]
     assert out[2]["n_train_tokens"] == 1
+
+
+def test_data_card_hand_computed(spark):
+    from gbdc_spark.plans.report import data_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "a b c", "en", "s1"),   # exact dup of 1 (same source)
+            (3, "a b c", "fr", "s2"),   # exact dup across sources
+            (4, "xyz", "en", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["source"]: r for r in data_card(docs).collect()}
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["n_dup_docs"] == 2
+    assert out["s1"]["dup_rate"] == 1.0
+    assert out["s1"]["total_chars"] == 10 and out["s1"]["total_words"] == 6
+    assert out["s1"]["n_langs"] == 1
+    # s2's copy of the duplicated content counts even though the other
+    # copies live in s1 (dup exposure is corpus-wide)
+    assert out["s2"]["n_dup_docs"] == 1 and out["s2"]["n_langs"] == 2
+    assert out["s2"]["min_chars"] == 3 and out["s2"]["max_chars"] == 5
+    assert out["s2"]["avg_chars"] == 4.0

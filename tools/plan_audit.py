@@ -194,6 +194,13 @@ CHECKS = {
          r"^(?!.*(hashpartitioning|rangepartitioning))"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "data_card": [
+        ("dup counts + rollup are map-side-combined partial aggs",
+         r"partial_count"),
+        ("dup join-back is a real equi-join (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "sft_mask": [
         # render + mask is one bound per-row transform over the scan
         ("no hash/range shuffle (per-row template render)",
