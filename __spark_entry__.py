@@ -1173,6 +1173,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bigram_topk(spark, sf_dir):
         return text.ngram_topk(_docs(spark, sf_dir), n=2, k=20)
 
+    def q_vocab_oov(spark, sf_dir):
+        # tokenizer-coverage: induce the top-16 word vocab (the synth
+        # corpus has ~31 distinct words, so the cut is real) and score
+        # per-doc OOV; the count-desc/word-asc cut is deterministic in
+        # both engines
+        from gbdc_spark.operators.text import vocab_oov
+
+        return vocab_oov(_docs(spark, sf_dir), vocab_size=16)
+
     def q_tfidf_topk(spark, sf_dir):
         # characteristic vocabulary per source: smoothed-IDF TF-IDF
         # top-10 — model-sized joins, broadcast N, per-group window
@@ -1983,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "percentile_gate": q_percentile_gate,
         "tfidf_topk": q_tfidf_topk,
+        "vocab_oov": q_vocab_oov,
         "source_divergence": q_source_divergence,
         "source_len_quantiles": q_source_len_quantiles,
         "minhash_sig": q_minhash_sig,
@@ -3955,6 +3965,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, lang, perplexity, NULL AS ppl_bucket
             FROM ppl WHERE perplexity IS NULL
+        """,
+        "vocab_oov": """
+            WITH w AS (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS word
+                FROM documents),
+            v AS (SELECT word FROM (
+                      SELECT word, count(*) AS c FROM w GROUP BY word
+                      ORDER BY c DESC, word ASC LIMIT 16)),
+            j AS (SELECT w.doc_id, w.word, v.word AS hit
+                  FROM w LEFT JOIN v ON w.word = v.word)
+            SELECT doc_id,
+                   count(*) AS n_words,
+                   CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   round(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END)
+                         / count(*), 6) AS oov_rate
+            FROM j GROUP BY doc_id
         """,
         "tfidf_topk": """
             WITH w AS (

@@ -21,6 +21,7 @@ __all__ = [
     "ngram_topk",
     "tfidf_topk",
     "source_divergence",
+    "vocab_oov",
 ]
 
 # fixed marker set for the n-gram/stopword language heuristic
@@ -320,4 +321,52 @@ def bm25_topk(df: DataFrame, query: list[str], text_col: str = "text",
     w = Window.orderBy(F.desc("score"), F.asc(key))
     return top.withColumn("rank", F.row_number().over(w)).select(
         key, "n_matched", "score", "rank"
+    )
+
+
+def vocab_oov(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    key: str = "doc_id",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Tokenizer-coverage diagnostic: build the corpus top-``vocab_size``
+    word vocabulary (count desc, word asc — deterministic cut) and
+    report, per doc, how much of it falls outside that vocabulary:
+    ``(key, n_words, n_oov, oov_rate)`` with the rate rounded to 6.
+    High OOV concentration is how pipelines find the junk a fixed
+    tokenizer will shred into bytes (non-language content, encoding
+    damage) before paying to train on it.
+
+    Pass ``vocab`` (a 1-column ``word`` frame — e.g. a real tokenizer's
+    word list) to score against a FIXED vocabulary instead of the
+    self-induced one.
+
+    Scale shape: vocabulary induction is one word-count partial agg
+    (model-sized output) + a top-V cut; scoring is the
+    :func:`~gbdc_spark.operators.quality.dsir_weights` shape — explode
+    words, broadcast-join the model-sized vocab, ONE partial-agg
+    regroup per doc.  No Python workers, nothing driver-side.
+    """
+    ws = _words(text_col)
+    if vocab is None:
+        vocab = (
+            df.select(F.explode(ws).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("_c"))
+            .orderBy(F.desc("_c"), F.asc("word"))
+            .limit(int(vocab_size))
+            .select("word")
+        )
+    hits = vocab.withColumn("_in", F.lit(1))
+    return (
+        df.select(F.col(key), F.explode(ws).alias("word"))
+        .join(F.broadcast(hits), "word", "left")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn("oov_rate", F.round(F.col("n_oov") / F.col("n_words"), 6))
     )

@@ -133,3 +133,33 @@ def test_bm25_topk_plan_jvm_only_and_validates(spark):
 
     with _pytest.raises(ValueError):
         bm25_topk(df, [])
+
+
+def test_vocab_oov_induced_and_fixed(spark):
+    from gbdc_spark.operators.text import vocab_oov
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c"),   # a:3+2=..., counts corpus-wide
+            (2, "a b b z q"),
+        ],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=4, b=4, c=1, z=1, q=1; top-2 = (a, b) — tie on
+    # count 4 broken by word asc doesn't matter here, but c/z/q tie on
+    # 1 and the cut at 2 excludes them all
+    out = {r["doc_id"]: r for r in vocab_oov(docs, vocab_size=2).collect()}
+    assert out[1]["n_words"] == 6 and out[1]["n_oov"] == 1
+    assert out[1]["oov_rate"] == round(1 / 6, 6)
+    assert out[2]["n_words"] == 5 and out[2]["n_oov"] == 2
+    assert out[2]["oov_rate"] == 0.4
+
+    # deterministic tie at the cut: vocab_size=3 must pick 'c'
+    # (count 1, smallest word) over z/q
+    out3 = {r["doc_id"]: r["n_oov"] for r in vocab_oov(docs, vocab_size=3).collect()}
+    assert out3 == {1: 0, 2: 2}
+
+    # fixed external vocabulary
+    fixed = spark.createDataFrame([("a",), ("z",)], "word string")
+    outf = {r["doc_id"]: r["n_oov"] for r in vocab_oov(docs, vocab=fixed).collect()}
+    assert outf == {1: 3, 2: 3}

@@ -194,6 +194,13 @@ CHECKS = {
          r"^(?!.*(hashpartitioning|rangepartitioning))"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "vocab_oov": [
+        ("vocab broadcast to the exploded corpus words",
+         r"BroadcastHashJoin"),
+        ("per-doc OOV regroup is a map-side-combined partial agg",
+         r"partial_count"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "data_card": [
         ("dup counts + rollup are map-side-combined partial aggs",
          r"partial_count"),
