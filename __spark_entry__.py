@@ -1173,6 +1173,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bigram_topk(spark, sf_dir):
         return text.ngram_topk(_docs(spark, sf_dir), n=2, k=20)
 
+    def q_pmi_topk(spark, sf_dir):
+        # collocation mining: corpus top-20 adjacent pairs by PMI
+        from gbdc_spark.operators.text import pmi_topk
+
+        return pmi_topk(_docs(spark, sf_dir), k=20, min_count=5)
+
     def q_vocab_oov(spark, sf_dir):
         # tokenizer-coverage: induce the top-16 word vocab (the synth
         # corpus has ~31 distinct words, so the cut is real) and score
@@ -1993,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_gate": q_percentile_gate,
         "tfidf_topk": q_tfidf_topk,
         "vocab_oov": q_vocab_oov,
+        "pmi_topk": q_pmi_topk,
         "source_divergence": q_source_divergence,
         "source_len_quantiles": q_source_len_quantiles,
         "minhash_sig": q_minhash_sig,
@@ -3965,6 +3972,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, lang, perplexity, NULL AS ppl_bucket
             FROM ppl WHERE perplexity IS NULL
+        """,
+        "pmi_topk": """
+            WITH w AS (SELECT str_split(text, ' ') AS ws FROM documents),
+            b AS (
+                SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g),
+            bc AS (SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY w1, w2
+                   HAVING count(*) >= 5),
+            u AS (SELECT unnest(ws) AS word FROM w),
+            uc AS (SELECT word, count(*) AS n_word FROM u GROUP BY word),
+            n1 AS (SELECT CAST(count(*) AS BIGINT) AS t1 FROM u),
+            n2 AS (SELECT CAST(count(*) AS BIGINT) AS t2 FROM b)
+            SELECT bc.w1, bc.w2, bc.n_pair,
+                   u1.n_word AS n_w1, u2.n_word AS n_w2,
+                   round(ln((bc.n_pair / t2)
+                            / ((u1.n_word / t1) * (u2.n_word / t1))), 6)
+                       AS pmi
+            FROM bc
+            JOIN uc u1 ON bc.w1 = u1.word
+            JOIN uc u2 ON bc.w2 = u2.word, n1, n2
+            ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 20
         """,
         "vocab_oov": """
             WITH w AS (

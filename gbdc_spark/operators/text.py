@@ -22,6 +22,7 @@ __all__ = [
     "tfidf_topk",
     "source_divergence",
     "vocab_oov",
+    "pmi_topk",
 ]
 
 # fixed marker set for the n-gram/stopword language heuristic
@@ -369,4 +370,80 @@ def vocab_oov(
             F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
         )
         .withColumn("oov_rate", F.round(F.col("n_oov") / F.col("n_words"), 6))
+    )
+
+
+def pmi_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: corpus top-``k`` adjacent word pairs by
+    pointwise mutual information — the phrase-detection statistic
+    (word2phrase-style) curation uses to find multiword units worth
+    protecting from tokenizer splits.  ``pmi = ln((c12/N2) /
+    ((c1/N1)·(c2/N1)))`` with N1 = total words, N2 = total bigrams,
+    rounded to 6; pairs below ``min_count`` are pruned BEFORE the model
+    joins (rare-pair PMI is noise and unpruned tails are where the
+    join cardinality lives).  Deterministic order: pmi desc, then
+    (w1, w2) asc.
+
+    Returns (w1, w2, n_pair, n_w1, n_w2, pmi).
+
+    Scale shape: one bigram partial-agg shuffle + one unigram
+    partial-agg (model-sized outputs), unigram table broadcast onto
+    the pruned pair table twice, totals as 1-row broadcast cross
+    joins, final cut via TakeOrdered.  No Python workers.
+    """
+    from ..functions import bind_once as _bind
+
+    pairs = _bind(
+        F.split(F.col(text_col), " "),
+        lambda ws: F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.struct(
+                    F.element_at(ws, i).alias("w1"),
+                    F.element_at(ws, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+    )
+    big = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+    uni = (
+        df.select(F.explode(_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_word"))
+    )
+    n1 = uni.agg(F.sum("n_word").alias("_n1"))
+    n2 = df.select(F.explode(pairs).alias("p")).agg(F.count("*").alias("_n2"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n_word").alias("n_w1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n_word").alias("n_w2"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("_n2"))
+                    / ((F.col("n_w1") / F.col("_n1"))
+                       * (F.col("n_w2") / F.col("_n1")))
+                ),
+                6,
+            ),
+        )
+        .orderBy(F.desc("pmi"), F.col("w1"), F.col("w2"))
+        .limit(int(k))
+        .select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi")
     )

@@ -163,3 +163,30 @@ def test_vocab_oov_induced_and_fixed(spark):
     fixed = spark.createDataFrame([("a",), ("z",)], "word string")
     outf = {r["doc_id"]: r["n_oov"] for r in vocab_oov(docs, vocab=fixed).collect()}
     assert outf == {1: 3, 2: 3}
+
+
+def test_pmi_topk_hand_computed(spark):
+    import math
+    from gbdc_spark.operators.text import pmi_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    # unigrams: a=3 b=2 c=1 solo=1 (N1=7); bigrams: (a,b)x2 (b,a) (a,c) (N2=4)
+    rows = pmi_topk(docs, min_count=1, k=10).collect()
+    got = [(r["w1"], r["w2"], r["n_pair"], r["pmi"]) for r in rows]
+    ln = lambda x: round(math.log(x), 6)
+    # pmi(a,b)=ln((2/4)/((3/7)(2/7))); pmi(a,c)=ln((1/4)/((3/7)(1/7)));
+    # pmi(b,a)=ln((1/4)/((2/7)(3/7)))
+    exp = sorted(
+        [
+            ("a", "b", 2, ln((2 / 4) / ((3 / 7) * (2 / 7)))),
+            ("a", "c", 1, ln((1 / 4) / ((3 / 7) * (1 / 7)))),
+            ("b", "a", 1, ln((1 / 4) / ((2 / 7) * (3 / 7)))),
+        ],
+        key=lambda t: (-t[3], t[0], t[1]),
+    )
+    assert got == exp
+    # min_count prunes before ranking; single-word docs emit no pair
+    assert [(r["w1"], r["w2"]) for r in pmi_topk(docs, min_count=2, k=10).collect()] == [("a", "b")]

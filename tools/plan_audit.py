@@ -194,6 +194,13 @@ CHECKS = {
          r"^(?!.*(hashpartitioning|rangepartitioning))"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "pmi_topk": [
+        ("unigram model broadcast onto the pruned pair table",
+         r"BroadcastHashJoin"),
+        ("final cut is TakeOrderedAndProject (no full sort)",
+         r"TakeOrderedAndProject"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "vocab_oov": [
         ("vocab broadcast to the exploded corpus words",
          r"BroadcastHashJoin"),
