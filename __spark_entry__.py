@@ -1188,6 +1188,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return vocab_oov(_docs(spark, sf_dir), vocab_size=16)
 
+    def q_lexical_diversity(spark, sf_dir):
+        # vocabulary-richness signals: TTR, hapax fraction, unigram
+        # Shannon entropy per doc — all derived from one (doc, word)
+        # count table; ln(N) - sum(c ln c)/N keeps the fold one-pass
+        from gbdc_spark.operators.text import with_lexical_diversity
+
+        return with_lexical_diversity(_docs(spark, sf_dir))
+
+    def q_zipf_fit(spark, sf_dir):
+        # per-source Zipf OLS over the top-200 word ranks (count desc,
+        # word asc cut); slope/intercept/r2 from covar_pop/var_pop/corr
+        # moments == DuckDB regr_* at round-6
+        from gbdc_spark.operators.text import zipf_fit
+
+        return zipf_fit(_docs(spark, sf_dir), group="source", topk=200)
+
+    def q_span_dedup(spark, sf_dir):
+        # C4 duplicated-span removal (sliding window + interval union,
+        # unlike line_dedup's disjoint chunks) at word granularity on
+        # the punctuation-free synth corpus: any 5-word span seen
+        # earlier corpus-wide is removed from the later occurrence
+        from gbdc_spark.operators.dedup import span_dedup
+
+        return span_dedup(
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            sep=" ", n_span=5,
+        )
+
     def q_tfidf_topk(spark, sf_dir):
         # characteristic vocabulary per source: smoothed-IDF TF-IDF
         # top-10 — model-sized joins, broadcast N, per-group window
@@ -2000,6 +2028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "vocab_oov": q_vocab_oov,
         "pmi_topk": q_pmi_topk,
+        "lexical_diversity": q_lexical_diversity,
+        "zipf_fit": q_zipf_fit,
+        "span_dedup": q_span_dedup,
         "source_divergence": q_source_divergence,
         "source_len_quantiles": q_source_len_quantiles,
         "minhash_sig": q_minhash_sig,
@@ -3972,6 +4003,76 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, lang, perplexity, NULL AS ppl_bucket
             FROM ppl WHERE perplexity IS NULL
+        """,
+        "lexical_diversity": """
+            WITH w AS (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS word
+                FROM documents),
+            c AS (SELECT doc_id, word, count(*) AS c
+                  FROM w GROUP BY doc_id, word)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+                   round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS hapax_frac,
+                   round(ln(CAST(sum(c) AS DOUBLE))
+                         - sum(c * ln(c)) / CAST(sum(c) AS DOUBLE),
+                         6) AS entropy
+            FROM c GROUP BY doc_id
+        """,
+        "zipf_fit": """
+            WITH w AS (
+                SELECT source, unnest(str_split(text, ' ')) AS word
+                FROM documents),
+            c AS (SELECT source, word, count(*) AS c
+                  FROM w GROUP BY source, word),
+            r AS (SELECT source, word, c,
+                         row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY c DESC, word ASC) AS r
+                  FROM c),
+            f AS (SELECT source,
+                         ln(CAST(r AS DOUBLE)) AS lx,
+                         ln(CAST(c AS DOUBLE)) AS ly
+                  FROM r WHERE r <= 200)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_ranked,
+                   round(regr_slope(ly, lx), 6) AS slope,
+                   round(regr_intercept(ly, lx), 6) AS intercept,
+                   round(regr_r2(ly, lx), 6) AS r2
+            FROM f GROUP BY source
+        """,
+        "span_dedup": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') AS us
+                       FROM documents),
+            g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(us[i:i + 4], chr(31))) AS g
+                FROM (SELECT doc_id, us,
+                             unnest(range(1, greatest(len(us) - 4, 0) + 1)) AS i
+                      FROM t)),
+            r AS (SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY g
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM g),
+            cov AS (
+                SELECT DISTINCT doc_id, pos + j AS p
+                FROM (SELECT doc_id, pos, unnest(range(0, 5)) AS j
+                      FROM r WHERE rn > 1)),
+            up AS (SELECT doc_id, generate_subscripts(us, 1) - 1 AS p,
+                          unnest(us) AS u
+                   FROM t)
+            SELECT up.doc_id,
+                   coalesce(string_agg(u, ' ' ORDER BY up.p)
+                                FILTER (WHERE cov.p IS NULL),
+                            '') AS text_dedup,
+                   CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(count(*) FILTER (WHERE cov.p IS NOT NULL)
+                        AS BIGINT) AS n_removed
+            FROM up LEFT JOIN cov
+              ON cov.doc_id = up.doc_id AND cov.p = up.p
+            GROUP BY up.doc_id
         """,
         "pmi_topk": """
             WITH w AS (SELECT str_split(text, ' ') AS ws FROM documents),

@@ -1123,3 +1123,99 @@ def dedup_against(
         exact_out,
         F.coalesce("_near", F.lit(False)).alias(near_out),
     )
+
+
+def span_dedup(df: DataFrame, key: str = "doc_id",
+               text_col: str = "text", sep: str = ". ",
+               n_span: int = 3) -> DataFrame:
+    """Corpus-wide duplicated-SPAN removal — the C4 cleaning rule at its
+    published granularity (Raffel et al. JMLR'20 §2.2: "we removed any
+    three-sentence span that occurred more than once in the data set").
+    The text is split into units on the LITERAL ``sep`` (sentences with
+    the default ``". "``; pass ``sep=" "`` for word granularity on
+    punctuation-free corpora), every window of ``n_span`` consecutive
+    units is hashed, and a span seen earlier corpus-wide — smallest
+    ``(key, position)`` wins — has its covered unit positions removed
+    from the later occurrence (overlapping duplicated windows union,
+    so a repeated region longer than ``n_span`` is removed whole, the
+    same interval-union contract as :func:`substring_dedup`).
+    Surviving units re-join with ``sep`` in original order.
+
+    Returns (key, text_dedup, n_units, n_removed) — row-preserving.
+
+    Scale shape: identical to :func:`substring_dedup` — one posexplode
+    to (key, pos, md5-of-span), one min-struct hash shuffle on the
+    span hash (map-side combined; a span repeated 10⁹ times is one
+    group), one equi-join back, one bounded per-doc regroup; coverage
+    mask and rebuild are pure JVM array ops.  No corpus-wide window,
+    no Python workers.
+    """
+    df = ensure_parallelism(df)
+    sep_pat = "\\Q" + sep + "\\E"
+    units = F.split(F.col(text_col), sep_pat)
+    n = F.size(units)
+
+    def span_hashes(us: Column) -> Column:
+        # sequence(1, k) with k < 1 runs DOWNWARD (step -1): docs with
+        # fewer than n_span units have no spans to hash
+        return F.when(
+            F.size(us) >= n_span,
+            F.transform(
+                F.sequence(F.lit(1), F.size(us) - F.lit(n_span - 1)),
+                lambda i: F.md5(
+                    F.concat_ws("\x1f", F.slice(us, i, n_span))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    spans = _bind(units, span_hashes)
+    occ = df.select(F.col(key), F.posexplode(spans).alias("pos", "g"))
+    first = occ.groupBy("g").agg(
+        F.min(F.struct(F.col(key), F.col("pos"))).alias("first")
+    )
+    dup_starts = (
+        occ.join(first, "g")
+        .filter(
+            (F.col("first." + key) != F.col(key))
+            | (F.col("first.pos") != F.col("pos"))
+        )
+        .groupBy(key)
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + F.lit(n_span - 1)),
+            )
+        )
+    )
+    # array_except preserves left order -> kept positions ascending
+    kept_pos = _bind(
+        covered,
+        lambda cov: F.array_except(
+            F.when(n > 0, F.sequence(F.lit(0), n - 1))
+            .otherwise(F.array().cast("array<int>")),
+            cov,
+        ),
+    )
+    return (
+        df.join(dup_starts, key, "left")
+        .withColumn("_keptpos", kept_pos)
+        .withColumn(
+            "text_dedup",
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.col("_keptpos"),
+                    lambda p: F.element_at(units, p + F.lit(1)),
+                ),
+            ),
+        )
+        .withColumn("n_units", n.cast("long"))
+        .withColumn(
+            "n_removed",
+            (n - F.size(F.col("_keptpos"))).cast("long"),
+        )
+        .select(key, "text_dedup", "n_units", "n_removed")
+    )

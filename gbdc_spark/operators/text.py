@@ -447,3 +447,121 @@ def pmi_topk(
         .limit(int(k))
         .select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi")
     )
+
+
+def with_lexical_diversity(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity signals — the vocabulary-richness
+    complement to the surface stats in :func:`with_text_stats` and the
+    repetition family in :mod:`~gbdc_spark.operators.quality`:
+
+    - ``n_words`` / ``n_types`` — token and distinct-type counts,
+    - ``ttr`` — type/token ratio (low = template/boilerplate text),
+    - ``hapax_frac`` — fraction of types occurring exactly once in the
+      doc (high on natural prose, near 0 on generated/looped content),
+    - ``entropy`` — Shannon entropy (nats) of the doc's unigram
+      distribution, computed as ``ln(N) - sum(c·ln c)/N`` so the fold
+      is a single pass over the per-word counts.
+
+    All ratios rounded to 6 for cross-engine float parity.
+
+    Scale shape: one (key, word) partial-agg shuffle then one per-key
+    partial-agg regroup — both map-side combined, output bounded by
+    per-doc vocabulary.  No window over the corpus, no Python workers.
+    """
+    wc = (
+        df.select(F.col(key), F.explode(_words(text_col)).alias("word"))
+        .groupBy(key, "word")
+        .agg(F.count("*").alias("_c"))
+    )
+    return (
+        wc.groupBy(key)
+        .agg(
+            F.sum("_c").alias("n_words"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("_h"),
+            F.sum(F.col("_c") * F.log("_c")).alias("_clnc"),
+        )
+        .select(
+            key,
+            "n_words",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_words"), 6).alias("ttr"),
+            F.round(F.col("_h") / F.col("n_types"), 6).alias("hapax_frac"),
+            F.round(
+                F.log("n_words") - F.col("_clnc") / F.col("n_words"), 6
+            ).alias("entropy"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group: str = "source",
+    topk: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-``group`` Zipf-law fit: OLS of ``ln(freq)`` on ``ln(rank)``
+    over the group's top-``topk`` words (rank = count desc, word asc —
+    deterministic cut).  Natural text sits near slope -1; a source
+    whose slope is shallow (flat head) or whose fit is poor (low r²)
+    is machine-generated, templated, or encoding-damaged — the
+    corpus-level screen data cards report next to volume stats.
+
+    Returns ``(group, n_ranked, slope, intercept, r2)`` rounded to 6.
+
+    Scale shape: one (group, word) count shuffle (map-side combined,
+    model-sized output), a per-group rank window over that MODEL-sized
+    table (never the corpus), then the OLS moments as one partial agg
+    per group.  No Python workers.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(group), F.explode(_words(text_col)).alias("word"))
+        .groupBy(group, "word")
+        .agg(F.count("*").alias("_c"))
+    )
+    w = Window.partitionBy(group).orderBy(F.desc("_c"), F.asc("word"))
+    ranked = (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(topk))
+        .select(
+            group,
+            F.log(F.col("_r").cast("double")).alias("_lx"),
+            F.log(F.col("_c").cast("double")).alias("_ly"),
+        )
+    )
+    # explicit OLS moments, NOT F.corr: Spark 4 ANSI corr raises
+    # DIVIDE_BY_ZERO on zero variance; try_divide + the var_pop(y)=0
+    # special case reproduce the SQL-standard regr_* semantics DuckDB
+    # implements (slope/intercept NULL when var(x)=0; r2 = 1 when
+    # var(y)=0 but var(x)>0)
+    slope = F.try_divide(F.col("_cov"), F.col("_vx"))
+    return (
+        ranked.groupBy(group)
+        .agg(
+            F.count("*").alias("n_ranked"),
+            F.covar_pop("_lx", "_ly").alias("_cov"),
+            F.var_pop("_lx").alias("_vx"),
+            F.var_pop("_ly").alias("_vy"),
+            F.avg("_lx").alias("_mx"),
+            F.avg("_ly").alias("_my"),
+        )
+        .select(
+            group,
+            "n_ranked",
+            F.round(slope, 6).alias("slope"),
+            F.round(F.col("_my") - slope * F.col("_mx"), 6).alias("intercept"),
+            F.round(
+                F.when(F.col("_vx") == 0, F.lit(None))
+                .when(F.col("_vy") == 0, F.lit(1.0))
+                .otherwise(
+                    F.col("_cov") * F.col("_cov")
+                    / (F.col("_vx") * F.col("_vy"))
+                ),
+                6,
+            ).alias("r2"),
+        )
+    )

@@ -719,3 +719,69 @@ def test_dedup_against_empty_snapshot(spark):
     snap = spark.createDataFrame([], "doc_id long, text string")
     row = dedup_against(new, snap).collect()[0]
     assert not row["dup_exact"] and not row["dup_near"]
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    from gbdc_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # original span source
+            (2, "x a b c y"),          # contains the 3-span "a b c"
+            (3, "p q r"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           span_dedup(docs, sep=" ", n_span=3).collect()}
+    # doc 1 keeps everything (it is the first occurrence of its spans)
+    assert out[1]["text_dedup"] == "a b c d e" and out[1]["n_removed"] == 0
+    # doc 2 loses positions 1..3 ("a b c"), keeps x and y
+    assert out[2]["text_dedup"] == "x y" and out[2]["n_removed"] == 3
+    assert out[2]["n_units"] == 5
+    # doc 3: unique spans untouched
+    assert out[3]["text_dedup"] == "p q r" and out[3]["n_removed"] == 0
+
+
+def test_span_dedup_interval_union_and_edges(spark):
+    from gbdc_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),        # verbatim repeat: overlapping
+                                        # dup windows union -> all gone
+            (3, "a b"),                # shorter than n_span: no spans
+            (4, ""),                   # empty text: one empty unit
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           span_dedup(docs, sep=" ", n_span=3).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_dedup"] == "" and out[2]["n_removed"] == 6
+    assert out[3]["text_dedup"] == "a b" and out[3]["n_removed"] == 0
+    assert out[4]["n_units"] == 1 and out[4]["n_removed"] == 0
+    # same-doc repetition: the SECOND occurrence inside one doc is
+    # removed too (first occurrence is (key, pos)-smallest)
+    solo = spark.createDataFrame(
+        [(9, "m n o z m n o")], "doc_id long, text string"
+    )
+    row = span_dedup(solo, sep=" ", n_span=3).collect()[0]
+    assert row["text_dedup"] == "m n o z" and row["n_removed"] == 3
+
+
+def test_span_dedup_sentence_granularity(spark):
+    from gbdc_spark.operators.dedup import span_dedup
+
+    # the published C4 rule: ". "-separated sentences, 3-sentence spans
+    docs = spark.createDataFrame(
+        [
+            (1, "s1. s2. s3. s4"),
+            (2, "t0. s1. s2. s3. t1"),  # repeats doc 1's leading span
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs).collect()}
+    assert out[1]["text_dedup"] == "s1. s2. s3. s4"
+    assert out[2]["text_dedup"] == "t0. t1" and out[2]["n_removed"] == 3
