@@ -332,6 +332,26 @@ CHECKS = {
          r"BroadcastNestedLoopJoin|BroadcastExchange"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "lexical_diversity": [
+        ("(doc, word) counts + per-doc fold are map-side-combined",
+         r"partial_count"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "zipf_fit": [
+        ("count agg before the model-sized rank window is partial "
+         "(map-side combined)",
+         r"partial_count"),
+        ("OLS moments are one partial agg per group", r"partial_avg"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "span_dedup": [
+        ("global first-occurrence keeper is a map-side-combined min",
+         r"partial_min"),
+        ("join-back on the span hash is a real equi-join (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("coverage mask + rebuild JVM-side (no Python workers)",
+         r"^(?!.*ArrowEvalPython)"),
+    ],
 }
 
 
