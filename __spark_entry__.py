@@ -1216,6 +1216,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sep=" ", n_span=5,
         )
 
+    def q_ngram_novelty(spark, sf_dir):
+        # recycled-content scoring: fraction of each doc's 5-gram
+        # occurrences whose corpus-wide first occurrence is elsewhere
+        # (the read-only counterpart of span_dedup)
+        from gbdc_spark.operators.text import ngram_novelty
+
+        return ngram_novelty(_docs(spark, sf_dir), n=5)
+
+    def q_word_burstiness(spark, sf_dir):
+        # Church–Gale burstiness (VMR with zeros) for the corpus top
+        # words — zero rows never materialized, only Σc and Σc² travel
+        from gbdc_spark.operators.text import word_burstiness
+
+        return word_burstiness(_docs(spark, sf_dir), topk=50)
+
     def q_tfidf_topk(spark, sf_dir):
         # characteristic vocabulary per source: smoothed-IDF TF-IDF
         # top-10 — model-sized joins, broadcast N, per-group window
@@ -2029,6 +2044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov": q_vocab_oov,
         "pmi_topk": q_pmi_topk,
         "lexical_diversity": q_lexical_diversity,
+        "ngram_novelty": q_ngram_novelty,
+        "word_burstiness": q_word_burstiness,
         "zipf_fit": q_zipf_fit,
         "span_dedup": q_span_dedup,
         "source_divergence": q_source_divergence,
@@ -4003,6 +4020,54 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, lang, perplexity, NULL AS ppl_bucket
             FROM ppl WHERE perplexity IS NULL
+        """,
+        "ngram_novelty": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') AS us
+                       FROM documents),
+            g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(us[i:i + 4], chr(31))) AS g
+                FROM (SELECT doc_id, us,
+                             unnest(range(1, greatest(len(us) - 4, 0) + 1)) AS i
+                      FROM t)),
+            r AS (SELECT doc_id,
+                         row_number() OVER (PARTITION BY g
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM g),
+            per AS (SELECT doc_id,
+                           count(*) AS n_grams,
+                           count(*) FILTER (WHERE rn > 1) AS n_rec
+                    FROM r GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(per.n_rec, 0) AS BIGINT) AS n_recycled,
+                   round(per.n_rec / CAST(per.n_grams AS DOUBLE),
+                         6) AS recycled_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "word_burstiness": """
+            WITH w AS (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS word
+                FROM documents),
+            c AS (SELECT doc_id, word, count(*) AS c
+                  FROM w GROUP BY doc_id, word),
+            n AS (SELECT count(*) AS n FROM documents),
+            m AS (SELECT word,
+                         count(*) AS n_docs_with,
+                         sum(c) AS total,
+                         sum(c * c) AS c2
+                  FROM c GROUP BY word)
+            SELECT word,
+                   CAST(n_docs_with AS BIGINT) AS n_docs_with,
+                   CAST(total AS BIGINT) AS total,
+                   round(total / CAST(n AS DOUBLE), 6) AS mean,
+                   round((c2 / CAST(n AS DOUBLE)
+                          - (total / CAST(n AS DOUBLE))
+                            * (total / CAST(n AS DOUBLE)))
+                         / (total / CAST(n AS DOUBLE)), 6) AS vmr
+            FROM m, n
+            ORDER BY total DESC, word ASC
+            LIMIT 50
         """,
         "lexical_diversity": """
             WITH w AS (

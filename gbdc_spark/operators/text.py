@@ -23,6 +23,10 @@ __all__ = [
     "source_divergence",
     "vocab_oov",
     "pmi_topk",
+    "with_lexical_diversity",
+    "zipf_fit",
+    "ngram_novelty",
+    "word_burstiness",
 ]
 
 # fixed marker set for the n-gram/stopword language heuristic
@@ -564,4 +568,125 @@ def zipf_fit(
                 6,
             ).alias("r2"),
         )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-document recycled-content measurement: the fraction of the
+    doc's word ``n``-gram OCCURRENCES whose corpus-wide first occurrence
+    (smallest ``(key, position)``) lies elsewhere — i.e. how much of
+    the doc is text the corpus already contains.  The read-only
+    counterpart of :func:`~gbdc_spark.operators.dedup.span_dedup`:
+    dedup rewrites the doc, novelty just scores it (dedup-debt ranking,
+    near-dup triage, memorization-risk screens).
+
+    Returns (key, n_grams, n_recycled, novelty) — row-preserving;
+    docs shorter than ``n`` words have 0 grams and NULL novelty.
+
+    Scale shape: one posexplode to (key, pos, md5-of-gram), one
+    min-struct hash shuffle on the gram (map-side combined), one
+    equi-join back, one per-doc partial-agg regroup.  No corpus
+    window, no Python workers.
+    """
+    from ..functions import bind_once as _bind
+
+    units = _words(text_col)
+
+    def gram_hashes(us: Column) -> Column:
+        # sequence(1, k) with k < 1 runs downward (step -1): guard
+        return F.when(
+            F.size(us) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(us) - F.lit(n - 1)),
+                lambda i: F.md5(F.concat_ws("\x1f", F.slice(us, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    occ = df.select(
+        F.col(key), F.posexplode(_bind(units, gram_hashes)).alias("pos", "g")
+    )
+    first = occ.groupBy("g").agg(
+        F.min(F.struct(F.col(key), F.col("pos"))).alias("first")
+    )
+    per = (
+        occ.join(first, "g")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(
+                    (F.col("first." + key) != F.col(key))
+                    | (F.col("first.pos") != F.col("pos")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_recycled"),
+        )
+    )
+    return (
+        df.select(key)
+        .join(per, key, "left")
+        .select(
+            key,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_recycled"), F.lit(0)).cast("long")
+            .alias("n_recycled"),
+            F.round(
+                F.try_divide(F.col("n_recycled"), F.col("n_grams")), 6
+            ).alias("recycled_frac"),
+        )
+    )
+
+
+def word_burstiness(
+    df: DataFrame,
+    topk: int = 100,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Corpus top-``topk`` words (total count desc, word asc —
+    deterministic cut) with their Church–Gale burstiness: the
+    variance-to-mean ratio of the per-document count, zeros included.
+    Function words sit near VMR 1 (Poisson); topical/templated words
+    are bursty (VMR >> 1) — the screen that separates vocabulary that
+    spreads from vocabulary that clumps, reported on corpus data cards
+    next to volume stats.
+
+    Returns (word, n_docs_with, total, mean, vmr) rounded to 6, where
+    ``mean = total / N`` and ``vmr = var_pop / mean`` over all N docs
+    (docs not containing the word contribute count 0: only Σc and Σc²
+    are needed, so zero rows are never materialized).
+
+    Scale shape: one (key, word) count shuffle, one per-word moment
+    agg (both map-side combined, model-sized outputs), the 1-row doc
+    total joined as a broadcast, final cut via TakeOrdered.
+    """
+    wc = (
+        df.select(F.col(key), F.explode(_words(text_col)).alias("word"))
+        .groupBy(key, "word")
+        .agg(F.count("*").alias("_c"))
+    )
+    n_docs = df.agg(F.count("*").alias("_n"))
+    moments = wc.groupBy("word").agg(
+        F.count("*").alias("n_docs_with"),
+        F.sum("_c").alias("total"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_c2"),
+    )
+    mean = F.col("total") / F.col("_n")
+    var = F.col("_c2") / F.col("_n") - mean * mean
+    return (
+        moments.crossJoin(F.broadcast(n_docs))
+        .select(
+            "word",
+            "n_docs_with",
+            "total",
+            F.round(mean, 6).alias("mean"),
+            F.round(var / mean, 6).alias("vmr"),
+        )
+        .orderBy(F.desc("total"), F.asc("word"))
+        .limit(int(topk))
     )

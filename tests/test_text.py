@@ -261,3 +261,47 @@ def test_zipf_fit_deterministic_tie_cut(spark):
     r1 = zipf_fit(solo, topk=5).collect()[0]
     assert r1["n_ranked"] == 1
     assert r1["slope"] is None and r1["intercept"] is None and r1["r2"] is None
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from gbdc_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # first occurrence of its grams
+            (2, "a b c z"),        # 3-grams: "a b c" recycled, "b c z" new
+            (3, "a b"),            # too short: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["n_recycled"] == 0
+    assert out[1]["recycled_frac"] == 0.0
+    assert out[2]["n_grams"] == 2 and out[2]["n_recycled"] == 1
+    assert out[2]["recycled_frac"] == 0.5
+    assert out[3]["n_grams"] == 0 and out[3]["recycled_frac"] is None
+    # same-doc repetition counts as recycled (first (key,pos) wins)
+    solo = spark.createDataFrame([(9, "x y z x y z")], "doc_id long, text string")
+    r = ngram_novelty(solo, n=3).collect()[0]
+    # grams at pos 0..3: xyz yzx zxy xyz -> one repeat
+    assert r["n_grams"] == 4 and r["n_recycled"] == 1
+
+
+def test_word_burstiness_hand_computed(spark):
+    from gbdc_spark.operators.text import word_burstiness
+
+    # 4 docs; 'a' spread evenly (1 each), 'b' clumped (4 in one doc)
+    docs = spark.createDataFrame(
+        [(1, "a b b b b"), (2, "a"), (3, "a"), (4, "a")],
+        "doc_id long, text string",
+    )
+    out = {r["word"]: r for r in word_burstiness(docs, topk=10).collect()}
+    # 'a': counts (1,1,1,1) -> mean 1, var 0, vmr 0
+    assert out["a"]["n_docs_with"] == 4 and out["a"]["total"] == 4
+    assert out["a"]["mean"] == 1.0 and out["a"]["vmr"] == 0.0
+    # 'b': counts (4,0,0,0) -> mean 1, var = (16/4 - 1) = 3, vmr 3
+    assert out["b"]["n_docs_with"] == 1 and out["b"]["total"] == 4
+    assert out["b"]["mean"] == 1.0 and out["b"]["vmr"] == 3.0
+    # deterministic cut: topk=1 keeps 'a' (tie on total=4, word asc)
+    only = word_burstiness(docs, topk=1).collect()
+    assert [r["word"] for r in only] == ["a"]

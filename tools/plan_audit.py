@@ -344,6 +344,21 @@ CHECKS = {
         ("OLS moments are one partial agg per group", r"partial_avg"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "ngram_novelty": [
+        ("global first-occurrence keeper is a map-side-combined min",
+         r"partial_min"),
+        ("join-back on the gram hash is a real equi-join (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "word_burstiness": [
+        ("moment aggs are map-side-combined partials", r"partial_count"),
+        ("doc total joined as a 1-row broadcast",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("final cut is TakeOrderedAndProject (no full sort)",
+         r"TakeOrderedAndProject"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "span_dedup": [
         ("global first-occurrence keeper is a map-side-combined min",
          r"partial_min"),
