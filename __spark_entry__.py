@@ -1022,6 +1022,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n_kept"))
         )
 
+    def q_stream_near_dedup(spark, sf_dir):
+        # REAL stateful streaming NEAR-dup (applyInPandasWithState over
+        # MinHash-LSH band signatures): the corpus arrives as four
+        # doc_id-range files (mtime-ordered, one per micro-batch), so a
+        # doc sharing a band with a doc from an EARLIER batch can only
+        # be flagged by the cross-batch bucket state.  Arrival order ==
+        # doc_id order, so the verdicts equal the batch
+        # first-occurrence-wins rule the DuckDB oracle replays.
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from gbdc_spark.streaming.pipeline import stream_near_dedup
+
+        base = tempfile.mkdtemp(prefix="gbdc_sndedup_")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        hi = docs.agg(F.max("doc_id")).first()[0]
+        step = (int(hi) + 4) // 4
+        os.makedirs(f"{base}/in")
+        for i in range(4):
+            tmp = f"{base}/_{i}"
+            docs.filter(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step)
+            ).coalesce(1).write.parquet(tmp)
+            fn = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = f"{base}/in/part{i}.parquet"
+            shutil.copy(f"{tmp}/{fn}", dst)
+            os.utime(dst, (1000 + i, 1000 + i))
+            shutil.rmtree(tmp)
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/in")
+        )
+        name = f"sndedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream_near_dedup(src, key="doc_id", buckets=16)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name)
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("dup").cast("int")).cast("long")
+                .alias("n_dup_bands"),
+                F.max("dup").alias("dup_near"),
+            )
+        )
+
     def q_json_props_agg(spark, sf_dir):
         # semi-structured path: typed from_json over the props column,
         # aggregated per event type (the JSON-functions family of §2.9)
@@ -2016,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sequences": q_chunk_sequences,
         "stream_asof": q_stream_asof,
         "stream_dedup": q_stream_dedup,
+        "stream_near_dedup": q_stream_near_dedup,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
         "json_props_agg": q_json_props_agg,
@@ -3209,6 +3263,18 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             SELECT md5(text) AS content_hash, CAST(1 AS BIGINT) AS n_kept
             FROM documents GROUP BY md5(text)
+        """,
+        "stream_near_dedup": f"""
+            WITH {_DUCK_MINHASH_CAND},
+            r AS (SELECT doc_id, band, bkey,
+                         row_number() OVER (PARTITION BY band, bkey
+                                            ORDER BY doc_id) AS rn
+                  FROM banded)
+            SELECT doc_id,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                       AS n_dup_bands,
+                   count(*) FILTER (WHERE rn > 1) > 0 AS dup_near
+            FROM r GROUP BY doc_id
         """,
         "quality_signals": """
             WITH w AS (

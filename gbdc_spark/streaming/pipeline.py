@@ -215,3 +215,105 @@ def stream_asof(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_near_dedup(
+    stream_df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    buckets: int = 64,
+    timeout_minutes: int = 0,
+):
+    """Custom stateful streaming NEAR-duplicate detection — the
+    MinHash-LSH complement of :func:`stream_dedup` (which is exact):
+    each arriving doc's LSH band signatures are checked against a
+    state set of every band signature seen in ANY earlier micro-batch
+    (or on a smaller ``key`` within the same batch); a hit means the
+    doc shares a band with an earlier doc, i.e. is a near-dup
+    candidate by exactly the batch ``minhash_candidate_pairs`` rule.
+
+    Emits one row per (key, band): ``(key, band, bkey, dup)``; roll up
+    per doc downstream (``dup_near = max(dup)``).  Verdicts are
+    deterministic given arrival order: the scan processes each state
+    bucket's batch slice sorted by (key, band), so replaying the same
+    ordered stream reproduces the same flags bit-for-bit — and equals
+    the batch first-occurrence-wins rule when files arrive in key
+    order (the DuckDB oracle replays that rule).
+
+    State design for scale: grouping is on ``pmod(xxhash64(band|bkey),
+    buckets)`` — never the raw signature — so state stays O(buckets)
+    GroupState entries each holding its bucket's seen-signature set,
+    and a viral signature repeated 10⁹ times cannot create a hot group
+    (identical signatures land in ONE bucket where the check is a set
+    lookup).  ``timeout_minutes`` > 0 expires idle buckets to bound
+    state on unbounded streams.  The signature itself is computed
+    JVM-side on the stream (bound minhash + band explode — stateless
+    projections); only the set membership runs in Python, on
+    Arrow-batched band rows.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import _banded, with_minhash_signature
+
+    sig = with_minhash_signature(
+        stream_df.select(key, text_col),
+        text_col=text_col, num_perm=num_perm, shingle_n=shingle_n,
+    )
+    banded = _banded(sig, key, num_perm, bands)
+    out_schema = T.StructType(
+        list(banded.schema.fields) + [T.StructField("dup", T.BooleanType())]
+    )
+    cols = [f.name for f in out_schema.fields]
+    state_schema = "seen array<string>"
+
+    def scan(bucket, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            # deterministic within-batch order: smallest (key, band)
+            # registers first, later rows see it
+            pdf = pdf.sort_values([key, "band"], kind="mergesort",
+                                  ignore_index=True)
+            flags = []
+            for band, bkey in zip(pdf["band"], pdf["bkey"]):
+                k = f"{band}|{bkey}"
+                if k in seen:
+                    flags.append(True)
+                else:
+                    seen.add(k)
+                    flags.append(False)
+            pdf["dup"] = flags
+            yield pdf[cols]
+        state.update((list(seen),))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    bucketed = banded.withColumn(
+        "_bucket",
+        F.pmod(
+            F.xxhash64(
+                F.concat_ws("|", F.col("band").cast("string"), F.col("bkey"))
+            ),
+            F.lit(buckets),
+        ),
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        scan,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

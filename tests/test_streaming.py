@@ -257,3 +257,54 @@ def test_stream_asof_matches_batch_asof(spark, tmp_path):
     n_after = spark.read.parquet(f"{out}/batch=*").count()
     assert n_after == 30
     right.unpersist()
+
+
+def test_stream_near_dedup_band_state_across_batches(spark, tmp_path):
+    """MinHash-LSH band state: an exact repeat arriving in a LATER
+    micro-batch (restart from checkpoint) is flagged on every band; a
+    near-copy shares some but not necessarily all bands; unrelated text
+    is clean.  Within a batch the smaller key registers first."""
+    import pandas as pd
+
+    in_dir = str(tmp_path / "nd_in")
+    out_dir = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [base, base]})
+    ).write.parquet(in_dir)
+
+    def run_once():
+        src = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 100).parquet(in_dir)
+        q = (
+            sp.stream_near_dedup(src, key="doc_id", buckets=8)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    got = spark.read.parquet(out_dir).toPandas()
+    # doc 1 registers (4 clean bands); doc 2 is a verbatim intra-batch
+    # repeat -> all 4 bands flagged
+    assert got.groupby("doc_id")["dup"].sum().to_dict() == {1: 0, 2: 4}
+
+    # batch 2 after restart: another verbatim copy (cross-batch state)
+    # and an unrelated doc
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3, 4],
+                      "text": [base, "completely different words here ok"]})
+    ).write.mode("append").parquet(in_dir)
+    run_once()
+    got2 = spark.read.parquet(out_dir).toPandas()
+    sums = got2.groupby("doc_id")["dup"].sum().to_dict()
+    assert sums[3] == 4          # remembered from batch 1's state
+    assert sums[4] == 0          # unrelated: no shared band
