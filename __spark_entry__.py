@@ -1277,6 +1277,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_docs(spark, sf_dir), n=5)
 
+    def q_heaps_fit(spark, sf_dir):
+        # Heaps'-law vocabulary growth in doc_id order, 10 checkpoints
+        # + the OLS beta/lnc; two-phase global token offsets (no
+        # single-partition window)
+        from gbdc_spark.operators.text import heaps_fit
+
+        return heaps_fit(_docs(spark, sf_dir), checkpoints=10)
+
     def q_word_burstiness(spark, sf_dir):
         # Church–Gale burstiness (VMR with zeros) for the corpus top
         # words — zero rows never materialized, only Σc and Σc² travel
@@ -2099,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_topk": q_pmi_topk,
         "lexical_diversity": q_lexical_diversity,
         "ngram_novelty": q_ngram_novelty,
+        "heaps_fit": q_heaps_fit,
         "word_burstiness": q_word_burstiness,
         "zipf_fit": q_zipf_fit,
         "span_dedup": q_span_dedup,
@@ -4086,6 +4095,39 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, lang, perplexity, NULL AS ppl_bucket
             FROM ppl WHERE perplexity IS NULL
+        """,
+        "heaps_fit": """
+            WITH d AS (SELECT doc_id, str_split(text, ' ') AS ws
+                       FROM documents),
+            o AS (SELECT doc_id, ws,
+                         coalesce(sum(len(ws)) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS off
+                  FROM d),
+            w AS (SELECT off + generate_subscripts(ws, 1) - 1 AS gpos,
+                         unnest(ws) AS word
+                  FROM o),
+            fp AS (SELECT word, min(gpos) AS first_pos
+                   FROM w GROUP BY word),
+            n AS (SELECT sum(len(ws)) AS total FROM d),
+            ck AS (SELECT k.k,
+                          CAST(floor(k.k * total / 10.0) AS BIGINT)
+                              AS n_tokens
+                   FROM n, (SELECT unnest(range(1, 11)) AS k) k),
+            v AS (SELECT ck.k, ck.n_tokens,
+                         CAST(count(*) FILTER (
+                             WHERE fp.first_pos < ck.n_tokens)
+                           AS BIGINT) AS vocab
+                  FROM ck CROSS JOIN fp GROUP BY ck.k, ck.n_tokens),
+            fit AS (SELECT round(regr_slope(ly, lx), 6) AS beta,
+                           round(regr_intercept(ly, lx), 6) AS lnc
+                    FROM (SELECT ln(CAST(n_tokens AS DOUBLE)) AS lx,
+                                 ln(CAST(vocab AS DOUBLE)) AS ly
+                          FROM v
+                          WHERE vocab > 0 AND n_tokens > 0))
+            SELECT v.k, v.n_tokens, v.vocab, fit.beta, fit.lnc
+            FROM v, fit
         """,
         "ngram_novelty": """
             WITH t AS (SELECT doc_id, str_split(text, ' ') AS us

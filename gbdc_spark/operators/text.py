@@ -27,6 +27,7 @@ __all__ = [
     "zipf_fit",
     "ngram_novelty",
     "word_burstiness",
+    "heaps_fit",
 ]
 
 # fixed marker set for the n-gram/stopword language heuristic
@@ -689,4 +690,101 @@ def word_burstiness(
         )
         .orderBy(F.desc("total"), F.asc("word"))
         .limit(int(topk))
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    checkpoints: int = 10,
+    text_col: str = "text",
+    key: str = "doc_id",
+    buckets: int = 256,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve and fit: reading the corpus
+    in ``key`` order, V(n) = distinct words seen in the first ``n``
+    tokens, sampled at ``checkpoints`` evenly spaced n's, with the OLS
+    fit of ``ln V = lnc + beta·ln n`` (natural text sits at
+    beta ≈ 0.4–0.6; saturating vocabulary — templated/generated text —
+    bends the curve down).  The data-card companion of :func:`zipf_fit`
+    (the two laws are duals).
+
+    Returns one row per checkpoint: (k, n_tokens, vocab, beta, lnc) —
+    beta/lnc repeated (they are corpus constants; checkpoints with
+    vocab 0 are excluded from the fit but still reported).
+
+    Scale shape: global token offsets WITHOUT a single-partition
+    window — docs bucket by ``key`` range (``max_id`` skips the probe
+    job if the caller knows it), a ≤``buckets``-row cumulative agg
+    broadcasts bucket token offsets back, and each bucket's per-doc
+    offsets window independently (the epoch_shuffle two-phase shape).
+    Per-word first positions are then ONE min agg (map-side combined,
+    model-sized output), checkpoint counts a broadcast cross join over
+    the vocab table, the fit a 1-row agg.  No Python workers.
+    """
+    ws = _words(text_col)
+    lens = df.select(F.col(key), ws.alias("_ws")).withColumn(
+        "_n", F.size("_ws")
+    )
+    if max_id is None:
+        max_id = lens.agg(F.max(key)).first()[0]
+    width = max(1, (int(max_id) + buckets) // buckets)
+    scored = lens.withColumn("_b", (F.col(key) / F.lit(width)).cast("int"))
+    bsum = scored.groupBy("_b").agg(F.sum("_n").alias("_bn"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.withColumn(
+        "_boff", F.coalesce(F.sum("_bn").over(wb), F.lit(0))
+    ).select("_b", "_boff")
+    wd = Window.partitionBy("_b").orderBy(key).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        scored.join(F.broadcast(boff), "_b")
+        .withColumn(
+            "_off", F.col("_boff") + F.coalesce(F.sum("_n").over(wd), F.lit(0))
+        )
+    )
+    first = (
+        offs.select(F.col("_off"), F.posexplode("_ws").alias("_p", "word"))
+        .groupBy("word")
+        .agg(F.min(F.col("_off") + F.col("_p")).alias("_fp"))
+    )
+    total = lens.agg(F.sum("_n").alias("_tot"))
+    ck = (
+        total.select(
+            F.explode(F.sequence(F.lit(1), F.lit(int(checkpoints)))).alias("k"),
+            "_tot",
+        )
+        .withColumn(
+            "n_tokens",
+            F.floor(F.col("k") * F.col("_tot") / F.lit(float(checkpoints)))
+            .cast("long"),
+        )
+        .select(F.col("k").cast("long").alias("k"), "n_tokens")
+    )
+    v = (
+        first.crossJoin(F.broadcast(ck))
+        .groupBy("k", "n_tokens")
+        .agg(
+            F.sum(
+                F.when(F.col("_fp") < F.col("n_tokens"), 1).otherwise(0)
+            ).cast("long").alias("vocab")
+        )
+    )
+    pts = v.filter((F.col("vocab") > 0) & (F.col("n_tokens") > 0)).select(
+        F.log(F.col("n_tokens").cast("double")).alias("_lx"),
+        F.log(F.col("vocab").cast("double")).alias("_ly"),
+    )
+    beta = F.try_divide(F.col("_cov"), F.col("_vx"))
+    fit = pts.agg(
+        F.covar_pop("_lx", "_ly").alias("_cov"),
+        F.var_pop("_lx").alias("_vx"),
+        F.avg("_lx").alias("_mx"),
+        F.avg("_ly").alias("_my"),
+    ).select(
+        F.round(beta, 6).alias("beta"),
+        F.round(F.col("_my") - beta * F.col("_mx"), 6).alias("lnc"),
+    )
+    return v.crossJoin(F.broadcast(fit)).select(
+        "k", "n_tokens", "vocab", "beta", "lnc"
     )

@@ -305,3 +305,44 @@ def test_word_burstiness_hand_computed(spark):
     # deterministic cut: topk=1 keeps 'a' (tie on total=4, word asc)
     only = word_burstiness(docs, topk=1).collect()
     assert [r["word"] for r in only] == ["a"]
+
+
+def test_heaps_fit_hand_computed(spark):
+    import math
+    from gbdc_spark.operators.text import heaps_fit
+
+    # 10 tokens total in doc order: first positions — a:0 b:1 c:3 d:6
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "c a b"), (2, "d a b c")],
+        "doc_id long, text string",
+    )
+    out = {r["k"]: r for r in heaps_fit(docs, checkpoints=5).collect()}
+    # checkpoints n = 2,4,6,8,10; V(n) = #{first_pos < n}
+    assert [(out[k]["n_tokens"], out[k]["vocab"]) for k in range(1, 6)] == [
+        (2, 2), (4, 3), (6, 3), (8, 4), (10, 4)
+    ]
+    # fit matches a NumPy-free hand OLS over the same (ln n, ln V) pts
+    lx = [math.log(n) for n in (2, 4, 6, 8, 10)]
+    ly = [math.log(v) for v in (2, 3, 3, 4, 4)]
+    mx, my = sum(lx) / 5, sum(ly) / 5
+    cov = sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / 5
+    vx = sum((x - mx) ** 2 for x in lx) / 5
+    assert out[1]["beta"] == round(cov / vx, 6)
+    assert out[1]["lnc"] == round(my - cov / vx * mx, 6)
+    # beta/lnc constant across checkpoint rows
+    assert len({out[k]["beta"] for k in out}) == 1
+
+
+def test_heaps_fit_two_phase_offsets_match_plain(spark):
+    # many buckets vs one bucket must agree (the offset phases are
+    # an implementation detail, not semantics)
+    from gbdc_spark.operators.text import heaps_fit
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 7}" for j in range(i % 5 + 1)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(heaps_fit(docs, checkpoints=4, buckets=256).collect())
+    b = sorted(heaps_fit(docs, checkpoints=4, buckets=16, max_id=39).collect())
+    assert a == b

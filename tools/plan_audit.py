@@ -344,6 +344,14 @@ CHECKS = {
         ("OLS moments are one partial agg per group", r"partial_avg"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "heaps_fit": [
+        ("bucket token offsets broadcast back (two-phase, no global "
+         "single-partition window)",
+         r"BroadcastHashJoin"),
+        ("per-word first-position agg is map-side combined",
+         r"partial_min"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "ngram_novelty": [
         ("global first-occurrence keeper is a map-side-combined min",
          r"partial_min"),
