@@ -1277,6 +1277,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_docs(spark, sf_dir), n=5)
 
+    def q_logreg_langid(spark, sf_dir):
+        # in-engine trained classifier (CCNet/FineWeb gate pattern):
+        # 3 epochs of full-batch GD as map-side-combined avg aggs; the
+        # oracle unrolls the identical trajectory in chained CTEs, so
+        # the TRAINING LOOP is value-gated, not just the scorer
+        from gbdc_spark.operators.quality import logreg_langid
+
+        return logreg_langid(_docs(spark, sf_dir), epochs=3, lr=1.0)
+
     def q_heaps_fit(spark, sf_dir):
         # Heaps'-law vocabulary growth in doc_id order, 10 checkpoints
         # + the OLS beta/lnc; two-phase global token offsets (no
@@ -2108,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "ngram_novelty": q_ngram_novelty,
         "heaps_fit": q_heaps_fit,
+        "logreg_langid": q_logreg_langid,
         "word_burstiness": q_word_burstiness,
         "zipf_fit": q_zipf_fit,
         "span_dedup": q_span_dedup,
@@ -2811,6 +2821,65 @@ def _duck_md5_u32(expr: str) -> str:
         f"CAST(strpos('0123456789abcdef', substr(md5({expr}), "
         f"CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT) "
         f"* CAST(pow(16, 7 - i) AS BIGINT)))"
+    )
+
+
+def _duck_logreg_sql(epochs: int = 3, lr: float = 1.0,
+                     label: str = "en") -> str:
+    """Unrolled full-batch logistic-regression training in DuckDB SQL —
+    the same epochs-as-chained-CTEs device as the trained-IVF oracle:
+    each epoch's gradient CTE cross-joins the 1-row weight table from
+    the previous epoch, so the whole GD trajectory (w0 = 0) is replayed
+    exactly and the final per-doc sigmoid scores value-gate the engine's
+    training loop, not just its scorer."""
+    from gbdc_spark.operators.text import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    dims = (1, 2, 3, 4)
+    pieces = [
+        f"""f AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS DOUBLE) AS r1,
+                   list_sum(list_transform(ws, w -> len(w)))
+                       / CAST(len(ws) AS DOUBLE) AS r2,
+                   list_sum(list_transform(ws, w ->
+                       CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END))
+                       / CAST(len(ws) AS DOUBLE) AS r3,
+                   CAST(len(text) AS DOUBLE) AS r4,
+                   CASE WHEN lang = '{label}' THEN 1.0 ELSE 0.0 END AS y
+            FROM (SELECT doc_id, text, lang, str_split(text, ' ') AS ws
+                  FROM documents))""",
+        "st AS (SELECT "
+        + ", ".join(
+            f"avg(r{j}) AS m{j}, stddev_pop(r{j}) AS s{j}" for j in dims
+        )
+        + " FROM f)",
+        "s AS (SELECT doc_id, "
+        + ", ".join(f"(r{j} - m{j}) / s{j} AS x{j}" for j in dims)
+        + ", y FROM f, st)",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in (1, 2, 3, 4, 5))
+        + ")",
+    ]
+    z = " + ".join(f"w.w{j} * s.x{j}" for j in dims) + " + w.w5"
+    p = f"(1.0 / (1.0 + exp(-({z}))))"
+    for e in range(1, int(epochs) + 1):
+        gsel = ", ".join(
+            f"avg(({p} - s.y) * s.x{j}) AS g{j}" for j in dims
+        ) + f", avg({p} - s.y) AS g5"
+        pieces.append(f"g{e} AS (SELECT {gsel} FROM s, w{e - 1} w)")
+        wsel = ", ".join(
+            f"w.w{j} - {lr} * g.g{j} AS w{j}" for j in (1, 2, 3, 4, 5)
+        )
+        pieces.append(f"w{e} AS (SELECT {wsel} FROM w{e - 1} w, g{e} g)")
+    return (
+        "WITH " + ",\n".join(pieces)
+        + f"""
+        SELECT s.doc_id,
+               round(1.0 / (1.0 + exp(-({z}))), 6) AS score,
+               round(1.0 / (1.0 + exp(-({z}))), 6) >= 0.5 AS pred
+        FROM s, w{int(epochs)} w
+        """
     )
 
 
@@ -4096,6 +4165,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, perplexity, NULL AS ppl_bucket
             FROM ppl WHERE perplexity IS NULL
         """,
+        "logreg_langid": _duck_logreg_sql(epochs=3, lr=1.0, label="en"),
         "heaps_fit": """
             WITH d AS (SELECT doc_id, str_split(text, ' ') AS ws
                        FROM documents),

@@ -1398,3 +1398,97 @@ def temperature_mix(
         .withColumn("boost", F.col("_boost"))
         .select(*df.columns, "boost", "n_copies")
     )
+
+
+def logreg_langid(
+    df: DataFrame,
+    label_lang: str = "en",
+    epochs: int = 3,
+    lr: float = 1.0,
+    text_col: str = "text",
+    label_col: str = "lang",
+    key: str = "doc_id",
+) -> DataFrame:
+    """In-engine trained quality/langid classifier — the pattern behind
+    CCNet's fastText gate and FineWeb-Edu's scorer, reduced to its
+    distributed core: full-batch logistic regression on four surface
+    features (word count, avg word length, stopword ratio, char count;
+    corpus-standardized) + bias, trained ``epochs`` rounds of gradient
+    descent from w = 0, then scored back over every row.
+
+    Returns (key, score, pred) — score = σ(w·x) rounded to 6, pred =
+    rounded score >= 0.5, so the decision is engine-independent.
+
+    Scale shape per epoch: ONE map-side-combined avg aggregate over the
+    standardized feature frame (the gradient is avg((σ(w·x) − y)·x) —
+    five doubles travel, never rows); weights are driver scalars folded
+    into the next epoch's expression as literals, the kmeans_fit
+    iterative shape.  The feature frame is persisted across the
+    epochs + final scoring pass.  Deterministic: full-batch (no
+    sampling), fixed init, exact integer feature moments.
+    """
+    import math
+
+    from .text import STOPWORDS
+
+    ws = F.split(F.col(text_col), " ")
+    n_words = F.size(ws).cast("double")
+    total_len = F.aggregate(ws, F.lit(0), lambda a, x: a + F.length(x))
+    stop_hits = F.aggregate(
+        ws, F.lit(0),
+        lambda a, x: a + F.when(x.isin(*STOPWORDS), 1).otherwise(0),
+    )
+    raw = df.select(
+        F.col(key),
+        n_words.alias("r1"),
+        (total_len / n_words).alias("r2"),
+        (stop_hits / n_words).alias("r3"),
+        F.length(F.col(text_col)).cast("double").alias("r4"),
+        F.when(F.col(label_col) == label_lang, 1.0).otherwise(0.0).alias("y"),
+    )
+    st = raw.agg(
+        *[F.avg(f"r{j}").alias(f"m{j}") for j in (1, 2, 3, 4)],
+        *[F.stddev_pop(f"r{j}").alias(f"s{j}") for j in (1, 2, 3, 4)],
+    ).first()
+    std = raw.select(
+        F.col(key),
+        *[
+            ((F.col(f"r{j}") - F.lit(float(st[f"m{j}"])))
+             / F.lit(float(st[f"s{j}"]))).alias(f"x{j}")
+            for j in (1, 2, 3, 4)
+        ],
+        "y",
+    ).persist()
+    try:
+        w = [0.0] * 5
+        for _ in range(int(epochs)):
+            z = sum(
+                (F.lit(w[j - 1]) * F.col(f"x{j}") for j in (1, 2, 3, 4)),
+                F.lit(w[4]),
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            g = std.agg(
+                *[F.avg((p - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}")
+                  for j in (1, 2, 3, 4)],
+                F.avg(p - F.col("y")).alias("g5"),
+            ).first()
+            w = [
+                w[0] - lr * g["g1"], w[1] - lr * g["g2"],
+                w[2] - lr * g["g3"], w[3] - lr * g["g4"],
+                w[4] - lr * g["g5"],
+            ]
+        z = sum(
+            (F.lit(w[j - 1]) * F.col(f"x{j}") for j in (1, 2, 3, 4)),
+            F.lit(w[4]),
+        )
+        score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        return std.select(
+            F.col(key),
+            score.alias("score"),
+            (score >= 0.5).alias("pred"),
+        )
+    finally:
+        # drops the cache only — the returned plan recomputes the
+        # (single-scan) feature lineage if evaluated later; the
+        # epochs' training work lives in the literal weights
+        std.unpersist()

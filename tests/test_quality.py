@@ -845,3 +845,49 @@ def test_percentile_gate_rejects_bad_pct(spark):
         percentile_gate(df, "score", "source", keep_pct=0)
     with _pt.raises(ValueError):
         percentile_gate(df, "score", "source", keep_pct=101)
+
+
+def test_logreg_langid_matches_numpy_trajectory(spark):
+    import numpy as np
+    from gbdc_spark.operators.quality import logreg_langid
+    from gbdc_spark.operators.text import STOPWORDS
+
+    rows = [
+        (0, "the cat and the dog in a house", "en"),
+        (1, "is it for on the a to of and", "en"),
+        (2, "zz qq ww ee rr tt yy", "fr"),
+        (3, "lorem ipsum dolor sit amet foo", "de"),
+        (4, "the the the and and of", "en"),
+        (5, "uno dos tres cuatro cinco", "es"),
+        (6, "a b c d e f g h", "fr"),
+        (7, "to be or not to be is it", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in logreg_langid(docs, epochs=3).collect()}
+
+    # replicate the exact trajectory in numpy
+    X, y = [], []
+    for _, text, lang in rows:
+        ws = text.split(" ")
+        X.append([
+            float(len(ws)),
+            sum(len(w) for w in ws) / len(ws),
+            sum(w in STOPWORDS for w in ws) / len(ws),
+            float(len(text)),
+        ])
+        y.append(1.0 if lang == "en" else 0.0)
+    X, y = np.array(X), np.array(y)
+    Xs = (X - X.mean(0)) / X.std(0)
+    Xb = np.hstack([Xs, np.ones((len(y), 1))])
+    w = np.zeros(5)
+    for _ in range(3):
+        p = 1 / (1 + np.exp(-(Xb @ w)))
+        w = w - (Xb.T @ (p - y)) / len(y)
+    score = np.round(1 / (1 + np.exp(-(Xb @ w))), 6)
+    for i, (doc_id, *_rest) in enumerate(rows):
+        assert got[doc_id]["score"] == score[i]
+        assert got[doc_id]["pred"] == (score[i] >= 0.5)
+    # training separates the classes on this stopword-separable fixture
+    en = [got[d]["score"] for d, _, l in rows if l == "en"]
+    other = [got[d]["score"] for d, _, l in rows if l != "en"]
+    assert min(en) > max(other)

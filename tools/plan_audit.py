@@ -344,6 +344,13 @@ CHECKS = {
         ("OLS moments are one partial agg per group", r"partial_avg"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "logreg_langid": [
+        # the returned SCORING plan: one pass, no shuffle beyond the
+        # broadcast-free scan (gradient epochs already ran as aggs)
+        ("scoring is shuffle-free (per-row sigmoid over the scan)",
+         r"^(?!.*(hashpartitioning|rangepartitioning))"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "heaps_fit": [
         ("bucket token offsets broadcast back (two-phase, no global "
          "single-partition window)",
