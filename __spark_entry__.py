@@ -1286,6 +1286,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return logreg_langid(_docs(spark, sf_dir), epochs=3, lr=1.0)
 
+    def q_logreg_auc(spark, sf_dir):
+        # the evaluation half of the training loop: exact tie-averaged
+        # Mann-Whitney AUC of the trained scorer vs the true labels;
+        # rank window runs over DISTINCT rounded scores only
+        from gbdc_spark.operators.quality import binary_auc, logreg_langid
+
+        docs = _docs(spark, sf_dir)
+        scored = logreg_langid(docs, epochs=3, lr=1.0)
+        j = scored.join(
+            docs.select(
+                "doc_id",
+                F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            ),
+            "doc_id",
+        )
+        return binary_auc(j, score_col="score", label_col="y")
+
+    def q_logreg_calibration(spark, sf_dir):
+        # reliability diagram of the trained scorer: 10 equal-width
+        # bins, mean predicted score vs empirical positive rate
+        from gbdc_spark.operators.quality import (
+            calibration_bins,
+            logreg_langid,
+        )
+
+        docs = _docs(spark, sf_dir)
+        scored = logreg_langid(docs, epochs=3, lr=1.0)
+        j = scored.join(
+            docs.select(
+                "doc_id",
+                F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            ),
+            "doc_id",
+        )
+        return calibration_bins(j, score_col="score", label_col="y", bins=10)
+
     def q_heaps_fit(spark, sf_dir):
         # Heaps'-law vocabulary growth in doc_id order, 10 checkpoints
         # + the OLS beta/lnc; two-phase global token offsets (no
@@ -2118,6 +2154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "heaps_fit": q_heaps_fit,
         "logreg_langid": q_logreg_langid,
+        "logreg_auc": q_logreg_auc,
+        "logreg_calibration": q_logreg_calibration,
         "word_burstiness": q_word_burstiness,
         "zipf_fit": q_zipf_fit,
         "span_dedup": q_span_dedup,
@@ -4166,6 +4204,38 @@ def oracle_sql() -> dict[str, str]:
             FROM ppl WHERE perplexity IS NULL
         """,
         "logreg_langid": _duck_logreg_sql(epochs=3, lr=1.0, label="en"),
+        "logreg_auc": f"""
+            WITH scored AS ({_duck_logreg_sql(epochs=3, lr=1.0, label="en")}),
+            lbl AS (SELECT s.score,
+                           CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                    FROM scored s JOIN documents d USING (doc_id)),
+            g AS (SELECT score AS s, count(*) AS n, sum(y) AS np
+                  FROM lbl GROUP BY score),
+            r AS (SELECT s, n, np,
+                         coalesce(sum(n) OVER (
+                             ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0) AS below
+                  FROM g)
+            SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+                   round((sum(np * (below + (n + 1) / 2.0))
+                          - sum(np) * (sum(np) + 1) / 2.0)
+                         / (sum(np) * (CAST(sum(n) AS DOUBLE) - sum(np))),
+                         6) AS auc
+            FROM r
+        """,
+        "logreg_calibration": f"""
+            WITH scored AS ({_duck_logreg_sql(epochs=3, lr=1.0, label="en")}),
+            lbl AS (SELECT s.score,
+                           CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                    FROM scored s JOIN documents d USING (doc_id))
+            SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(score), 6) AS mean_score,
+                   round(avg(y), 6) AS pos_rate
+            FROM lbl
+            GROUP BY CAST(least(floor(score * 10), 9) AS INTEGER)
+        """,
         "heaps_fit": """
             WITH d AS (SELECT doc_id, str_split(text, ' ') AS ws
                        FROM documents),

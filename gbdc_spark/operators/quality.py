@@ -1492,3 +1492,81 @@ def logreg_langid(
         # (single-scan) feature lineage if evaluated later; the
         # epochs' training work lives in the literal weights
         std.unpersist()
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+) -> DataFrame:
+    """Exact ROC-AUC of a binary scorer — the evaluation half of the
+    :func:`logreg_langid` training loop (and of any quality/langid
+    gate): the Mann–Whitney U statistic with proper tie handling,
+    AUC = (Σ avg-ranks of positives − n⁺(n⁺+1)/2) / (n⁺·n⁻), where
+    tied scores all receive their group's average rank.
+
+    Returns one row: (n_pos, n_neg, auc) with auc rounded to 6 (NULL
+    if either class is empty — AUC is undefined there).
+
+    Scale shape: corpus rows collapse to one partial-agg count per
+    DISTINCT score (bounded by the score quantization — at most 10⁶+1
+    groups for round-6 sigmoids, regardless of corpus size); the rank
+    window runs over that MODEL-sized table only; the final fold is a
+    1-row agg.  No corpus-wide window, no Python workers.
+    """
+    from pyspark.sql import Window
+
+    g = (
+        df.groupBy(F.col(score_col).alias("_s"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col(label_col).cast("double")).alias("_np"),
+        )
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "_below", F.coalesce(F.sum("_n").over(w), F.lit(0.0))
+    ).withColumn(
+        "_avg_rank", F.col("_below") + (F.col("_n") + 1) / 2.0
+    )
+    return ranked.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        (F.sum("_n") - F.sum("_np")).cast("long").alias("n_neg"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("_np") * F.col("_avg_rank"))
+                - F.sum("_np") * (F.sum("_np") + 1) / 2.0,
+                F.sum("_np") * (F.sum("_n") - F.sum("_np")),
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic scorer: scores
+    bucket into ``bins`` equal-width [0,1] bins (right-closed at 1),
+    each reporting count, mean predicted score, and empirical positive
+    rate — calibrated models sit on the diagonal.  One partial-agg
+    shuffle on the bin id; rates rounded to 6.
+
+    Returns (bin, n, mean_score, pos_rate) for non-empty bins,
+    bin = 0..bins-1.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * bins).cast("int"), F.lit(int(bins) - 1)
+    )
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(score_col), 6).alias("mean_score"),
+            F.round(F.avg(F.col(label_col).cast("double")), 6)
+            .alias("pos_rate"),
+        )
+    )

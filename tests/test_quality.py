@@ -891,3 +891,44 @@ def test_logreg_langid_matches_numpy_trajectory(spark):
     en = [got[d]["score"] for d, _, l in rows if l == "en"]
     other = [got[d]["score"] for d, _, l in rows if l != "en"]
     assert min(en) > max(other)
+
+
+def test_binary_auc_hand_computed_with_ties(spark):
+    from gbdc_spark.operators.quality import binary_auc
+
+    # scores: 0.1(n), 0.4(p), 0.4(n), 0.8(p) — tie at 0.4 straddles
+    # classes; avg ranks: 1, 2.5, 2.5, 4 -> sum ranks of pos = 6.5
+    # AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    df = spark.createDataFrame(
+        [(0.1, 0.0), (0.4, 1.0), (0.4, 0.0), (0.8, 1.0)],
+        "score double, y double",
+    )
+    row = binary_auc(df).collect()[0]
+    assert row["n_pos"] == 2 and row["n_neg"] == 2
+    assert row["auc"] == 0.875
+    # perfect separation -> 1.0; reversed -> 0.0
+    perfect = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 1.0), (0.2, 0.0)], "score double, y double"
+    )
+    assert binary_auc(perfect).collect()[0]["auc"] == 1.0
+    # single-class input -> NULL (undefined)
+    onecls = spark.createDataFrame(
+        [(0.9, 1.0), (0.2, 1.0)], "score double, y double"
+    )
+    assert binary_auc(onecls).collect()[0]["auc"] is None
+
+
+def test_calibration_bins_hand_computed(spark):
+    from gbdc_spark.operators.quality import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.05, 0.0), (0.08, 0.0), (0.55, 1.0), (0.58, 0.0), (1.0, 1.0)],
+        "score double, y double",
+    )
+    out = {r["bin"]: r for r in calibration_bins(df).collect()}
+    assert out[0]["n"] == 2 and out[0]["pos_rate"] == 0.0
+    assert out[5]["n"] == 2 and out[5]["pos_rate"] == 0.5
+    assert out[5]["mean_score"] == round((0.55 + 0.58) / 2, 6)
+    # score exactly 1.0 clamps into the last bin, not bin 10
+    assert out[9]["n"] == 1 and out[9]["pos_rate"] == 1.0
+    assert set(out) == {0, 5, 9}

@@ -351,6 +351,12 @@ CHECKS = {
          r"^(?!.*(hashpartitioning|rangepartitioning))"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "logreg_auc": [
+        ("rank window runs over DISTINCT scores (count agg partial, "
+         "map-side combined, before the model-sized window)",
+         r"partial_count"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "heaps_fit": [
         ("bucket token offsets broadcast back (two-phase, no global "
          "single-partition window)",
