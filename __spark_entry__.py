@@ -1286,6 +1286,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return logreg_langid(_docs(spark, sf_dir), epochs=3, lr=1.0)
 
+    def q_bloom_dedup_against(spark, sf_dir):
+        # Dolma-style Bloom membership: build the filter over the first
+        # 80% of docs (by doc_id), probe the rest for exact-content
+        # membership — the structure that answers cross-snapshot dedup
+        # when the snapshot no longer fits a join.  m=2^16, k=4; bit
+        # math replicated exactly in the oracle (no false negatives;
+        # FPs identical in both engines because positions are md5)
+        from gbdc_spark.operators.dedup import bloom_build, bloom_probe
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        hi = docs.agg(F.max("doc_id")).first()[0]
+        cut = int(int(hi) * 0.8)
+        snap = docs.filter(F.col("doc_id") < cut).select(
+            F.md5("text").alias("item")
+        )
+        probe = docs.filter(F.col("doc_id") >= cut).select(
+            "doc_id", F.md5("text").alias("item")
+        )
+        bloom = bloom_build(snap, item_col="item", m=1 << 16, k=4)
+        return bloom_probe(
+            probe, bloom, item_col="item", key="doc_id", m=1 << 16, k=4
+        )
+
     def q_logreg_auc(spark, sf_dir):
         # the evaluation half of the training loop: exact tie-averaged
         # Mann-Whitney AUC of the trained scorer vs the true labels;
@@ -2155,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "logreg_langid": q_logreg_langid,
         "logreg_auc": q_logreg_auc,
+        "bloom_dedup_against": q_bloom_dedup_against,
         "logreg_calibration": q_logreg_calibration,
         "word_burstiness": q_word_burstiness,
         "zipf_fit": q_zipf_fit,
@@ -4204,6 +4228,36 @@ def oracle_sql() -> dict[str, str]:
             FROM ppl WHERE perplexity IS NULL
         """,
         "logreg_langid": _duck_logreg_sql(epochs=3, lr=1.0, label="en"),
+        "bloom_dedup_against": f"""
+            WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT)
+                             AS c FROM documents),
+            snap AS (SELECT md5(text) AS item
+                     FROM documents, cut WHERE doc_id < cut.c),
+            probe AS (SELECT doc_id, md5(text) AS item
+                      FROM documents, cut WHERE doc_id >= cut.c),
+            ks AS (SELECT unnest(range(0, 4)) AS j),
+            sb AS (SELECT
+                       {_duck_md5_u32("concat(CAST(ks.j AS VARCHAR), ':', item)")}
+                           % 65536 AS pos
+                   FROM snap, ks),
+            blocks AS (SELECT CAST(pos // 32 AS INTEGER) AS block,
+                              bit_or(CAST(1 AS BIGINT)
+                                     << CAST(pos % 32 AS INTEGER)) AS bits
+                       FROM sb GROUP BY CAST(pos // 32 AS INTEGER)),
+            pb AS (SELECT doc_id,
+                          CAST(pos // 32 AS INTEGER) AS block,
+                          (CAST(1 AS BIGINT)
+                           << CAST(pos % 32 AS INTEGER)) AS mask
+                   FROM (SELECT doc_id,
+                                {_duck_md5_u32("concat(CAST(ks.j AS VARCHAR), ':', item)")}
+                                    % 65536 AS pos
+                         FROM probe, ks))
+            SELECT pb.doc_id,
+                   bool_and(coalesce((b.bits & pb.mask) != 0, false))
+                       AS member
+            FROM pb LEFT JOIN blocks b USING (block)
+            GROUP BY pb.doc_id
+        """,
         "logreg_auc": f"""
             WITH scored AS ({_duck_logreg_sql(epochs=3, lr=1.0, label="en")}),
             lbl AS (SELECT s.score,

@@ -47,6 +47,9 @@ __all__ = [
     "dup_clusters_star",
     "dedup_keep_best",
     "dedup_against",
+    "span_dedup",
+    "bloom_build",
+    "bloom_probe",
 ]
 
 
@@ -1219,3 +1222,87 @@ def span_dedup(df: DataFrame, key: str = "doc_id",
         )
         .select(key, "text_dedup", "n_units", "n_removed")
     )
+
+
+def _bloom_bits(item: Column, k: int, m: int) -> Column:
+    """Array of k (block, mask) structs for an item: bit position j =
+    u32(md5(j:item)) mod m, stored in 32-bit blocks (mask stays a
+    small positive long — no sign games at bit 63 in either engine)."""
+
+    def pos(j: int) -> Column:
+        u = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), item)), 1, 8), 16, 10
+        ).cast("long")
+        return u % F.lit(m)
+
+    return F.array(
+        *[
+            F.struct(
+                (pos(j) / F.lit(32)).cast("int").alias("block"),
+                # shiftleft needs a LITERAL shift amount, so the mask
+                # is pow(2, bit) — exact in a double up to 2^52, cast
+                # back to long
+                F.pow(F.lit(2.0), (pos(j) % 32).cast("double"))
+                .cast("long").alias("mask"),
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_build(df: DataFrame, item_col: str = "text",
+                m: int = 1 << 16, k: int = 4) -> DataFrame:
+    """Distributed Bloom-filter build — the membership structure
+    Dolma-scale pipelines use for cross-snapshot dedup and eval-set
+    decontamination when the snapshot no longer fits a join: each
+    item sets k md5-derived bits in an m-bit filter; the filter
+    materializes as a (block, bits) table of 32-bit blocks (only
+    non-zero blocks stored), so it IS a DataFrame — writable as a tiny
+    parquet artifact, broadcastable onto any probe.
+
+    Returns (block int, bits long) with bits in [0, 2^32).
+
+    Scale shape: one explode to k bit coordinates per item, ONE
+    map-side-combined bit_or aggregate on the block id (at most m/32
+    groups regardless of corpus size — a billion items collapse into
+    the fixed-size filter).  Deterministic: md5 positions, exact
+    integer bit math.
+    """
+    return (
+        df.select(F.explode(_bloom_bits(F.col(item_col), k, m)).alias("b"))
+        .groupBy(F.col("b.block").alias("block"))
+        .agg(F.bit_or("b.mask").alias("bits"))
+    )
+
+
+def bloom_probe(df: DataFrame, bloom: DataFrame, item_col: str = "text",
+                key: str = "doc_id", m: int = 1 << 16,
+                k: int = 4) -> DataFrame:
+    """Probe a Bloom filter built by :func:`bloom_build` (same m, k):
+    an item is a ``member`` iff ALL k of its bits are set — no false
+    negatives, false positives at the standard (1 − e^{−kn/m})^k rate,
+    which is the trade that lets a trillion-doc snapshot answer
+    membership from a filter measured in gigabytes.
+
+    Returns the input keys with ``member`` added — row-preserving.
+
+    Scale shape: explode to k coordinates, ONE equi-join on block
+    against the (≤ m/32 row) filter table — broadcast by size — then a
+    per-key partial-agg AND.  A missing block row is an unset block
+    (left join, null-safe false).
+    """
+    coords = df.select(
+        F.col(key), F.explode(_bloom_bits(F.col(item_col), k, m)).alias("b")
+    ).select(key, F.col("b.block").alias("block"), F.col("b.mask").alias("mask"))
+    hit = (
+        coords.join(F.broadcast(bloom), "block", "left")
+        .withColumn(
+            "_hit",
+            F.coalesce(
+                (F.col("bits").bitwiseAND(F.col("mask")) != 0), F.lit(False)
+            ),
+        )
+        .groupBy(key)
+        .agg(F.min("_hit").alias("member"))
+    )
+    return df.select(key).join(hit, key)

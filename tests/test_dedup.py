@@ -785,3 +785,46 @@ def test_span_dedup_sentence_granularity(spark):
     out = {r["doc_id"]: r for r in span_dedup(docs).collect()}
     assert out[1]["text_dedup"] == "s1. s2. s3. s4"
     assert out[2]["text_dedup"] == "t0. t1" and out[2]["n_removed"] == 3
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    from gbdc_spark.operators.dedup import bloom_build, bloom_probe
+
+    snap = spark.createDataFrame(
+        [(f"item{i}",) for i in range(200)], "item string"
+    )
+    bloom = bloom_build(snap, item_col="item", m=1 << 14, k=4)
+    # every block is 32-bit and non-zero
+    rows = bloom.collect()
+    assert all(0 < r["bits"] < (1 << 32) for r in rows)
+    # members: no false negatives — all 200 must hit
+    probe_in = spark.createDataFrame(
+        [(i, f"item{i}") for i in range(200)], "doc_id long, item string"
+    )
+    got = bloom_probe(probe_in, bloom, item_col="item", m=1 << 14, k=4)
+    assert all(r["member"] for r in got.collect())
+    # non-members: FP rate near (1 - e^{-kn/m})^k ~ 0.000044 at these
+    # parameters; allow slack but catch broken bit math (all-true)
+    probe_out = spark.createDataFrame(
+        [(i, f"other{i}") for i in range(500)], "doc_id long, item string"
+    )
+    fps = sum(
+        r["member"]
+        for r in bloom_probe(
+            probe_out, bloom, item_col="item", m=1 << 14, k=4
+        ).collect()
+    )
+    assert fps <= 5
+    # row-preserving on the probe side
+    assert bloom_probe(probe_out, bloom, item_col="item",
+                       m=1 << 14, k=4).count() == 500
+
+
+def test_bloom_probe_empty_filter_all_false(spark):
+    from gbdc_spark.operators.dedup import bloom_build, bloom_probe
+
+    empty = bloom_build(
+        spark.createDataFrame([], "item string"), item_col="item"
+    )
+    probe = spark.createDataFrame([(1, "x")], "doc_id long, item string")
+    assert bloom_probe(probe, empty, item_col="item").collect()[0]["member"] is False

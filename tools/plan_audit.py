@@ -351,6 +351,13 @@ CHECKS = {
          r"^(?!.*(hashpartitioning|rangepartitioning))"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "bloom_dedup_against": [
+        ("bit_or fold into the fixed-size filter is map-side combined",
+         r"partial_bit_or"),
+        ("filter table broadcast onto the probe",
+         r"BroadcastHashJoin"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "logreg_auc": [
         ("rank window runs over DISTINCT scores (count agg partial, "
          "map-side combined, before the model-sized window)",
