@@ -1326,6 +1326,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return binary_auc(j, score_col="score", label_col="y")
 
+    def q_logreg_ap(spark, sf_dir):
+        # PR complement of logreg_auc: exact step-wise average
+        # precision with ties grouped by distinct score
+        from gbdc_spark.operators.quality import binary_ap, logreg_langid
+
+        docs = _docs(spark, sf_dir)
+        scored = logreg_langid(docs, epochs=3, lr=1.0)
+        j = scored.join(
+            docs.select(
+                "doc_id",
+                F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            ),
+            "doc_id",
+        )
+        return binary_ap(j, score_col="score", label_col="y")
+
+    def q_cms_words(spark, sf_dir):
+        # count-min sketch (4x128, deliberately collision-heavy) built
+        # over all corpus word occurrences, point-queried for the top
+        # 20 words next to their true counts: est >= true always, over
+        # by the collision mass — bit-identical in the oracle
+        from gbdc_spark.operators.sketches import cms_build, cms_query
+
+        words = _docs(spark, sf_dir).select(
+            F.explode(F.split("text", " ")).alias("word")
+        )
+        cms = cms_build(words, "word", depth=4, width=128)
+        top = (
+            words.groupBy("word")
+            .agg(F.count("*").alias("n_true"))
+            .orderBy(F.desc("n_true"), F.asc("word"))
+            .limit(20)
+        )
+        return cms_query(top, cms, "word", depth=4, width=128)
+
     def q_logreg_calibration(spark, sf_dir):
         # reliability diagram of the trained scorer: 10 equal-width
         # bins, mean predicted score vs empirical positive rate
@@ -2178,6 +2213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "logreg_langid": q_logreg_langid,
         "logreg_auc": q_logreg_auc,
+        "logreg_ap": q_logreg_ap,
+        "cms_words": q_cms_words,
         "bloom_dedup_against": q_bloom_dedup_against,
         "logreg_calibration": q_logreg_calibration,
         "word_burstiness": q_word_burstiness,
@@ -4277,6 +4314,47 @@ def oracle_sql() -> dict[str, str]:
                          / (sum(np) * (CAST(sum(n) AS DOUBLE) - sum(np))),
                          6) AS auc
             FROM r
+        """,
+        "logreg_ap": f"""
+            WITH scored AS ({_duck_logreg_sql(epochs=3, lr=1.0, label="en")}),
+            lbl AS (SELECT s.score,
+                           CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                    FROM scored s JOIN documents d USING (doc_id)),
+            g AS (SELECT score AS s, count(*) AS n, sum(y) AS np
+                  FROM lbl GROUP BY score),
+            c AS (SELECT s, n, np,
+                         sum(np) OVER (ORDER BY s DESC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS ctp,
+                         sum(n) OVER (ORDER BY s DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS cn
+                  FROM g)
+            SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+                   round(sum(np * ctp / cn) / sum(np), 6) AS ap
+            FROM c
+        """,
+        "cms_words": f"""
+            WITH w AS (SELECT unnest(str_split(text, ' ')) AS word
+                       FROM documents),
+            rr AS (SELECT unnest(range(0, 4)) AS r),
+            cells AS (SELECT word, CAST(rr.r AS INTEGER) AS row,
+                             CAST({_duck_md5_u32("concat(CAST(rr.r AS VARCHAR), ':', word)")}
+                                  % 128 AS INTEGER) AS col
+                      FROM w, rr),
+            cms AS (SELECT row, col, count(*) AS cnt
+                    FROM cells GROUP BY row, col),
+            t AS (SELECT word, count(*) AS n_true FROM w GROUP BY word
+                  ORDER BY n_true DESC, word ASC LIMIT 20),
+            q AS (SELECT t.word, t.n_true, CAST(rr.r AS INTEGER) AS row,
+                         CAST({_duck_md5_u32("concat(CAST(rr.r AS VARCHAR), ':', t.word)")}
+                              % 128 AS INTEGER) AS col
+                  FROM t, rr)
+            SELECT q.word, CAST(q.n_true AS BIGINT) AS n_true,
+                   CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS cms_est
+            FROM q LEFT JOIN cms USING (row, col)
+            GROUP BY q.word, q.n_true
         """,
         "logreg_calibration": f"""
             WITH scored AS ({_duck_logreg_sql(epochs=3, lr=1.0, label="en")}),

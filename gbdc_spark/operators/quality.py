@@ -1570,3 +1570,51 @@ def calibration_bins(
             .alias("pos_rate"),
         )
     )
+
+
+def binary_ap(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    step-wise — the sklearn ``average_precision_score`` definition)
+    with ties grouped: walking DISTINCT scores descending,
+    AP = Σ_s ΔR(s)·P(s) where ΔR(s) = tp_s/n⁺ and P(s) is precision at
+    the cumulative cut including s.  The PR complement of
+    :func:`binary_auc` — the metric that matters when positives are
+    rare (contamination flags, PII hits), where ROC-AUC saturates.
+
+    Returns one row: (n_pos, n_neg, ap) rounded to 6 (NULL if no
+    positives).
+
+    Scale shape: same as binary_auc — corpus rows collapse to one
+    partial-agg count per DISTINCT score; the cumulative window runs
+    over that model-sized table only; 1-row fold.
+    """
+    from pyspark.sql import Window
+
+    g = (
+        df.groupBy(F.col(score_col).alias("_s"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col(label_col).cast("double")).alias("_np"),
+        )
+    )
+    w = Window.orderBy(F.desc("_s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.withColumn("_ctp", F.sum("_np").over(w)).withColumn(
+        "_cn", F.sum("_n").over(w)
+    )
+    return c.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        (F.sum("_n") - F.sum("_np")).cast("long").alias("n_neg"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("_np") * F.col("_ctp") / F.col("_cn")),
+                F.sum("_np"),
+            ),
+            6,
+        ).alias("ap"),
+    )

@@ -932,3 +932,27 @@ def test_calibration_bins_hand_computed(spark):
     # score exactly 1.0 clamps into the last bin, not bin 10
     assert out[9]["n"] == 1 and out[9]["pos_rate"] == 1.0
     assert set(out) == {0, 5, 9}
+
+
+def test_binary_ap_hand_computed(spark):
+    from gbdc_spark.operators.quality import binary_ap
+
+    # scores desc: 0.9(p), 0.7(n), 0.5(p), 0.3(n)
+    # cuts: tp1/cn1 -> dR=1/2 P=1; cut2 P=1/2 dR=0; cut3 tp2/cn3 dR=1/2
+    # P=2/3; AP = 0.5*1 + 0.5*(2/3) = 5/6
+    df = spark.createDataFrame(
+        [(0.9, 1.0), (0.7, 0.0), (0.5, 1.0), (0.3, 0.0)],
+        "score double, y double",
+    )
+    row = binary_ap(df).collect()[0]
+    assert row["n_pos"] == 2 and row["n_neg"] == 2
+    assert row["ap"] == round(5 / 6, 6)
+    # ties straddling classes grouped at one threshold:
+    # 0.4: n=2 np=1 -> ctp=1 cn=2 -> AP = (1*(1/2))/1 = 0.5
+    tied = spark.createDataFrame(
+        [(0.4, 1.0), (0.4, 0.0)], "score double, y double"
+    )
+    assert binary_ap(tied).collect()[0]["ap"] == 0.5
+    # no positives -> NULL
+    neg = spark.createDataFrame([(0.9, 0.0)], "score double, y double")
+    assert binary_ap(neg).collect()[0]["ap"] is None

@@ -358,6 +358,12 @@ CHECKS = {
          r"BroadcastHashJoin"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "cms_words": [
+        ("count fold into the fixed-size sketch is map-side combined",
+         r"partial_count"),
+        ("sketch broadcast onto the point queries", r"BroadcastHashJoin"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "logreg_auc": [
         ("rank window runs over DISTINCT scores (count agg partial, "
          "map-side combined, before the model-sized window)",
