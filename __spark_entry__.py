@@ -1075,6 +1075,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_ewma(spark, sf_dir):
+        # per-entity exponential decay (pandas ewm adjust=False
+        # recursion) — not expressible as a Spark window, so it runs as
+        # one applyInPandas per entity; the oracle replays the same
+        # recursion with WITH RECURSIVE over per-user row_number.
+        # alpha=0.5 keeps every intermediate an exact binary fraction,
+        # so both engines agree bit-for-bit before the round
+        from gbdc_spark.operators.temporal import with_ewma
+
+        ev = _events(spark, sf_dir)
+        return with_ewma(
+            ev, value_col="value", partition_by="user_id",
+            order_by=["ts", "event_id"], alpha=0.5,
+        ).select(
+            "user_id", "event_id", "value",
+            F.round("ewma", 6).alias("ewma"),
+        )
+
     def q_json_props_agg(spark, sf_dir):
         # semi-structured path: typed from_json over the props column,
         # aggregated per event type (the JSON-functions family of §2.9)
@@ -2181,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof": q_stream_asof,
         "stream_dedup": q_stream_dedup,
         "stream_near_dedup": q_stream_near_dedup,
+        "ewma": q_ewma,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
         "json_props_agg": q_json_props_agg,
@@ -3440,6 +3459,24 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             SELECT md5(text) AS content_hash, CAST(1 AS BIGINT) AS n_kept
             FROM documents GROUP BY md5(text)
+        """,
+        "ewma": """
+            WITH RECURSIVE e AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events),
+            r AS (
+                SELECT user_id, event_id, value, rn,
+                       CAST(value AS DOUBLE) AS ewma
+                FROM e WHERE rn = 1
+              UNION ALL
+                SELECT e.user_id, e.event_id, e.value, e.rn,
+                       0.5 * e.value + (1 - 0.5) * r.ewma
+                FROM r JOIN e ON e.user_id = r.user_id
+                             AND e.rn = r.rn + 1)
+            SELECT user_id, event_id, value, round(ewma, 6) AS ewma
+            FROM r
         """,
         "stream_near_dedup": f"""
             WITH {_DUCK_MINHASH_CAND},

@@ -576,3 +576,46 @@ def with_trailing_agg(
     for name, fn in funcs.items():
         df = df.withColumn(f"{value}_trailing_{name}", getattr(F, fn)(F.col(value)).over(w))
     return df
+
+
+def with_ewma(
+    df: DataFrame,
+    value_col: str = "value",
+    partition_by: str | list[str] = "user_id",
+    order_by: str | list[str] = ("ts", "event_id"),
+    alpha: float = 0.5,
+    out: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per entity — the decay
+    feature the flat window family (lag/ffill/trailing_agg) cannot
+    express: y_0 = x_0, y_t = α·x_t + (1−α)·y_{t−1} in ``order_by``
+    order (the pandas ``ewm(adjust=False)`` recursion).  Leakage-free
+    by construction: y_t sees only rows at or before t.
+
+    A true recursion, so it is NOT a Spark window function: each
+    entity's ordered series runs through one Arrow-batched
+    ``applyInPandas`` group (per-entity series are bounded; the
+    per-group sort is the same contract as the batch sessionizer).
+    Include a unique column in ``order_by`` for a deterministic order.
+    NULL inputs follow pandas ewm semantics (skipped, prior value
+    decays on).
+
+    Scale shape: ONE hash shuffle on the entity key; inside each group
+    pandas computes the recursion vectorized in C.  Skewed entities
+    bound the group size, not the corpus.
+    """
+    pb = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    ob = [order_by] if isinstance(order_by, str) else list(order_by)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.DoubleType())]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ob, kind="mergesort", ignore_index=True)
+        pdf[out] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf[cols]
+
+    return df.groupBy(*pb).applyInPandas(fn, schema)

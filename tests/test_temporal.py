@@ -327,3 +327,37 @@ def test_asof_direction_validates(spark, seqs_pdf, snaps_pdf):
             spark.createDataFrame(snaps_pdf),
             direction="sideways",
         )
+
+
+def test_with_ewma_hand_computed(spark):
+    from gbdc_spark.operators.temporal import with_ewma
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 1.0), (1, 11, 2.0), (1, 12, 3.0),
+            (2, 20, 4.0),
+        ],
+        "user_id long, event_id long, value double",
+    )
+    out = {r["event_id"]: r["ewma"] for r in with_ewma(
+        df, value_col="value", partition_by="user_id",
+        order_by=["event_id"], alpha=0.5,
+    ).collect()}
+    # alpha=0.5: 1, 1.5, 2.25; new group restarts at its first value
+    assert out == {10: 1.0, 11: 1.5, 12: 2.25, 20: 4.0}
+
+
+def test_with_ewma_row_preserving_and_order_key(spark):
+    from gbdc_spark.operators.temporal import with_ewma
+
+    # same first column value: the unique tiebreak column decides
+    df = spark.createDataFrame(
+        [(1, 1, 2, 8.0), (1, 1, 1, 0.0)],
+        "user_id long, ts long, event_id long, value double",
+    )
+    out = with_ewma(df, partition_by="user_id",
+                    order_by=["ts", "event_id"]).collect()
+    got = {r["event_id"]: r["ewma"] for r in out}
+    # order is (ts, event_id): event 1 first -> 0.0, then 0.5*8 = 4.0
+    assert got == {1: 0.0, 2: 4.0}
+    assert len(out) == 2
