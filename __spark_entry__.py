@@ -1093,6 +1093,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("ewma", 6).alias("ewma"),
         )
 
+    def q_stream_ewma(spark, sf_dir):
+        # REAL stateful streaming EWMA: the event stream replayed as
+        # four ts-range files (mtime-ordered, one per micro-batch), so
+        # most entities' decay chains SPAN batches and only the
+        # per-bucket GroupState can continue them.  Batch-equivalent by
+        # construction -> the oracle is the batch recursion.
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from gbdc_spark.streaming.pipeline import stream_ewma
+
+        base = tempfile.mkdtemp(prefix="gbdc_sewma_")
+        ev = _events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "value"
+        )
+        # TIMESTAMP_NTZ has no direct long cast in Spark 4 — go via
+        # timestamp (session tz UTC) for the epoch-second range cuts
+        sec = F.col("ts").cast("timestamp").cast("long")
+        lo, hi = ev.agg(F.min(sec), F.max(sec)).first()
+        span = (int(hi) - int(lo)) // 4 + 1
+        os.makedirs(f"{base}/in")
+        for i in range(4):
+            tmp = f"{base}/_{i}"
+            lo_i, hi_i = lo + i * span, lo + (i + 1) * span
+            ev.filter(
+                (sec >= lo_i) & (sec < hi_i)
+            ).coalesce(1).write.parquet(tmp)
+            fn = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = f"{base}/in/part{i}.parquet"
+            shutil.copy(f"{tmp}/{fn}", dst)
+            os.utime(dst, (1000 + i, 1000 + i))
+            shutil.rmtree(tmp)
+        src = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/in")
+        )
+        name = f"sewma_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream_ewma(src, value_col="value", key="user_id",
+                        order_by=("ts", "event_id"), alpha=0.5, buckets=16)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.table(name).select(
+            "user_id", "event_id", "value",
+            F.round("ewma", 6).alias("ewma"),
+        )
+
     def q_json_props_agg(spark, sf_dir):
         # semi-structured path: typed from_json over the props column,
         # aggregated per event type (the JSON-functions family of §2.9)
@@ -2200,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_near_dedup": q_stream_near_dedup,
         "ewma": q_ewma,
+        "stream_ewma": q_stream_ewma,
         "stream_extract": q_stream_extract,
         "trailing_agg": q_trailing_agg,
         "json_props_agg": q_json_props_agg,
@@ -3461,6 +3516,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "ewma": """
+            WITH RECURSIVE e AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events),
+            r AS (
+                SELECT user_id, event_id, value, rn,
+                       CAST(value AS DOUBLE) AS ewma
+                FROM e WHERE rn = 1
+              UNION ALL
+                SELECT e.user_id, e.event_id, e.value, e.rn,
+                       0.5 * e.value + (1 - 0.5) * r.ewma
+                FROM r JOIN e ON e.user_id = r.user_id
+                             AND e.rn = r.rn + 1)
+            SELECT user_id, event_id, value, round(ewma, 6) AS ewma
+            FROM r
+        """,
+        # the streaming EWMA is batch-equivalent by construction
+        # (ts-range micro-batches + per-bucket state carrying the
+        # predecessor value), so the batch recursion oracles it
+        "stream_ewma": """
             WITH RECURSIVE e AS (
                 SELECT user_id, event_id, value,
                        row_number() OVER (PARTITION BY user_id

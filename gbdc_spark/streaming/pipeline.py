@@ -317,3 +317,81 @@ def stream_near_dedup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def stream_ewma(
+    stream_df: DataFrame,
+    value_col: str = "value",
+    key: str = "user_id",
+    order_by: tuple = ("ts", "event_id"),
+    alpha: float = 0.5,
+    buckets: int = 64,
+    timeout_minutes: int = 0,
+):
+    """Stateful streaming EWMA — the online form of
+    :func:`~gbdc_spark.operators.temporal.with_ewma`: each entity's
+    last decay value persists in GroupState across micro-batches, so
+    an unbounded event stream gets the same leakage-free y_t = α·x_t +
+    (1−α)·y_{t−1} features the batch operator computes, incrementally.
+    Batch-equivalent by construction when micro-batches partition the
+    stream into ``order_by`` ranges (each batch slice scans sorted by
+    (key, order_by); the carried state is exactly the predecessor
+    value), so the DuckDB recursion that oracles the batch operator
+    oracles this too.
+
+    State design for scale: grouping is on ``pmod(xxhash64(key),
+    buckets)`` — state stays O(buckets) GroupState entries, each a
+    (keys, ewmas) pair of arrays for its bucket's entities, and a
+    hot entity cannot create a hot group beyond its own bucket.
+    ``timeout_minutes`` > 0 expires idle buckets (entities that went
+    quiet re-seed from their next value).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        list(stream_df.schema.fields) + [T.StructField("ewma", T.DoubleType())]
+    )
+    cols = [f.name for f in out_schema.fields]
+    state_schema = "ks array<long>, vs array<double>"
+    ob = list(order_by)
+
+    def scan(bucket, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        st = dict(zip(*state.get)) if state.exists else {}
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values([key] + ob, kind="mergesort",
+                                  ignore_index=True)
+            out = []
+            for k, x in zip(pdf[key], pdf[value_col]):
+                prev = st.get(k)
+                y = float(x) if prev is None else (
+                    alpha * float(x) + (1.0 - alpha) * prev
+                )
+                st[k] = y
+                out.append(y)
+            pdf["ewma"] = out
+            yield pdf[cols]
+        state.update((list(st.keys()), list(st.values())))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    bucketed = stream_df.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(buckets))
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        scan,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

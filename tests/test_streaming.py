@@ -308,3 +308,56 @@ def test_stream_near_dedup_band_state_across_batches(spark, tmp_path):
     sums = got2.groupby("doc_id")["dup"].sum().to_dict()
     assert sums[3] == 4          # remembered from batch 1's state
     assert sums[4] == 0          # unrelated: no shared band
+
+
+def test_stream_ewma_state_continues_across_batches(spark, tmp_path):
+    """EWMA decay chains span micro-batches: a user's second event in a
+    LATER batch (restart from checkpoint) must decay from the state,
+    not restart."""
+    import pandas as pd
+
+    in_dir = str(tmp_path / "ew_in")
+    out_dir = str(tmp_path / "ew_out")
+    ckpt = str(tmp_path / "ew_ckpt")
+    schema = "user_id long, ts long, event_id long, value double"
+
+    spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 1, 2], "ts": [1, 2, 1],
+                      "event_id": [10, 11, 20],
+                      "value": [4.0, 8.0, 2.0]})
+    ).write.parquet(in_dir)
+
+    def run_once():
+        src = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 100).parquet(in_dir)
+        q = (
+            sp.stream_ewma(src, value_col="value", key="user_id",
+                           order_by=("ts", "event_id"), alpha=0.5,
+                           buckets=4)
+            .drop("_bucket")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    got = {r["event_id"]: r["ewma"]
+           for r in spark.read.parquet(out_dir).collect()}
+    # within-batch recursion: 4 -> 0.5*8+0.5*4 = 6
+    assert got == {10: 4.0, 11: 6.0, 20: 2.0}
+
+    # batch 2 after restart: user 1 continues from 6, user 3 seeds
+    spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 3], "ts": [3, 1],
+                      "event_id": [12, 30], "value": [10.0, 7.0]})
+    ).write.mode("append").parquet(in_dir)
+    run_once()
+    got2 = {r["event_id"]: r["ewma"]
+            for r in spark.read.parquet(out_dir).collect()}
+    assert got2[12] == 0.5 * 10.0 + 0.5 * 6.0   # state carried: 8.0
+    assert got2[30] == 7.0
