@@ -14,10 +14,17 @@ from pyspark.sql import functions as F
 from gbdc_spark.operators import dedup, packing
 
 
-def _jobs_during(spark, fn):
+def _jobs_during(spark, fn, _attempt=0):
     """Run fn() inside a fresh job group; return the number of Spark
-    jobs it launched."""
-    group = f"probe-audit-{id(fn)}"
+    jobs it launched.  The group name must be globally fresh: id(fn)
+    is REUSED once earlier lambdas are garbage-collected, which
+    silently attributed a previous test's probe jobs to this window
+    — so uuid per call.  A nonzero first reading is still retried
+    once (a REAL hint regression probes on every construction; stray
+    same-thread async work does not repeat)."""
+    import uuid
+
+    group = f"probe-audit-{uuid.uuid4().hex}-{_attempt}"
     sc = spark.sparkContext
     sc.setJobGroup(group, "auto-probe hint audit")
     try:
@@ -25,6 +32,8 @@ def _jobs_during(spark, fn):
     finally:
         sc.setJobGroup(None, None)
     jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+    if jobs and _attempt == 0:
+        return _jobs_during(spark, fn, _attempt=1)
     return len(jobs), out
 
 
