@@ -736,6 +736,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return legs[0].unionByName(legs[1])
 
+    def q_pack_concat_chunks(spark, sf_dir):
+        # GPT-style concat-and-chunk: the corpus token stream (EOS 0
+        # after every doc, doc_id order) cut into 256-token blocks;
+        # bucket_prefix=10 → ~10-doc offset buckets so blocks straddle
+        # bucket boundaries under the oracle; drop_last=False so the
+        # trailing partial block is value-checked too; token arrays
+        # projected to md5 (array cells crash the driver canonicalizer)
+        from gbdc_spark.operators.packing import pack_concat_chunks
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "tokens"
+        )
+        return pack_concat_chunks(
+            seqs, block_size=256, bucket_prefix=10, drop_last=False
+        ).select(
+            "block_id", "n_tok",
+            F.md5(F.concat_ws(
+                ",", F.transform(F.col("tokens"),
+                                 lambda x: x.cast("string")),
+            )).alias("tokens_md5"),
+        )
+
     def q_stratified_sample(spark, sf_dir):
         # deterministic md5-uniform per-stratum sampling — stable under
         # parallelism/retries, reproducible in any md5-capable engine
@@ -2223,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_next_fit": q_pack_next_fit,
         "pack_next_fit_scalable": q_pack_next_fit_scalable,
         "pack_next_fit_auto": q_pack_next_fit_auto,
+        "pack_concat_chunks": q_pack_concat_chunks,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "epoch_order": q_epoch_order,
@@ -5694,4 +5717,26 @@ def oracle_sql() -> dict[str, str]:
     # bucketed label_balance preserves the (md5-uniform, key) total
     # order exactly — same oracle gates both physical rank paths
     oracles["label_balance_bucketed"] = oracles["label_balance"]
+    # concat-and-chunk: global offsets = running token sum in doc_id
+    # order; every token lands at (off + pos - 1), block = gpos // B
+    oracles["pack_concat_chunks"] = f"""
+        WITH t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                   FROM documents),
+        p AS (SELECT doc_id, list_append(toks, 0) AS toks FROM t),
+        o AS (SELECT doc_id, toks,
+                     coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS off
+              FROM p),
+        u AS (SELECT off, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos
+              FROM o),
+        b AS (SELECT CAST((off + pos - 1) // 256 AS BIGINT) AS block_id,
+                     (off + pos - 1) % 256 AS bp, tok
+              FROM u)
+        SELECT block_id, CAST(count(*) AS INT) AS n_tok,
+               md5(string_agg(CAST(tok AS VARCHAR), ',' ORDER BY bp))
+                   AS tokens_md5
+        FROM b GROUP BY block_id
+    """
     return oracles

@@ -37,6 +37,7 @@ __all__ = [
     "label_balance",
     "epoch_shuffle",
     "chunk_sequences",
+    "pack_concat_chunks",
     "sft_mask",
 ]
 
@@ -1029,3 +1030,111 @@ def sft_mask(
         )
         .drop("_r")
     )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    block_size: int,
+    tokens_col: str = "tokens",
+    key: str = "doc_id",
+    eos_id: int | None = 0,
+    bucket_prefix: int | None = None,
+    bucket_width: int | None = None,
+    drop_last: bool = True,
+    block_out: str = "block_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing: reading docs in ``key``
+    order, append ``eos_id`` after each doc's ``tokens_col``,
+    concatenate the whole corpus into one logical token stream, and
+    cut it into fixed ``block_size`` training blocks (the final
+    partial block is dropped unless ``drop_last=False``) — the
+    standard causal-LM batch layout (Brown et al. 2020 §2.3; every doc
+    boundary is an EOS so attention masking/resets stay possible
+    downstream).  Complements :func:`pack_next_fit`, which never
+    splits a document; concat-and-chunk always fills every block
+    exactly and splits docs at block boundaries.
+
+    Returns ``(block_id, tokens, n_tok)`` where ``tokens`` is exactly
+    ``block_size`` long (except a kept trailing block).
+
+    Scale shape — the stream is a fiction; no task ever holds it:
+
+    1. global per-doc token offsets via the two-phase bucket trick
+       (``epoch_shuffle`` / ``heaps_fit``): docs bucket by an
+       order-preserving key prefix (``bucket_prefix`` chars of a
+       fixed-width string key, or ``floor(key/bucket_width)`` for
+       numerics), a ≤buckets-row cumulative agg broadcasts bucket
+       offsets back, per-doc offsets window inside each bucket;
+    2. each doc emits one row per block it overlaps — an explode of
+       ``sequence(first_block, last_block)`` carrying the JVM
+       ``slice`` of its padded array that lands in that block (rows ≈
+       n_docs + n_blocks, NOT n_tokens);
+    3. one shuffle on ``block_id`` reassembles: ``array_sort`` on
+       (offset, slice) structs, ``flatten`` — every group is bounded
+       by ``block_size`` tokens.
+
+    No Python workers anywhere.  With the default
+    ``bucket_prefix=None`` all offsets flow through ONE window
+    partition — fine for tests, wrong at scale: always pass a prefix/
+    width that yields data-proportional buckets (a doc-count probe
+    per bucket stays ≤ tens of millions).
+    """
+    padded = F.col(tokens_col)
+    if eos_id is not None:
+        padded = F.concat(padded, F.array(F.lit(int(eos_id))))
+    lens = df.select(
+        F.col(key).alias("_k"), padded.alias("_toks")
+    ).withColumn("_n", F.size("_toks").cast("long")).filter(F.col("_n") > 0)
+    if bucket_prefix is not None:
+        bcol = F.substring(F.col("_k").cast("string"), 1, int(bucket_prefix))
+    elif bucket_width is not None:
+        bcol = F.floor(F.col("_k") / F.lit(int(bucket_width))).cast("string")
+    else:
+        bcol = F.lit("")
+    from pyspark.sql import Window
+
+    scored = lens.withColumn("_b", bcol)
+    bsum = scored.groupBy("_b").agg(F.sum("_n").alias("_bn"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.withColumn(
+        "_boff", F.coalesce(F.sum("_bn").over(wb), F.lit(0).cast("long"))
+    ).select("_b", "_boff")
+    wd = Window.partitionBy("_b").orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = scored.join(F.broadcast(boff), "_b").withColumn(
+        "_off",
+        F.col("_boff") + F.coalesce(F.sum("_n").over(wd), F.lit(0).cast("long")),
+    )
+    bs = F.lit(int(block_size)).cast("long")
+    first_b = F.floor(F.col("_off") / bs)
+    last_b = F.floor((F.col("_off") + F.col("_n") - 1) / bs)
+    contrib = (
+        offs.select(
+            "_off", "_n", "_toks",
+            F.explode(F.sequence(first_b, last_b)).alias(block_out),
+        )
+        .withColumn("_s", F.greatest(F.col(block_out) * bs - F.col("_off"), F.lit(0).cast("long")))
+        .withColumn("_e", F.least(F.col("_n"), (F.col(block_out) + 1) * bs - F.col("_off")))
+        .select(
+            block_out,
+            F.struct(
+                F.col("_off").alias("o"),
+                F.slice(
+                    "_toks", (F.col("_s") + 1).cast("int"), (F.col("_e") - F.col("_s")).cast("int")
+                ).alias("sl"),
+            ).alias("_c"),
+        )
+    )
+    out = (
+        contrib.groupBy(block_out)
+        .agg(F.array_sort(F.collect_list("_c")).alias("_cs"))
+        .select(
+            block_out,
+            F.flatten(F.transform("_cs", lambda c: c["sl"])).alias("tokens"),
+        )
+        .withColumn("n_tok", F.size("tokens"))
+    )
+    if drop_last:
+        out = out.filter(F.col("n_tok") == int(block_size))
+    return out
