@@ -1380,6 +1380,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return logreg_langid(_docs(spark, sf_dir), epochs=3, lr=1.0)
 
+    def q_bpe_merges(spark, sf_dir):
+        # distributed BPE tokenizer induction (Sennrich ACL'16): one
+        # corpus shuffle builds the word-freq table, then 12 merge
+        # rounds of pair-count aggregate + 1-row argmax; the oracle
+        # unrolls the identical trajectory in chained CTEs (the
+        # logreg/trained-IVF device) over the double-separator symbol
+        # strings, so the whole TRAINING LOOP is value-gated
+        from gbdc_spark.operators.tokenizer import bpe_train
+
+        merges, _ = bpe_train(_docs(spark, sf_dir), n_merges=12)
+        return merges
+
+    def q_bpe_encode_docs(spark, sf_dir):
+        # encode every doc with the learned rules: replaces run once
+        # per DISTINCT word, broadcast-joined back to occurrences,
+        # order-preserving re-assembly; token arrays projected to md5
+        # (array cells crash the driver canonicalizer)
+        from gbdc_spark.operators.tokenizer import bpe_encode, bpe_train
+
+        docs = _docs(spark, sf_dir)
+        merges, _ = bpe_train(docs, n_merges=12)
+        enc = bpe_encode(docs, merges)
+        return enc.select(
+            "doc_id",
+            "n_bpe",
+            F.md5(F.array_join("bpe_tokens", " ")).alias("toks_md5"),
+        )
+
     def q_bloom_dedup_against(spark, sf_dir):
         # Dolma-style Bloom membership: build the filter over the first
         # 80% of docs (by doc_id), probe the rest for exact-content
@@ -2309,6 +2337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "heaps_fit": q_heaps_fit,
         "logreg_langid": q_logreg_langid,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode_docs": q_bpe_encode_docs,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -3075,6 +3105,88 @@ def _duck_logreg_sql(epochs: int = 3, lr: float = 1.0,
                round(1.0 / (1.0 + exp(-({z}))), 6) AS score,
                round(1.0 / (1.0 + exp(-({z}))), 6) >= 0.5 AS pred
         FROM s, w{int(epochs)} w
+        """
+    )
+
+
+def _duck_bpe_sql(mode: str = "merges", n_merges: int = 12) -> str:
+    """Unrolled BPE trainer in DuckDB SQL — the rounds-as-chained-CTEs
+    device applied to tokenizer induction.  v0 is the word-frequency
+    table with double-separator symbol strings (one space guard each
+    end, two between symbols); each round k computes pair counts from
+    v{k-1}, takes the deterministic argmax (count DESC, then
+    lexicographic), and applies the merge with a literal ``replace``
+    whose pattern borrows one separator from each side — the exact
+    greedy left-to-right semantics the Spark side uses, because both
+    engines share non-overlapping forward replace-all.  ``mode``:
+    'merges' returns the K-row rule table; 'encode' re-tokenizes every
+    doc from the final vocab (identical to applying the rule chain per
+    distinct word) and projects (n_bpe, md5-of-token-stream)."""
+    pieces = [
+        """v0 AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                   ' ' || array_to_string(
+                       list_append(string_split(word, ''), chr(30)),
+                       '  ') || ' ' AS syms
+            FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                  FROM documents)
+            WHERE word <> '' AND strpos(word, chr(30)) = 0
+            GROUP BY word)"""
+    ]
+    for k in range(1, int(n_merges) + 1):
+        pieces.append(f"""pc{k} AS MATERIALIZED (
+            SELECT p[1] AS merge_left, p[2] AS merge_right,
+                   CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT freq,
+                       unnest(list_transform(range(1, len(ts)),
+                              i -> [ts[i], ts[i + 1]])) AS p
+                FROM (SELECT freq, string_split(trim(syms), '  ') AS ts
+                      FROM v{k - 1})
+            )
+            GROUP BY 1, 2)""")
+        pieces.append(
+            f"m{k} AS MATERIALIZED (SELECT merge_left, merge_right, cnt FROM pc{k} "
+            f"ORDER BY cnt DESC, merge_left, merge_right LIMIT 1)"
+        )
+        pieces.append(f"""v{k} AS MATERIALIZED (
+            SELECT word, freq,
+                   replace(syms,
+                           ' ' || merge_left || '  ' || merge_right || ' ',
+                           ' ' || merge_left || merge_right || ' ') AS syms
+            FROM v{k - 1}, m{k})""")
+    if mode == "merges":
+        legs = "\n            UNION ALL ".join(
+            f"SELECT {k} AS \"round\", merge_left, merge_right, cnt,"
+            f" merge_left || merge_right AS new_token FROM m{k}"
+            for k in range(1, int(n_merges) + 1)
+        )
+        return "WITH " + ",\n".join(pieces) + f"\nSELECT * FROM ({legs})"
+    assert mode == "encode"
+    last = f"v{int(n_merges)}"
+    return (
+        "WITH " + ",\n".join(pieces) + f""",
+        wt AS (SELECT word, string_split(trim(syms), '  ') AS ts
+               FROM {last}),
+        occ AS (
+            SELECT doc_id, pos, ts
+            FROM (
+                SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+                       unnest(ws) AS word
+                FROM (SELECT doc_id,
+                             string_split_regex(text, '\\s+') AS ws
+                      FROM documents)
+            )
+            JOIN wt USING (word)
+            WHERE word <> '' AND strpos(word, chr(30)) = 0
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(len(f.fl), 0) AS INT) AS n_bpe,
+               md5(coalesce(array_to_string(f.fl, ' '), '')) AS toks_md5
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, flatten(list(ts ORDER BY pos)) AS fl
+                   FROM occ GROUP BY doc_id) f
+        USING (doc_id)
         """
     )
 
@@ -4401,6 +4513,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ppl WHERE perplexity IS NULL
         """,
         "logreg_langid": _duck_logreg_sql(epochs=3, lr=1.0, label="en"),
+        "bpe_merges": _duck_bpe_sql(mode="merges", n_merges=12),
+        "bpe_encode_docs": _duck_bpe_sql(mode="encode", n_merges=12),
         "bloom_dedup_against": f"""
             WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT)
                              AS c FROM documents),

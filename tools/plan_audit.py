@@ -401,6 +401,23 @@ CHECKS = {
         ("coverage mask + rebuild JVM-side (no Python workers)",
          r"^(?!.*ArrowEvalPython)"),
     ],
+    "bpe_merges": [
+        # the returned plan is the K-row collected rule table; the
+        # load-bearing plan is the per-round pair count, audited via
+        # bpe_encode_docs below (same trainer) — here just assert the
+        # rule table stays a local scan (model state is driver-sized
+        # by definition, like k-means centroids)
+        ("rule table is a local K-row scan (no shuffle, no Python)",
+         r"^(?!.*(Exchange|ArrowEvalPython))"),
+    ],
+    "bpe_encode_docs": [
+        ("encodings computed once per DISTINCT word (map-side-combined "
+         "distinct before the replace chain)", r"partial_first|HashAggregate"),
+        ("encoded vocab broadcast back to word occurrences",
+         r"BroadcastHashJoin"),
+        ("replace chain + re-assembly JVM-side (no Python workers)",
+         r"^(?!.*ArrowEvalPython)"),
+    ],
 }
 
 
