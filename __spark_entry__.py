@@ -1408,6 +1408,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(F.array_join("bpe_tokens", " ")).alias("toks_md5"),
         )
 
+    def q_hll_distinct(spark, sf_dir):
+        # HyperLogLog cardinality: per-event-type distinct-user
+        # registers (one map-side-combined max agg), the bucket-wise
+        # max MERGE across types (the shuffle-free HLL union), and a
+        # high-cardinality event_id sketch — each estimate next to its
+        # exact count.  rho uses binary-string length, not log2 (libm
+        # log2 at powers of two is not engine-portable), so the oracle
+        # reproduces every register and estimate bit-for-bit
+        from gbdc_spark.operators.sketches import (
+            hll_estimate,
+            hll_merge,
+            hll_registers,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        users = ev.select(
+            "event_type", F.col("user_id").cast("string").alias("item")
+        )
+        regs = hll_registers(users, "item", p=12, by=["event_type"])
+        per = hll_estimate(regs, p=12, by=["event_type"]).withColumnRenamed(
+            "event_type", "grp"
+        )
+        allu = hll_estimate(
+            hll_merge(regs, drop=["event_type"]), p=12
+        ).withColumn("grp", F.lit("ALL_users"))
+        ids = ev.select(F.col("event_id").cast("string").alias("item"))
+        alle = hll_estimate(hll_registers(ids, "item", p=12), p=12).withColumn(
+            "grp", F.lit("ALL_events")
+        )
+        ests = per.unionByName(allu.select(*per.columns)).unionByName(
+            alle.select(*per.columns)
+        )
+        exacts = (
+            users.groupBy(F.col("event_type").alias("grp"))
+            .agg(F.count_distinct("item").alias("exact_distinct"))
+            .unionByName(
+                users.agg(
+                    F.count_distinct("item").alias("exact_distinct")
+                ).select(
+                    F.lit("ALL_users").alias("grp"), "exact_distinct"
+                )
+            )
+            .unionByName(
+                ids.agg(
+                    F.count_distinct("item").alias("exact_distinct")
+                ).select(
+                    F.lit("ALL_events").alias("grp"), "exact_distinct"
+                )
+            )
+        )
+        return ests.join(exacts, "grp").select(
+            "grp", "v_zero", "est_distinct", "exact_distinct"
+        )
+
     def q_bloom_dedup_against(spark, sf_dir):
         # Dolma-style Bloom membership: build the filter over the first
         # 80% of docs (by doc_id), probe the rest for exact-content
@@ -2339,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_langid": q_logreg_langid,
         "bpe_merges": q_bpe_merges,
         "bpe_encode_docs": q_bpe_encode_docs,
+        "hll_distinct": q_hll_distinct,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -3189,6 +3244,82 @@ def _duck_bpe_sql(mode: str = "merges", n_merges: int = 12) -> str:
         USING (doc_id)
         """
     )
+
+
+def _duck_hll_sql(p: int = 12) -> str:
+    """Oracle for ``hll_distinct``: rebuilds every HLL register from the
+    same md5-u32 hash (bucket = top p bits, rho = q - (len(bin(w)) - 1)
+    over the low q bits — binary-string length, never log2) and replays
+    the harmonic-mean estimator with the identical alpha*m^2 literal
+    and small/large-range correction branches, so registers AND
+    estimates agree bit-for-bit; the merged ALL_users row exploits HLL
+    merge losslessness (max over per-type maxes == max over all)."""
+    m = 1 << p
+    q = 32 - p
+    mask = (1 << q) - 1
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    two32 = float(1 << 32)
+    h = _duck_md5_u32("item")
+
+    def reg(src: str, gcol: str | None) -> str:
+        gsel = f"{gcol}, " if gcol else ""
+        gby = f"GROUP BY {gcol}, bucket" if gcol else "GROUP BY bucket"
+        return f"""SELECT {gsel}bucket, max(rho) AS rho FROM (
+                SELECT {gsel}CAST(h >> {q} AS INTEGER) AS bucket,
+                       CASE WHEN (h & {mask}) > 0
+                            THEN {q} - (length(bin(CAST(h & {mask}
+                                 AS BIGINT))) - 1)
+                            ELSE {q + 1} END AS rho
+                FROM (SELECT {gsel}{h} AS h FROM ({src}))
+            ) {gby}"""
+
+    def est(regs: str, gcol: str | None, gout: str) -> str:
+        gsel = f"{gcol}, " if gcol else ""
+        gby = f"GROUP BY {gcol}" if gcol else ""
+        e_raw = f"({alpha_m2!r} / (s_hit + ({m} - n_hit)))"
+        return f"""SELECT {gout} AS grp,
+                   CAST({m} - n_hit AS BIGINT) AS v_zero,
+                   round(CASE WHEN est0 > {two32 / 30.0!r}
+                              THEN -{two32!r} * ln(1.0 - est0 / {two32!r})
+                              ELSE est0 END, 6) AS est_distinct
+            FROM (
+                SELECT {gsel}n_hit,
+                       CASE WHEN {e_raw} <= {2.5 * m!r}
+                                 AND ({m} - n_hit) > 0
+                            THEN {float(m)!r}
+                                 * ln({float(m)!r} / ({m} - n_hit))
+                            ELSE {e_raw} END AS est0
+                FROM (SELECT {gsel}sum(power(2.0, -rho)) AS s_hit,
+                             count(*) AS n_hit
+                      FROM ({regs}) {gby})
+            )"""
+
+    return f"""
+        WITH u AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item
+                   FROM events),
+        ids AS (SELECT CAST(event_id AS VARCHAR) AS item FROM events),
+        ru AS ({reg('SELECT * FROM u', 'event_type')}),
+        ra AS ({reg('SELECT item FROM u', None)}),
+        re AS ({reg('SELECT item FROM ids', None)}),
+        ests AS (
+            {est('SELECT * FROM ru', 'event_type', 'event_type')}
+            UNION ALL {est('SELECT * FROM ra', None, "'ALL_users'")}
+            UNION ALL {est('SELECT * FROM re', None, "'ALL_events'")}
+        ),
+        ex AS (
+            SELECT event_type AS grp,
+                   CAST(count(DISTINCT item) AS BIGINT) AS exact_distinct
+            FROM u GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL_users',
+                   CAST(count(DISTINCT item) AS BIGINT) FROM u
+            UNION ALL
+            SELECT 'ALL_events',
+                   CAST(count(DISTINCT item) AS BIGINT) FROM ids
+        )
+        SELECT grp, v_zero, est_distinct, exact_distinct
+        FROM ests JOIN ex USING (grp)
+        """
 
 
 def _duck_pii_sql() -> str:
@@ -4515,6 +4646,7 @@ def oracle_sql() -> dict[str, str]:
         "logreg_langid": _duck_logreg_sql(epochs=3, lr=1.0, label="en"),
         "bpe_merges": _duck_bpe_sql(mode="merges", n_merges=12),
         "bpe_encode_docs": _duck_bpe_sql(mode="encode", n_merges=12),
+        "hll_distinct": _duck_hll_sql(p=12),
         "bloom_dedup_against": f"""
             WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT)
                              AS c FROM documents),

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_query"]
+__all__ = [
+    "cms_build",
+    "cms_query",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
+]
 
 
 def _cms_cells(item: Column, depth: int, width: int) -> Column:
@@ -77,3 +83,96 @@ def cms_query(df: DataFrame, cms: DataFrame, item_col: str,
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
     return df.join(est, item_col)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, AofA'07) — the
+# cardinality member of the sketch family: Bloom answers membership,
+# CMS frequency, HLL distinct count.  Registers are m = 2^p (bucket,
+# max-rho) rows built by ONE map-side-combined max aggregate; register
+# tables from disjoint scans MERGE by bucket-wise max, which is what
+# makes the sketch shuffle-free to combine across sources, snapshots,
+# or cluster partitions.  The hash is the same md5-u32 device as the
+# CMS/Bloom coordinates, and rho comes from the BINARY-STRING length of
+# the remaining bits (integer-exact — deliberately not floor(log2):
+# libm log2 at exact powers of two is not portable across engines), so
+# a SQL oracle reproduces every register and therefore the estimate
+# bit-for-bit.
+
+
+def _hll_parts(item: Column, p: int) -> tuple[Column, Column]:
+    """(bucket, rho) for one item: bucket = top p bits of u32(md5),
+    rho = leading-zero count of the remaining q = 32-p bits + 1,
+    computed as q - (len(bin(w)) - 1) with the w = 0 case at q + 1."""
+    q = 32 - p
+    u = F.conv(F.substring(F.md5(item), 1, 8), 16, 10).cast("long")
+    bucket = F.shiftright(u, q).cast("int")
+    w = u.bitwiseAND(F.lit((1 << q) - 1))
+    rho = (
+        F.when(w > 0, F.lit(q) - (F.length(F.bin(w)) - 1))
+        .otherwise(F.lit(q + 1))
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def hll_registers(df: DataFrame, item_col: str, p: int = 12,
+                  by: list[str] | None = None) -> DataFrame:
+    """Fold a corpus into (by..., bucket, rho) HLL registers: one
+    map-side-combined max aggregate into at most m = 2^p groups per
+    ``by`` key, regardless of corpus size.  Only hit buckets
+    materialize (empty ones are implicit rho 0)."""
+    by = list(by or [])
+    bucket, rho = _hll_parts(F.col(item_col), p)
+    return (
+        df.select(*by, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*by, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(reg: DataFrame, p: int = 12,
+              drop: list[str] | None = None) -> DataFrame:
+    """Merge register tables by bucket-wise max — the HLL union.  Pass
+    ``drop`` to collapse grouping keys (e.g. per-source registers →
+    one global register set); union several builds with unionByName
+    first to merge across DataFrames.  Lossless: merged registers are
+    IDENTICAL to registers built over the concatenated input."""
+    keep = [c for c in reg.columns if c not in ("bucket", "rho")
+            and c not in set(drop or [])]
+    return reg.groupBy(*keep, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(reg: DataFrame, p: int = 12,
+                 by: list[str] | None = None) -> DataFrame:
+    """Distinct-count estimate from a register table: the harmonic-mean
+    raw estimator alpha_m * m^2 / sum(2^-rho) (empty buckets contribute
+    2^0 = 1), with the published small-range (linear counting when
+    E <= 2.5m and zero registers exist) and 32-bit large-range
+    corrections.  Returns one row per ``by`` group: (by..., v_zero,
+    est_distinct).  Every term is an exact binary fraction (rho <=
+    q+1), so the sum — and with the alpha literal injected verbatim,
+    the estimate — reproduces exactly in any engine at round-6."""
+    by = list(by or [])
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = reg.groupBy(*by).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_hit"),
+        F.count("*").alias("n_hit"),
+    )
+    v = (F.lit(m) - F.col("n_hit")).cast("long")
+    e_raw = F.lit(alpha * m * m) / (F.col("s_hit") + v.cast("double"))
+    two32 = float(1 << 32)
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((e_raw <= F.lit(2.5 * m)) & (v > 0), small).otherwise(
+        e_raw
+    )
+    est = F.when(
+        est > F.lit(two32 / 30.0),
+        F.lit(-two32) * F.log(F.lit(1.0) - est / F.lit(two32)),
+    ).otherwise(est)
+    return agg.select(
+        *by,
+        v.alias("v_zero"),
+        F.round(est, 6).alias("est_distinct"),
+    )

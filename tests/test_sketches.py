@@ -33,3 +33,100 @@ def test_cms_never_underestimates_under_collisions(spark):
     assert all(r["cms_est"] >= true[r["word"]] for r in rows)
     # sketch size is bounded by depth x width regardless of input
     assert cms.count() <= 4 * 8
+
+
+def _py_reg(items, p):
+    """Independent register computation: md5-u32, top-p bucket,
+    rho over the low q bits."""
+    import hashlib
+
+    q = 32 - p
+    regs = {}
+    for it in items:
+        u = int(hashlib.md5(it.encode()).hexdigest()[:8], 16)
+        b, w = u >> q, u & ((1 << q) - 1)
+        rho = q + 1 if w == 0 else q - (w.bit_length() - 1)
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def _py_est(regs, p):
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    v = m - len(regs)
+    s = sum(2.0 ** -r for r in regs.values()) + v
+    e = (alpha * m * m) / s
+    if e <= 2.5 * m and v > 0:
+        e = float(m) * math.log(float(m) / v)
+    if e > (1 << 32) / 30.0:
+        e = -float(1 << 32) * math.log(1.0 - e / float(1 << 32))
+    return e
+
+
+def test_hll_registers_match_reference(spark):
+    from gbdc_spark.operators.sketches import hll_registers
+
+    items = [f"item-{i}" for i in range(500)] * 3  # duplicates collapse
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    got = {
+        r["bucket"]: r["rho"]
+        for r in hll_registers(df, "item", p=12).collect()
+    }
+    assert got == _py_reg(set(items), 12)
+
+
+def test_hll_estimate_matches_reference_and_is_accurate(spark):
+    from gbdc_spark.operators.sketches import hll_estimate, hll_registers
+
+    n = 20000  # well past 2.5m for p=10: harmonic branch
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(n)], "item string"
+    )
+    for p in (10, 12):  # p=12 at n=20000 sits near the branch boundary
+        est = hll_estimate(hll_registers(df, "item", p=p), p=p).collect()[0]
+        want = _py_est(_py_reg({f"u{i}" for i in range(n)}, p), p)
+        assert est["est_distinct"] == round(want, 6)
+        assert abs(est["est_distinct"] - n) / n < 0.10  # ~1.04/sqrt(m)
+
+
+def test_hll_small_range_linear_counting_branch(spark):
+    from gbdc_spark.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(100)], "item string"
+    )
+    est = hll_estimate(hll_registers(df, "item", p=12), p=12).collect()[0]
+    want = _py_est(_py_reg({f"u{i}" for i in range(100)}, 12), 12)
+    assert est["v_zero"] > 0
+    assert est["est_distinct"] == round(want, 6)
+    assert abs(est["est_distinct"] - 100) < 5
+
+
+def test_hll_merge_is_lossless(spark):
+    from gbdc_spark.operators.sketches import hll_merge, hll_registers
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"u{i % 700}") for i in range(2000)],
+        "grp string, item string",
+    )
+    merged = hll_merge(
+        hll_registers(df, "item", p=10, by=["grp"]), drop=["grp"]
+    )
+    direct = hll_registers(df.select("item"), "item", p=10)
+    a = sorted((r["bucket"], r["rho"]) for r in merged.collect())
+    b = sorted((r["bucket"], r["rho"]) for r in direct.collect())
+    assert a == b
+
+
+def test_hll_register_fold_is_map_side_combined(spark):
+    from gbdc_spark.operators.sketches import hll_registers
+
+    df = spark.createDataFrame([("x",)], "item string")
+    plan = (
+        hll_registers(df, "item", p=12)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -410,6 +410,14 @@ CHECKS = {
         ("rule table is a local K-row scan (no shuffle, no Python)",
          r"^(?!.*(Exchange|ArrowEvalPython))"),
     ],
+    "hll_distinct": [
+        ("register fold is a map-side-combined max into <= 2^p groups",
+         r"partial_max"),
+        ("estimates + exacts meet in a real equi-join on grp",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("hash/rho math JVM-side (no Python workers)",
+         r"^(?!.*ArrowEvalPython)"),
+    ],
     "bpe_encode_docs": [
         ("encodings computed once per DISTINCT word (map-side-combined "
          "distinct before the replace chain)", r"partial_first|HashAggregate"),
