@@ -467,6 +467,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir).select("doc_id", "text"), min_count=2
         )
 
+    def q_kn_perplexity(spark, sf_dir):
+        # interpolated Kneser-Ney bigram perplexity — continuation-count
+        # smoothing next to lm_perplexity's add-one baseline; all model
+        # tables are aggregates of ONE persisted distinct-bigram table,
+        # every count and both correction branches recomputed in the
+        # oracle (min_count=1: the corpus is its own model, no backoff
+        # path triggers — those are pytest-covered)
+        from gbdc_spark.operators.quality import kn_perplexity
+
+        return kn_perplexity(
+            _docs(spark, sf_dir).select("doc_id", "text"), min_count=1
+        )
+
     def q_line_dedup(spark, sf_dir):
         # C4-style corpus-wide exact line dedup.  The synthetic docs are
         # single-line, so pseudo-lines are derived deterministically
@@ -2345,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
         "lm_perplexity": q_lm_perplexity,
+        "kn_perplexity": q_kn_perplexity,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
         "dsir_weights": q_dsir_weights,
@@ -3947,6 +3961,47 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN bc USING (w1, w2)
                 JOIN uc USING (w1)
                 CROSS JOIN v
+                GROUP BY p.doc_id)
+            SELECT d.doc_id, s.n_bigrams,
+                   round(s.h, 6) AS cross_entropy,
+                   round(exp(s.h), 6) AS perplexity
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "kn_perplexity": """
+            WITH w AS (
+                SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+            p AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+                       unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+                FROM w WHERE len(ws) >= 2),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                   FROM p GROUP BY w1, w2),
+            hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1h,
+                            CAST(count(*) AS BIGINT) AS n1p_fw
+                     FROM bc GROUP BY w1),
+            cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bw
+                     FROM bc GROUP BY w2),
+            ty AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM bc),
+            scored AS (
+                SELECT p.doc_id, count(*) AS n_bigrams,
+                       avg(-ln(
+                           CASE WHEN bc.c12 IS NOT NULL THEN
+                               greatest(bc.c12 - 0.75, 0.0) / hist.c1h
+                               + ((0.75 * hist.n1p_fw) / hist.c1h)
+                                 * coalesce(cont.n1p_bw / ty.t_types,
+                                            1.0 / ty.t_types)
+                           WHEN hist.c1h IS NOT NULL THEN
+                               ((0.75 * hist.n1p_fw) / hist.c1h)
+                               * coalesce(cont.n1p_bw / ty.t_types,
+                                          1.0 / ty.t_types)
+                           ELSE coalesce(cont.n1p_bw / ty.t_types,
+                                         1.0 / ty.t_types) END)) AS h
+                FROM p
+                LEFT JOIN bc USING (w1, w2)
+                LEFT JOIN hist USING (w1)
+                LEFT JOIN cont USING (w2)
+                CROSS JOIN ty
                 GROUP BY p.doc_id)
             SELECT d.doc_id, s.n_bigrams,
                    round(s.h, 6) AS cross_entropy,

@@ -28,7 +28,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "with_c4_signals", "c4_clean_lines", "c4_filter",
            "C4_TERMINAL_PUNCT",
            "ngram_contamination",
-           "token_ngram_contamination", "lm_perplexity",
+           "token_ngram_contamination", "lm_perplexity", "kn_perplexity",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
            "temperature_weights", "ccnet_buckets", "temperature_mix",
            "percentile_gate"]
@@ -309,6 +309,115 @@ def lm_perplexity(
             F.count("*").alias("n_bigrams"),
             F.avg("nll").alias("h"),
         )
+    )
+    return (
+        df.select(key)
+        .join(scored, key, "left")
+        .select(
+            key,
+            "n_bigrams",
+            F.round("h", 6).alias("cross_entropy"),
+            F.round(F.exp("h"), 6).alias("perplexity"),
+        )
+    )
+
+
+def kn_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    discount: float = 0.75,
+    min_count: int = 1,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney,
+    ICASSP'95; Chen & Goodman 1999 eq. 4.27) — the smoothing family
+    that actually wins LM evaluations, next to :func:`lm_perplexity`'s
+    add-one baseline.  KN replaces the unseen-mass heuristic with
+    CONTINUATION counts: how many distinct contexts a word follows,
+    not how often it occurs ("Francisco" is frequent but only ever
+    follows "San", so it gets almost no novel-context mass).
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1·)
+                   + lam(w1) * Pcont(w2)
+        lam(w1)  = D * N1+(w1 ·) / c(w1·)      (reserved mass)
+        Pcont(w2)= N1+(· w2) / N1+(· ·)        (continuation prob.)
+
+    where c(w1·) is w1's HISTORY count (sum of its bigram counts — not
+    the raw unigram count, which differs at document ends) and N1+ are
+    bigram TYPE counts.  Scoring mirrors lm_perplexity: per-doc mean
+    of -ln P over the doc's bigrams, perplexity = exp; docs with fewer
+    than two words keep a null row.
+
+    ``min_count`` prunes the bigram table BEFORE the type counts are
+    derived (the model is then trained on frequent bigrams only), with
+    graceful backoff for what pruning removed: a pruned bigram falls
+    back to lam(w1)*Pcont(w2), a fully pruned history to Pcont(w2)
+    alone, and a fully pruned continuation to 1/N1+(··).  With the
+    default ``min_count=1`` the corpus is its own model and no
+    fallback ever triggers.
+
+    Shape at scale: ONE shuffle builds the distinct-bigram count table
+    (map-side combined; distinct grams ≪ total grams on natural text);
+    it is persisted at the branch point and every derived model table
+    — history counts, forward/backward type counts, the 1-row type
+    total — is an aggregate OF THAT table, not another corpus pass.
+    Scoring is the token-stream explode joined against model-sized
+    tables (AQE picks broadcast when they fit; at corpus scale bucket
+    both sides on the gram key).  All JVM expressions — no Python
+    workers anywhere.
+    """
+    from ..functions import persist_slot
+
+    ws = _words(text_col)
+    pairs = df.select(
+        F.col(key),
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w1"),
+                        F.element_at(ws, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select(key, "bg.w1", "bg.w2")
+
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    if min_count > 1:
+        bigrams = bigrams.filter(F.col("c12") >= min_count)
+    bigrams = persist_slot(bigrams, slot="kn_perplexity")
+
+    hist = bigrams.groupBy("w1").agg(
+        F.sum("c12").alias("c1h"),
+        F.count("*").alias("n1p_fw"),
+    )
+    cont = bigrams.groupBy("w2").agg(F.count("*").alias("n1p_bw"))
+    types = bigrams.agg(F.count("*").alias("t_types"))
+
+    d = F.lit(float(discount))
+    pc2 = F.coalesce(
+        F.col("n1p_bw") / F.col("t_types"),
+        F.lit(1.0) / F.col("t_types"),
+    )
+    lam1 = d * F.col("n1p_fw") / F.col("c1h")
+    p_hit = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1h")
+        + lam1 * pc2
+    )
+    p = F.when(F.col("c12").isNotNull(), p_hit).otherwise(
+        F.when(F.col("c1h").isNotNull(), lam1 * pc2).otherwise(pc2)
+    )
+    scored = (
+        pairs.join(bigrams, ["w1", "w2"], "left")
+        .join(hist, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(types))
+        .select(F.col(key), (-F.log(p)).alias("nll"))
+        .groupBy(key)
+        .agg(F.count("*").alias("n_bigrams"), F.avg("nll").alias("h"))
     )
     return (
         df.select(key)

@@ -956,3 +956,62 @@ def test_binary_ap_hand_computed(spark):
     # no positives -> NULL
     neg = spark.createDataFrame([(0.9, 0.0)], "score double, y double")
     assert binary_ap(neg).collect()[0]["ap"] is None
+
+
+def test_kn_perplexity_hand_computed(spark):
+    # bigrams (a,b):2 (b,a):1; hist a:(c1h 2, fw 1) b:(1, 1);
+    # cont a:1 b:1; T=2
+    from math import exp, log
+
+    from gbdc_spark.operators.quality import kn_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in kn_perplexity(df).collect()}
+    p_ba = (2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 2)  # P(b|a) = 0.8125
+    p_ab = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (1 / 2)  # P(a|b) = 0.625
+    h1 = (-log(p_ba) - log(p_ab)) / 2
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["cross_entropy"] == pytest.approx(h1, abs=1e-6)
+    assert out[1]["perplexity"] == pytest.approx(exp(h1), abs=1e-5)
+    assert out[2]["cross_entropy"] == pytest.approx(-log(p_ba), abs=1e-6)
+    assert out[3]["n_bigrams"] is None
+    assert out[3]["cross_entropy"] is None
+
+
+def test_kn_perplexity_prune_backoff_branches(spark):
+    # min_count=2 prunes (a,c) and every x-bigram: exercises all three
+    # fallbacks — hit, pruned-pair (lam*Pcont), pruned-history (Pcont),
+    # and the pruned-continuation 1/T inside each
+    from math import log
+
+    from gbdc_spark.operators.quality import kn_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "x y")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r for r in kn_perplexity(df, min_count=2).collect()
+    }
+    # model: bc {(a,b):2,(b,a):2}; hist a:(2,1) b:(2,1); cont a:1 b:1; T=2
+    p_hit_ab = (2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 2)
+    p_hit_ba = p_hit_ab
+    p_ac = (0.75 * 1 / 2) * (1 / 2)  # w1 kept, pair pruned -> lam*Pcont(c)=lam/T
+    h1 = (
+        -log(p_hit_ab) * 2 - log(p_hit_ba) * 2 - log(p_ac)
+    ) / 5
+    assert out[1]["cross_entropy"] == pytest.approx(h1, abs=1e-6)
+    # doc2 (x,y): x has no surviving history -> Pcont(y) -> 1/T
+    assert out[2]["cross_entropy"] == pytest.approx(log(2), abs=1e-6)
+
+
+def test_kn_perplexity_plan_is_jvm_only(spark):
+    from gbdc_spark.operators.quality import kn_perplexity
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 5} w{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = kn_perplexity(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -410,6 +410,14 @@ CHECKS = {
         ("rule table is a local K-row scan (no shuffle, no Python)",
          r"^(?!.*(Exchange|ArrowEvalPython))"),
     ],
+    "kn_perplexity": [
+        ("bigram model build is map-side combined", r"partial_count"),
+        ("model tables meet the token stream in real equi-joins",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("type total is a 1-row broadcast",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "hll_distinct": [
         ("register fold is a map-side-combined max into <= 2^p groups",
          r"partial_max"),
