@@ -1421,6 +1421,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(F.array_join("bpe_tokens", " ")).alias("toks_md5"),
         )
 
+    def q_pagerank_dups(spark, sf_dir):
+        # PageRank centrality over the (symmetric) MinHash-band
+        # near-dup graph — picks the CANONICAL doc inside each dup
+        # cluster; 5 synchronous sweeps, dangling mass folded back as
+        # a 1-row broadcast; the oracle unrolls the identical
+        # trajectory in chained MATERIALIZED CTEs
+        from gbdc_spark.operators.graph import pagerank
+
+        pairs = dedup.minhash_candidate_pairs(
+            _docs(spark, sf_dir), key="doc_id", num_perm=8, bands=4,
+            shingle_n=3,
+        )
+        return pagerank(
+            pairs, src="a", dst="b", iters=5, undirected=True
+        ).withColumnRenamed("node", "doc_id")
+
+    def q_bpe_fertility(spark, sf_dir):
+        # tokenizer evaluation over the trained rules: per-source
+        # fertility (subword tokens per word) and chars per token —
+        # replace chain per DISTINCT word, broadcast back, one
+        # map-side-combined agg per source
+        from gbdc_spark.operators.tokenizer import bpe_fertility, bpe_train
+
+        docs = _docs(spark, sf_dir)
+        merges, _ = bpe_train(docs, n_merges=12)
+        return bpe_fertility(docs, merges, by="source")
+
     def q_hll_distinct(spark, sf_dir):
         # HyperLogLog cardinality: per-event-type distinct-user
         # registers (one map-side-combined max agg), the bucket-wise
@@ -2408,6 +2435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode_docs": q_bpe_encode_docs,
         "hll_distinct": q_hll_distinct,
+        "bpe_fertility": q_bpe_fertility,
+        "pagerank_dups": q_pagerank_dups,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -3231,8 +3260,35 @@ def _duck_bpe_sql(mode: str = "merges", n_merges: int = 12) -> str:
             for k in range(1, int(n_merges) + 1)
         )
         return "WITH " + ",\n".join(pieces) + f"\nSELECT * FROM ({legs})"
-    assert mode == "encode"
     last = f"v{int(n_merges)}"
+    if mode == "fertility":
+        return (
+            "WITH " + ",\n".join(pieces) + f""",
+            wt AS (SELECT word,
+                          CAST(len(string_split(trim(syms), '  '))
+                               AS BIGINT) AS n_tok,
+                          CAST(length(word) + 1 AS BIGINT) AS n_chars
+                   FROM {last}),
+            occ AS (
+                SELECT source, word
+                FROM (SELECT source,
+                             unnest(string_split_regex(text, '\\s+'))
+                                 AS word
+                      FROM documents)
+                WHERE word <> '' AND strpos(word, chr(30)) = 0
+            )
+            SELECT source, n_words, n_bpe,
+                   round(n_bpe / n_words, 6) AS fertility,
+                   round(n_chars / n_bpe, 6) AS chars_per_token
+            FROM (SELECT source,
+                         CAST(count(*) AS BIGINT) AS n_words,
+                         CAST(sum(n_tok) AS BIGINT) AS n_bpe,
+                         CAST(sum(n_chars) AS BIGINT) AS n_chars
+                  FROM occ JOIN wt USING (word)
+                  GROUP BY source)
+            """
+        )
+    assert mode == "encode"
     return (
         "WITH " + ",\n".join(pieces) + f""",
         wt AS (SELECT word, string_split(trim(syms), '  ') AS ts
@@ -3256,6 +3312,49 @@ def _duck_bpe_sql(mode: str = "merges", n_merges: int = 12) -> str:
         LEFT JOIN (SELECT doc_id, flatten(list(ts ORDER BY pos)) AS fl
                    FROM occ GROUP BY doc_id) f
         USING (doc_id)
+        """
+    )
+
+
+def _duck_pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Oracle for ``pagerank_dups``: the symmetric MinHash-band pair
+    graph, then ``iters`` unrolled synchronous PageRank sweeps as
+    chained MATERIALIZED CTEs (the trainer-unroll device) — contrib
+    sums, uniform dangling redistribution (identically zero on an
+    undirected graph, computed anyway for expression parity), and the
+    damping literals injected with full repr so every double matches
+    the Spark trajectory."""
+    d = float(damping)
+    pieces = [
+        "e AS MATERIALIZED (SELECT a AS s, b AS d FROM cand"
+        " UNION SELECT b, a FROM cand)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM e)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS deg"
+        " FROM e GROUP BY s)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / n AS r FROM nodes, nn)",
+    ]
+    for k in range(1, int(iters) + 1):
+        pieces.append(f"""c{k} AS MATERIALIZED (
+            SELECT e.d AS node, sum(r.r / deg.deg) AS c
+            FROM e JOIN r{k - 1} r ON e.s = r.node
+                   JOIN deg ON deg.s = e.s
+            GROUP BY e.d)""")
+        pieces.append(
+            f"dm{k} AS (SELECT coalesce(sum(r.r), 0.0) AS dm"
+            f" FROM r{k - 1} r ANTI JOIN deg ON r.node = deg.s)"
+        )
+        pieces.append(f"""r{k} AS MATERIALIZED (
+            SELECT nodes.node,
+                   {1.0 - d!r} / nn.n
+                   + {d!r} * (coalesce(c.c, 0.0) + dm.dm / nn.n) AS r
+            FROM nodes CROSS JOIN nn CROSS JOIN dm{k} dm
+            LEFT JOIN c{k} c ON c.node = nodes.node)""")
+    return (
+        f"WITH {_DUCK_MINHASH_CAND},\n"
+        + ",\n".join(pieces)
+        + f"""
+        SELECT node AS doc_id, round(r, 6) AS pagerank FROM r{int(iters)}
         """
     )
 
@@ -4702,6 +4801,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _duck_bpe_sql(mode="merges", n_merges=12),
         "bpe_encode_docs": _duck_bpe_sql(mode="encode", n_merges=12),
         "hll_distinct": _duck_hll_sql(p=12),
+        "bpe_fertility": _duck_bpe_sql(mode="fertility", n_merges=12),
+        "pagerank_dups": _duck_pagerank_sql(iters=5, damping=0.85),
         "bloom_dedup_against": f"""
             WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT)
                              AS c FROM documents),

@@ -38,6 +38,7 @@ __all__ = [
     "bpe_train",
     "bpe_apply",
     "bpe_encode",
+    "bpe_fertility",
 ]
 
 # end-of-word marker: its own symbol appended to every word (Sennrich's
@@ -233,4 +234,56 @@ def bpe_encode(
             F.coalesce(F.col(out), F.array().cast("array<string>")),
         )
         .withColumn("n_bpe", F.size(out).cast("int"))
+    )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Tokenizer-evaluation metrics per ``by`` group — the numbers you
+    check before committing to a learned vocabulary: fertility
+    (subword tokens per word; SentencePiece's headline metric) and
+    chars per token (compression; the EOW marker counts as one char of
+    every word's subword stream).
+
+    Same scale shape as :func:`bpe_encode`: the replace chain runs once
+    per DISTINCT word to get its token count, broadcast-joins back to
+    word occurrences, then ONE map-side-combined aggregate per group —
+    the corpus is never re-tokenized per row.
+    """
+    rules = _as_rules(merges)
+    words = df.select(
+        F.col(by),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).filter((F.col("word") != "") & (~F.col("word").contains(EOW)))
+    distinct = (
+        words.select("word")
+        .distinct()
+        .withColumn(
+            "n_tok", F.size(bpe_apply(F.col("word"), rules)).cast("long")
+        )
+        .withColumn("n_chars", (F.length("word") + 1).cast("long"))
+    )
+    return (
+        words.join(F.broadcast(distinct), "word")
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_bpe"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            by,
+            "n_words",
+            "n_bpe",
+            F.round(F.col("n_bpe") / F.col("n_words"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.col("n_chars") / F.col("n_bpe"), 6).alias(
+                "chars_per_token"
+            ),
+        )
     )

@@ -828,3 +828,96 @@ def test_bloom_probe_empty_filter_all_false(spark):
     )
     probe = spark.createDataFrame([(1, "x")], "doc_id long, item string")
     assert bloom_probe(probe, empty, item_col="item").collect()[0]["member"] is False
+
+
+def _ref_pagerank(edges, iters=5, d=0.85, undirected=False):
+    from collections import defaultdict
+
+    es = set(edges)
+    if undirected:
+        es |= {(b, a) for a, b in es}
+    nodes = sorted({x for e in es for x in e})
+    n = len(nodes)
+    out = defaultdict(set)
+    for s, t in es:
+        out[s].add(t)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if not out[v])
+        c = defaultdict(float)
+        for s in out:
+            if out[s]:
+                share = r[s] / len(out[s])
+                for t in out[s]:
+                    c[t] += share
+        r = {v: (1 - d) / n + d * (c[v] + dm / n) for v in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    from gbdc_spark.operators.graph import pagerank
+
+    # 4 is dangling; duplicate edge (1,2) must not double-vote
+    edges = [(1, 2), (1, 2), (2, 3), (3, 1), (1, 4), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pagerank"]
+           for r in pagerank(df, iters=5).collect()}
+    want = _ref_pagerank(edges, iters=5)
+    assert set(got) == set(want)
+    for v, w in want.items():
+        assert got[v] == pytest.approx(w, abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_undirected_symmetric_star(spark):
+    from gbdc_spark.operators.graph import pagerank
+
+    # undirected star: center strictly outranks equal-ranked leaves
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pagerank"]
+           for r in pagerank(df, iters=8, undirected=True).collect()}
+    want = _ref_pagerank(edges, iters=8, undirected=True)
+    for v, w in want.items():
+        assert got[v] == pytest.approx(w, abs=1e-6)
+    leaves = {got[i] for i in range(1, 6)}
+    assert len(leaves) == 1 and got[0] > leaves.pop()
+
+
+def test_pagerank_plan_is_jvm_only(spark):
+    from gbdc_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    plan = (pagerank(df, iters=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_pagerank_sweep_plan_properties(spark):
+    # checkpoint=False exposes the full unrolled lineage: contrib sums
+    # are map-side combined, the rank vector meets edges in a real
+    # equi-join, node count / dangling mass are 1-row broadcasts
+    from gbdc_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    plan = (pagerank(df, iters=2, checkpoint=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_sum" in plan
+    assert any(j in plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_pagerank_checkpoint_paths_identical(spark):
+    from gbdc_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], "src long, dst long"
+    )
+    a = sorted(map(tuple, pagerank(df, iters=3).collect()))
+    b = sorted(map(tuple,
+                   pagerank(df, iters=3, checkpoint=False).collect()))
+    assert a == b

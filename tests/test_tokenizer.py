@@ -193,3 +193,23 @@ def test_bpe_encode_plan_has_broadcast_and_no_python(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_bpe_fertility_hand_computed(spark):
+    from gbdc_spark.operators.tokenizer import bpe_fertility
+
+    df = spark.createDataFrame(
+        [(0, "s1", "ab ab c"), (1, "s2", "ab")],
+        "doc_id long, source string, text string",
+    )
+    # one merge (a,b): 'ab' -> [ab, EOW] (2 toks, 3 chars), 'c' -> [c, EOW]
+    rules = [("a", "b")]
+    got = {
+        r["source"]: r
+        for r in bpe_fertility(df, rules, by="source").collect()
+    }
+    assert got["s1"]["n_words"] == 3 and got["s1"]["n_bpe"] == 2 + 2 + 2
+    assert got["s1"]["fertility"] == 2.0
+    # chars: ab->3, ab->3, c->2 => 8 chars / 6 toks
+    assert got["s1"]["chars_per_token"] == round(8 / 6, 6)
+    assert got["s2"]["n_words"] == 1 and got["s2"]["fertility"] == 2.0

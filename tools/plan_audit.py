@@ -410,6 +410,22 @@ CHECKS = {
         ("rule table is a local K-row scan (no shuffle, no Python)",
          r"^(?!.*(Exchange|ArrowEvalPython))"),
     ],
+    "pagerank_dups": [
+        # per-sweep plan properties (map-side-combined contrib sum,
+        # equi-join against the rank vector, 1-row broadcasts) are
+        # asserted in tests/test_dedup.py with checkpoint=False — the
+        # registered query localCheckpoints per sweep BY DESIGN (the
+        # iterative-algorithm rule), so its returned plan is a scan
+        ("final rank vector is a checkpoint scan (iteration lineage "
+         "truncated by design)", r"Scan ExistingRDD"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "bpe_fertility": [
+        ("per-word token counts broadcast back to occurrences",
+         r"BroadcastHashJoin"),
+        ("per-source fold is map-side combined", r"partial_count"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "kn_perplexity": [
         ("bigram model build is map-side combined", r"partial_count"),
         ("model tables meet the token stream in real equi-joins",
