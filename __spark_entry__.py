@@ -1437,6 +1437,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pairs, src="a", dst="b", iters=5, undirected=True
         ).withColumnRenamed("node", "doc_id")
 
+    def q_triangle_stats(spark, sf_dir):
+        # exact triangle counts + local clustering over the near-dup
+        # graph via degree-ordered orientation (out-degree bounded
+        # O(sqrt(m)) — the Zipf-hub-proof formulation); density
+        # separates true dup cliques from band-collision stars
+        from gbdc_spark.operators.graph import triangle_count
+
+        pairs = dedup.minhash_candidate_pairs(
+            _docs(spark, sf_dir), key="doc_id", num_perm=8, bands=4,
+            shingle_n=3,
+        )
+        return triangle_count(pairs, src="a", dst="b").withColumnRenamed(
+            "node", "doc_id"
+        )
+
     def q_bpe_fertility(spark, sf_dir):
         # tokenizer evaluation over the trained rules: per-source
         # fertility (subword tokens per word) and chars per token —
@@ -2437,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "bpe_fertility": q_bpe_fertility,
         "pagerank_dups": q_pagerank_dups,
+        "triangle_stats": q_triangle_stats,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -4803,6 +4819,40 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _duck_hll_sql(p=12),
         "bpe_fertility": _duck_bpe_sql(mode="fertility", n_merges=12),
         "pagerank_dups": _duck_pagerank_sql(iters=5, damping=0.85),
+        "triangle_stats": f"""
+            WITH {_DUCK_MINHASH_CAND},
+            canon AS (SELECT least(a, b) AS a, greatest(a, b) AS b
+                      FROM cand WHERE a <> b GROUP BY 1, 2),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+                    FROM (SELECT a AS node FROM canon
+                          UNION ALL SELECT b FROM canon)
+                    GROUP BY node),
+            o AS (SELECT CASE WHEN da.degree < db.degree
+                                   OR (da.degree = db.degree
+                                       AND c.a < c.b)
+                              THEN c.a ELSE c.b END AS u,
+                         CASE WHEN da.degree < db.degree
+                                   OR (da.degree = db.degree
+                                       AND c.a < c.b)
+                              THEN c.b ELSE c.a END AS v
+                  FROM canon c
+                  JOIN deg da ON da.node = c.a
+                  JOIN deg db ON db.node = c.b),
+            tri AS (SELECT o1.u, o1.v, o2.v AS w
+                    FROM o o1 JOIN o o2
+                         ON o1.u = o2.u AND o1.v < o2.v
+                    JOIN canon ON canon.a = o1.v AND canon.b = o2.v),
+            per AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                    FROM (SELECT unnest([u, v, w]) AS node FROM tri)
+                    GROUP BY node)
+            SELECT deg.node AS doc_id, deg.degree,
+                   coalesce(per.n_triangles, 0) AS n_triangles,
+                   CASE WHEN deg.degree >= 2
+                        THEN round(2.0 * coalesce(per.n_triangles, 0)
+                                   / (deg.degree * (deg.degree - 1)), 6)
+                        ELSE 0.0 END AS clustering
+            FROM deg LEFT JOIN per USING (node)
+        """,
         "bloom_dedup_against": f"""
             WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT)
                              AS c FROM documents),

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 
 def pagerank(
@@ -105,3 +105,100 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("r", 6).alias(out))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient
+    over an UNDIRECTED simple graph (edges in either/both directions;
+    self-loops and duplicates dropped).  Triangles measure dup-cluster
+    density: a clique of near-identical docs is all triangles, a
+    star of borderline band collisions has none.
+
+    The algorithm is the degree-ordered orientation (Schank & Wagner
+    '05; Cohen's MapReduce formulation): orient every edge from the
+    (degree, node)-smaller endpoint to the larger, enumerate wedges
+    (u -> v, u -> w) from each node's out-neighbors, and probe the
+    oriented edge set for (v, w).  The orientation is what makes this
+    scale-shaped: out-degree is bounded by O(sqrt(m)) on any graph, so
+    the wedge explosion a Zipf hub would cause in the naive
+    neighbor-join never happens — the heavy hitter's edges all point
+    INTO it.  One self-join + one semi-probe equi-join, all map-side
+    combinable.
+
+    Returns (node, degree, n_triangles, clustering) with clustering =
+    2T / (deg * (deg - 1)) (0.0 for degree < 2).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .persist()
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    oriented = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb"))
+                   & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        .persist()
+    )
+    o2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    wedges = oriented.join(o2, "u").filter(F.col("v") < F.col("w"))
+    # (v, w) might be oriented either way in `oriented`; the wedge
+    # already fixes v < w, so probe both orientations of the closing
+    # edge via the canonical table (a < b == v < w)
+    tri = wedges.join(
+        canon, (wedges["v"] == canon["a"]) & (wedges["w"] == canon["b"])
+    ).select("u", "v", "w")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

@@ -921,3 +921,59 @@ def test_pagerank_checkpoint_paths_identical(spark):
     b = sorted(map(tuple,
                    pagerank(df, iters=3, checkpoint=False).collect()))
     assert a == b
+
+
+def _ref_triangles(edges):
+    """Brute force: canonical simple graph, per-node triangle counts."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = defaultdict(set)
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = defaultdict(int)
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                tri[v] += 1
+    return {v: (len(adj[v]), tri[v]) for v in adj}
+
+
+def test_triangle_count_hand_and_random(spark):
+    import random
+
+    from gbdc_spark.operators.graph import triangle_count
+
+    # K4 plus a pendant: every K4 node in 3 triangles, pendant in 0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 9), (9, 3), (2, 2)]  # dup direction + self-loop
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r for r in triangle_count(df).collect()}
+    want = _ref_triangles(edges)
+    assert {v: (r["degree"], r["n_triangles"]) for v, r in got.items()} \
+        == want
+    assert got[0]["clustering"] == 1.0  # deg 3, 3 triangles
+    assert got[9]["n_triangles"] == 0 and got[9]["clustering"] == 0.0
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(30), rnd.randrange(30)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_count(df).collect()
+    }
+    assert got == _ref_triangles(edges)
+
+
+def test_triangle_count_plan_is_jvm_equijoins(spark):
+    from gbdc_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 40) for i in range(200)], "src long, dst long"
+    )
+    plan = (triangle_count(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -420,6 +420,14 @@ CHECKS = {
          "truncated by design)", r"Scan ExistingRDD"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "triangle_stats": [
+        ("wedge enumeration + closing probe are real equi-joins "
+         "(never cross)", r"(SortMergeJoin|ShuffledHashJoin|"
+         r"BroadcastHashJoin)"),
+        ("no cartesian anywhere", r"^(?!.*CartesianProduct)"),
+        ("per-node fold is map-side combined", r"partial_count"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "bpe_fertility": [
         ("per-word token counts broadcast back to occurrences",
          r"BroadcastHashJoin"),
