@@ -1437,6 +1437,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pairs, src="a", dst="b", iters=5, undirected=True
         ).withColumnRenamed("node", "doc_id")
 
+    def q_textrank_words(spark, sf_dir):
+        # TextRank keyword extraction (Mihalcea & Tarau EMNLP'04):
+        # weighted PageRank over the corpus word co-occurrence graph
+        # (adjacent pairs, symmetric, weight = co-occurrence count),
+        # top-10 by rank — the oracle unrolls all 10 weighted sweeps
+        from gbdc_spark.operators.graph import pagerank
+
+        ws = F.split(F.col("text"), " ")
+        bg = (
+            _docs(spark, sf_dir)
+            .select(
+                F.explode(
+                    F.when(
+                        F.size(ws) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(ws) - 1),
+                            lambda i: F.struct(
+                                F.element_at(ws, i).alias("w1"),
+                                F.element_at(ws, i + 1).alias("w2"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<w1:string,w2:string>>"
+                        )
+                    )
+                ).alias("bg")
+            )
+            .select("bg.w1", "bg.w2")
+            .filter(F.col("w1") != F.col("w2"))
+        )
+        und = (
+            bg.select(
+                F.least("w1", "w2").alias("x"),
+                F.greatest("w1", "w2").alias("y"),
+            )
+            .groupBy("x", "y")
+            .agg(F.count("*").cast("double").alias("w"))
+        )
+        ranks = pagerank(
+            und, src="x", dst="y", iters=10, undirected=True, weight="w",
+            out="textrank",
+        ).withColumnRenamed("node", "word")
+        return ranks.orderBy(
+            F.desc("textrank"), F.asc("word")
+        ).limit(10)
+
     def q_triangle_stats(spark, sf_dir):
         # exact triangle counts + local clustering over the near-dup
         # graph via degree-ordered orientation (out-degree bounded
@@ -2453,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "pagerank_dups": q_pagerank_dups,
         "triangle_stats": q_triangle_stats,
+        "textrank_words": q_textrank_words,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -3371,6 +3419,62 @@ def _duck_pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
         + ",\n".join(pieces)
         + f"""
         SELECT node AS doc_id, round(r, 6) AS pagerank FROM r{int(iters)}
+        """
+    )
+
+
+def _duck_textrank_sql(iters: int = 10, damping: float = 0.85,
+                       topk: int = 10) -> str:
+    """Oracle for ``textrank_words``: the symmetric weighted word
+    co-occurrence graph (adjacent pairs, weight = corpus count), then
+    ``iters`` unrolled WEIGHTED PageRank sweeps — contributions are
+    r(u)*w(u,v)/wdeg(u), weighted out-degree sums are exact (integer
+    weights in doubles), dangling computed for expression parity."""
+    d = float(damping)
+    pieces = [
+        """bg AS (
+            SELECT unnest(list_transform(range(1, len(ws)),
+                          i -> ws[i])) AS w1,
+                   unnest(list_transform(range(1, len(ws)),
+                          i -> ws[i + 1])) AS w2
+            FROM (SELECT str_split(text, ' ') AS ws FROM documents)
+            WHERE len(ws) >= 2)""",
+        """ew AS (
+            SELECT least(w1, w2) AS x, greatest(w1, w2) AS y,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM bg WHERE w1 <> w2 GROUP BY 1, 2)""",
+        "em AS (SELECT x AS s, y AS d, w FROM ew"
+        " UNION ALL SELECT y, x, w FROM ew)",
+        "e AS MATERIALIZED (SELECT s, d, sum(w) AS w FROM em"
+        " GROUP BY s, d)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM e)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT s, sum(w) AS deg FROM e"
+        " GROUP BY s)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / n AS r FROM nodes, nn)",
+    ]
+    for k in range(1, int(iters) + 1):
+        pieces.append(f"""c{k} AS MATERIALIZED (
+            SELECT e.d AS node, sum(r.r * e.w / deg.deg) AS c
+            FROM e JOIN r{k - 1} r ON e.s = r.node
+                   JOIN deg ON deg.s = e.s
+            GROUP BY e.d)""")
+        pieces.append(
+            f"dm{k} AS (SELECT coalesce(sum(r.r), 0.0) AS dm"
+            f" FROM r{k - 1} r ANTI JOIN deg ON r.node = deg.s)"
+        )
+        pieces.append(f"""r{k} AS MATERIALIZED (
+            SELECT nodes.node,
+                   {1.0 - d!r} / nn.n
+                   + {d!r} * (coalesce(c.c, 0.0) + dm.dm / nn.n) AS r
+            FROM nodes CROSS JOIN nn CROSS JOIN dm{k} dm
+            LEFT JOIN c{k} c ON c.node = nodes.node)""")
+    return (
+        "WITH "
+        + ",\n".join(pieces)
+        + f"""
+        SELECT node AS word, round(r, 6) AS textrank FROM r{int(iters)}
+        ORDER BY textrank DESC, word LIMIT {int(topk)}
         """
     )
 
@@ -4819,6 +4923,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _duck_hll_sql(p=12),
         "bpe_fertility": _duck_bpe_sql(mode="fertility", n_merges=12),
         "pagerank_dups": _duck_pagerank_sql(iters=5, damping=0.85),
+        "textrank_words": _duck_textrank_sql(iters=10, damping=0.85),
         "triangle_stats": f"""
             WITH {_DUCK_MINHASH_CAND},
             canon AS (SELECT least(a, b) AS a, greatest(a, b) AS b

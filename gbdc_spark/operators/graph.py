@@ -33,6 +33,7 @@ def pagerank(
     undirected: bool = False,
     out: str = "pagerank",
     checkpoint: bool = True,
+    weight: str | None = None,
 ) -> DataFrame:
     """Synchronous PageRank over an edge table; returns (node, out)
     after ``iters`` sweeps from the uniform vector.
@@ -47,17 +48,35 @@ def pagerank(
     column math in a fixed expression shape, so an unrolled SQL twin
     reproduces the trajectory exactly.
 
+    ``weight`` names an edge-weight column (the TextRank form, Mihalcea
+    & Tarau EMNLP'04): contributions become r(u) * w(u,v) / wdeg(u)
+    with wdeg the weighted out-degree; parallel edges COMBINE by weight
+    sum instead of collapsing.
+
     ``checkpoint=True`` (default) localCheckpoints the rank vector per
     sweep — mandatory at real iteration counts, but it means the
     RETURNED plan is a checkpoint scan; pass ``checkpoint=False`` (small
     graphs / plan audits only) to keep the full unrolled lineage
     visible.  Results are identical either way.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    if undirected:
-        e = e.unionByName(e.select(F.col("d").alias("s"),
-                                   F.col("s").alias("d")))
-    e = e.distinct().persist()
+    if weight is None:
+        e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        if undirected:
+            e = e.unionByName(e.select(F.col("d").alias("s"),
+                                       F.col("s").alias("d")))
+        e = e.distinct().persist()
+    else:
+        e = edges.select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("d"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        if undirected:
+            e = e.unionByName(
+                e.select(F.col("d").alias("s"), F.col("s").alias("d"),
+                         "w")
+            )
+        e = e.groupBy("s", "d").agg(F.sum("w").alias("w")).persist()
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
@@ -65,7 +84,10 @@ def pagerank(
         .persist()
     )
     nn = F.broadcast(nodes.agg(F.count("*").alias("n")))
-    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    if weight is None:
+        deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    else:
+        deg = e.groupBy("s").agg(F.sum("w").alias("deg"))
 
     ranks = nodes.crossJoin(nn).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
@@ -76,8 +98,14 @@ def pagerank(
         contrib = (
             e.join(ranks, e["s"] == ranks["node"])
             .join(deg, "s")
-            .select(F.col("d").alias("node"),
-                    (F.col("r") / F.col("deg")).alias("m"))
+            .select(
+                F.col("d").alias("node"),
+                (
+                    (F.col("r") / F.col("deg"))
+                    if weight is None
+                    else (F.col("r") * F.col("w") / F.col("deg"))
+                ).alias("m"),
+            )
             .groupBy("node")
             .agg(F.sum("m").alias("c"))
         )

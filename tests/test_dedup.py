@@ -977,3 +977,47 @@ def test_triangle_count_plan_is_jvm_equijoins(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_weighted_matches_reference(spark):
+    from collections import defaultdict
+
+    from gbdc_spark.operators.graph import pagerank
+
+    # parallel edge (1,2) must COMBINE weights in the weighted form
+    edges = [(1, 2, 2.0), (1, 2, 1.0), (2, 3, 4.0), (3, 1, 1.0),
+             (1, 3, 1.0), (4, 1, 5.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r["node"]: r["pagerank"]
+           for r in pagerank(df, iters=6, weight="w").collect()}
+
+    comb = defaultdict(float)
+    for s, t, w in edges:
+        comb[(s, t)] += w
+    nodes = sorted({x for s, t in comb for x in (s, t)})
+    n = len(nodes)
+    wdeg = defaultdict(float)
+    for (s, t), w in comb.items():
+        wdeg[s] += w
+    r = {v: 1.0 / n for v in nodes}
+    d = 0.85
+    for _ in range(6):
+        dm = sum(r[v] for v in nodes if wdeg[v] == 0.0)
+        c = defaultdict(float)
+        for (s, t), w in comb.items():
+            c[t] += r[s] * w / wdeg[s]
+        r = {v: (1 - d) / n + d * (c[v] + dm / n) for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(r[v], abs=1e-6), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_unit_weights_equal_unweighted(spark):
+    from gbdc_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    dfw = df.withColumn("w", F.lit(1.0))
+    a = sorted(map(tuple, pagerank(df, iters=4).collect()))
+    b = sorted(map(tuple, pagerank(dfw, iters=4, weight="w").collect()))
+    assert a == b

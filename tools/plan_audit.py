@@ -420,6 +420,11 @@ CHECKS = {
          "truncated by design)", r"Scan ExistingRDD"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "textrank_words": [
+        ("top-k keywords via TakeOrderedAndProject (no full sort)",
+         r"TakeOrderedAndProject"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "triangle_stats": [
         ("wedge enumeration + closing probe are real equi-joins "
          "(never cross)", r"(SortMergeJoin|ShuffledHashJoin|"
