@@ -1437,6 +1437,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pairs, src="a", dst="b", iters=5, undirected=True
         ).withColumnRenamed("node", "doc_id")
 
+    def q_stream_hll(spark, sf_dir):
+        # REAL streaming HLL: the BATCH hll_registers operator runs
+        # UNCHANGED as a streaming aggregate (bucket-wise max is
+        # order/batch-invariant — the sketch's merge property is what
+        # makes it maintainable online), events replayed as two
+        # mtime-ordered files; registers from the complete-mode sink
+        # feed the batch estimator, next to the exact count
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from gbdc_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.col("user_id").cast("string").alias("item"), "event_id"
+        )
+        base = tempfile.mkdtemp(prefix="gbdc_shll_")
+        os.makedirs(f"{base}/in")
+        for tag, mt, par in (("a", 1000, 0), ("b", 2000, 1)):
+            tmp = f"{base}/_{tag}"
+            ev.filter(F.col("event_id") % 2 == par).select(
+                "item"
+            ).coalesce(1).write.parquet(tmp)
+            fn = next(
+                f for f in sorted(os.listdir(tmp))
+                if f.endswith(".parquet")
+            )
+            dst = f"{base}/in/{tag}.parquet"
+            shutil.copy(f"{tmp}/{fn}", dst)
+            os.utime(dst, (mt, mt))
+            shutil.rmtree(tmp)
+        src = (
+            spark.readStream.schema("item string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/in")
+        )
+        name = f"shll_{uuid.uuid4().hex[:8]}"
+        q = (
+            hll_registers(src, "item", p=12)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        est = hll_estimate(spark.table(name), p=12)
+        exact = ev.agg(F.count_distinct("item").alias("exact_distinct"))
+        return est.crossJoin(exact)
+
     def q_textrank_words(spark, sf_dir):
         # TextRank keyword extraction (Mihalcea & Tarau EMNLP'04):
         # weighted PageRank over the corpus word co-occurrence graph
@@ -2501,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dups": q_pagerank_dups,
         "triangle_stats": q_triangle_stats,
         "textrank_words": q_textrank_words,
+        "stream_hll": q_stream_hll,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -3479,7 +3531,7 @@ def _duck_textrank_sql(iters: int = 10, damping: float = 0.85,
     )
 
 
-def _duck_hll_sql(p: int = 12) -> str:
+def _duck_hll_sql(p: int = 12, mode: str = "events") -> str:
     """Oracle for ``hll_distinct``: rebuilds every HLL register from the
     same md5-u32 hash (bucket = top p bits, rho = q - (len(bin(w)) - 1)
     over the low q bits — binary-string length, never log2) and replays
@@ -3527,6 +3579,19 @@ def _duck_hll_sql(p: int = 12) -> str:
                       FROM ({regs}) {gby})
             )"""
 
+    if mode == "stream":
+        # stream_hll: replay-invariant registers == batch registers, so
+        # the oracle is the batch build + estimate next to the exact
+        # count (single row, no group key)
+        return f"""
+            WITH u AS (SELECT CAST(user_id AS VARCHAR) AS item
+                       FROM events),
+            ra AS ({reg('SELECT item FROM u', None)}),
+            es AS ({est('SELECT * FROM ra', None, "'all'")})
+            SELECT es.v_zero, es.est_distinct, ex.exact_distinct
+            FROM es, (SELECT CAST(count(DISTINCT item) AS BIGINT)
+                          AS exact_distinct FROM u) ex
+            """
     return f"""
         WITH u AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item
                    FROM events),
@@ -4921,6 +4986,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _duck_bpe_sql(mode="merges", n_merges=12),
         "bpe_encode_docs": _duck_bpe_sql(mode="encode", n_merges=12),
         "hll_distinct": _duck_hll_sql(p=12),
+        "stream_hll": _duck_hll_sql(p=12, mode="stream"),
         "bpe_fertility": _duck_bpe_sql(mode="fertility", n_merges=12),
         "pagerank_dups": _duck_pagerank_sql(iters=5, damping=0.85),
         "textrank_words": _duck_textrank_sql(iters=10, damping=0.85),

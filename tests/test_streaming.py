@@ -361,3 +361,40 @@ def test_stream_ewma_state_continues_across_batches(spark, tmp_path):
             for r in spark.read.parquet(out_dir).collect()}
     assert got2[12] == 0.5 * 10.0 + 0.5 * 6.0   # state carried: 8.0
     assert got2[30] == 7.0
+
+
+def test_stream_hll_registers_equal_batch(spark, tmp_path):
+    """The batch hll_registers operator runs unchanged as a streaming
+    aggregate, and the registers after a two-batch replay are IDENTICAL
+    to the batch build — the bucket-max fold is order/batch-invariant,
+    which is exactly the HLL merge property."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from gbdc_spark.operators.sketches import hll_registers
+
+    items = [(f"u{i % 37}",) for i in range(300)]
+    df = spark.createDataFrame(items, "item string")
+    indir = tmp_path / "in"
+    os.makedirs(indir)
+    for tag, mt, par in (("a", 1000, 0), ("b", 2000, 1)):
+        tmp = str(tmp_path / f"_{tag}")
+        df.filter(F.pmod(F.xxhash64("item"), F.lit(2)) == par).coalesce(1) \
+            .write.parquet(tmp)
+        fn = next(f for f in sorted(os.listdir(tmp))
+                  if f.endswith(".parquet"))
+        dst = str(indir / f"{tag}.parquet")
+        os.rename(f"{tmp}/{fn}", dst)
+        os.utime(dst, (mt, mt))
+    src = (spark.readStream.schema("item string")
+           .option("maxFilesPerTrigger", "1").parquet(str(indir)))
+    name = f"shll_t_{uuid.uuid4().hex[:8]}"
+    q = (hll_registers(src, "item", p=8)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(map(tuple, hll_registers(df, "item", p=8).collect()))
+    assert got == want and len(want) > 0
