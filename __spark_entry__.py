@@ -1437,6 +1437,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pairs, src="a", dst="b", iters=5, undirected=True
         ).withColumnRenamed("node", "doc_id")
 
+    def q_jaccard_join(spark, sf_dir):
+        # EXACT-threshold word-set Jaccard self-join via PPJoin prefix
+        # filtering — rarest-first global order, |x|-ceil(t|x|)+1
+        # prefixes, exact verification; recall 1.0 by the prefix
+        # guarantee (no MinHash probability).  NB the 31-word synth
+        # vocabulary is this operator's WORST case (prefix pruning
+        # thrives on Zipf tails); t=0.95 keeps the output driver-sized
+        from gbdc_spark.operators.dedup import jaccard_join
+
+        return jaccard_join(
+            _docs(spark, sf_dir), key="doc_id", threshold=0.95
+        )
+
     def q_stream_hll(spark, sf_dir):
         # REAL streaming HLL: the BATCH hll_registers operator runs
         # UNCHANGED as a streaming aggregate (bucket-wise max is
@@ -2553,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": q_triangle_stats,
         "textrank_words": q_textrank_words,
         "stream_hll": q_stream_hll,
+        "jaccard_join": q_jaccard_join,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -4987,6 +5001,25 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_docs": _duck_bpe_sql(mode="encode", n_merges=12),
         "hll_distinct": _duck_hll_sql(p=12),
         "stream_hll": _duck_hll_sql(p=12, mode="stream"),
+        "jaccard_join": """
+            -- deliberately the BRUTE-FORCE ground truth, not a replay
+            -- of the prefix filter: a recall bug in the filter (a pair
+            -- at >= t sharing no prefix token) would fail this compare
+            WITH w AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           str_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS ts
+                FROM documents),
+            p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       len(list_intersect(a.ts, b.ts)) AS i,
+                       len(a.ts) + len(b.ts)
+                           - len(list_intersect(a.ts, b.ts)) AS u
+                FROM w a JOIN w b ON a.doc_id < b.doc_id)
+            SELECT a, b, round(i / u, 6) AS jaccard
+            FROM p WHERE i / u >= 0.95
+        """,
         "bpe_fertility": _duck_bpe_sql(mode="fertility", n_merges=12),
         "pagerank_dups": _duck_pagerank_sql(iters=5, damping=0.85),
         "textrank_words": _duck_textrank_sql(iters=10, damping=0.85),

@@ -33,6 +33,7 @@ __all__ = [
     "with_simhash",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
+    "jaccard_join",
     "winnow_overlap_pairs",
     "line_dedup",
     "substring_dedup",
@@ -1306,3 +1307,82 @@ def bloom_probe(df: DataFrame, bloom: DataFrame, item_col: str = "text",
         .agg(F.min("_hit").alias("member"))
     )
     return df.select(key).join(hit, key)
+
+
+def jaccard_join(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT-threshold word-set Jaccard similarity self-join via prefix
+    filtering (PPJoin family, Xiao et al. WWW'08) — the exact
+    counterpart of the MinHash band join: every pair at Jaccard >=
+    ``threshold`` is returned with its exact similarity, no
+    probabilistic recall.
+
+    The prefix-filter guarantee: order each doc's token SET by a global
+    total order (document frequency ascending, token ascending — rarest
+    first) and keep only the first ``|x| - ceil(t*|x|) + 1`` tokens;
+    two sets with Jaccard >= t MUST share a prefix token, so the
+    candidate join runs on rare-prefix postings instead of a full
+    inverted index — the frequency-ascending order is precisely what
+    keeps posting lists short (a stopword never lands in a prefix
+    unless a doc is nearly all stopwords).  Candidates are verified
+    with the exact intersection (union via |A|+|B|-inter, so both
+    engines compare identical integers against the threshold).
+
+    Returns (a, b, jaccard) with a < b by key.  Shape at scale: one
+    doc-frequency aggregate, one ordered re-assembly per doc, one
+    equi-join on prefix tokens (the shuffle — Zipf-safe by the
+    rare-first prefix), one verification join per candidate pair.
+    """
+    t = float(threshold)
+    toks = df.select(
+        F.col(key), F.array_distinct(F.split(F.col(text_col), r"\s+")).alias("ts")
+    ).select(
+        key, F.array_remove(F.col("ts"), "").alias("ts")
+    )
+    occ = toks.select(F.col(key), F.explode("ts").alias("tok"))
+    freq = occ.groupBy("tok").agg(F.count("*").alias("c"))
+    ordered = (
+        occ.join(freq, "tok")
+        .groupBy(key)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("c"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ).alias("ots")
+        )
+    )
+    n = F.size("ots")
+    plen = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
+    prefix = ordered.select(
+        F.col(key), F.explode(F.slice("ots", 1, plen)).alias("tok")
+    )
+    pa = prefix.select(F.col(key).alias("a"), "tok")
+    pb = prefix.select(F.col(key).alias("b"), "tok")
+    cand = (
+        pa.join(pb, "tok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ta = ordered.select(F.col(key).alias("a"), F.col("ots").alias("ta"))
+    tb = ordered.select(F.col(key).alias("b"), F.col("ots").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        cand.join(ta, "a")
+        .join(tb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(inter / union, 6).alias("jaccard"),
+            (inter / union).alias("_j"),
+        )
+        .filter(F.col("_j") >= F.lit(t))
+        .drop("_j")
+    )

@@ -1021,3 +1021,56 @@ def test_pagerank_unit_weights_equal_unweighted(spark):
     a = sorted(map(tuple, pagerank(df, iters=4).collect()))
     b = sorted(map(tuple, pagerank(dfw, iters=4, weight="w").collect()))
     assert a == b
+
+
+def test_jaccard_join_exact_recall_and_precision(spark):
+    """Prefix filtering must return EXACTLY the brute-force pair set at
+    every threshold — recall 1.0 is the PPJoin guarantee, precision 1.0
+    is the verification step."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(50):
+        base = rng.sample(vocab, rng.randint(5, 20))
+        rows.append((2 * i, " ".join(base)))
+        # a perturbed twin at controlled overlap
+        twin = list(base)
+        for _ in range(rng.randint(0, 3)):
+            twin[rng.randrange(len(twin))] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(twin)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sets = {i: set(t.split()) for i, t in rows}
+    for t in (0.5, 0.8, 0.9):
+        want = {}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                i_ = len(sets[a] & sets[b])
+                u_ = len(sets[a] | sets[b])
+                if u_ and i_ / u_ >= t:
+                    want[(a, b)] = round(i_ / u_, 6)
+        from gbdc_spark.operators.dedup import jaccard_join
+
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_join(df, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}"
+        assert len(want) > 0  # fixture must exercise the path
+
+
+def test_jaccard_join_plan_has_no_cartesian(spark):
+    from gbdc_spark.operators.dedup import jaccard_join
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 9} w{(i + 1) % 9} w{(i + 2) % 9}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = (jaccard_join(df, threshold=0.8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

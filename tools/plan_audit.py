@@ -420,6 +420,14 @@ CHECKS = {
          "truncated by design)", r"Scan ExistingRDD"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "jaccard_join": [
+        ("prefix candidates + verification are real equi-joins "
+         "(never cross)", r"(SortMergeJoin|ShuffledHashJoin|"
+         r"BroadcastHashJoin)"),
+        ("no cartesian anywhere", r"^(?!.*CartesianProduct)"),
+        ("doc-frequency fold is map-side combined", r"partial_count"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "textrank_words": [
         ("top-k keywords via TakeOrderedAndProject (no full sort)",
          r"TakeOrderedAndProject"),
