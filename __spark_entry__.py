@@ -1437,6 +1437,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pairs, src="a", dst="b", iters=5, undirected=True
         ).withColumnRenamed("node", "doc_id")
 
+    def q_incremental_read(spark, sf_dir):
+        # Iceberg-style incremental append scan over the snapshot
+        # manifest: documents committed as three doc_id bands, then the
+        # consumer reads only what landed AFTER the first snapshot —
+        # the changes-feed a downstream poller uses instead of a full
+        # re-read; oracle = the same band predicate on the raw table
+        import tempfile
+
+        from gbdc_spark.operators import checkpoint as cp
+
+        docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+        hi = int(docs.agg(F.max("doc_id")).first()[0])
+        c1, c2 = int(hi * 0.4), int(hi * 0.7)
+        base = tempfile.mkdtemp(prefix="gbdc_incr_") + "/tbl"
+        e1 = cp.commit(
+            docs.filter(F.col("doc_id") < c1), base, keys=["doc_id"]
+        )
+        cp.commit(
+            docs.filter(
+                (F.col("doc_id") >= c1) & (F.col("doc_id") < c2)
+            ),
+            base,
+            keys=["doc_id"],
+        )
+        cp.commit(
+            docs.filter(F.col("doc_id") >= c2), base, keys=["doc_id"]
+        )
+        return cp.read_incremental(
+            spark, base, after=e1["snapshot_id"]
+        ).select("doc_id", "source", "n_chars")
+
     def q_jaccard_join(spark, sf_dir):
         # EXACT-threshold word-set Jaccard self-join via PPJoin prefix
         # filtering — rarest-first global order, |x|-ceil(t|x|)+1
@@ -2567,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_words": q_textrank_words,
         "stream_hll": q_stream_hll,
         "jaccard_join": q_jaccard_join,
+        "incremental_read": q_incremental_read,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -5001,6 +5033,12 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_docs": _duck_bpe_sql(mode="encode", n_merges=12),
         "hll_distinct": _duck_hll_sql(p=12),
         "stream_hll": _duck_hll_sql(p=12, mode="stream"),
+        "incremental_read": """
+            WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.4)
+                                      AS BIGINT) AS c1 FROM documents)
+            SELECT doc_id, source, n_chars
+            FROM documents, cut WHERE doc_id >= cut.c1
+        """,
         "jaccard_join": """
             -- deliberately the BRUTE-FORCE ground truth, not a replay
             -- of the prefix filter: a recall bug in the filter (a pair

@@ -455,3 +455,65 @@ def read_table(
                 f"data for snapshot(s) {missing} was reclaimed by compaction"
             )
     return spark.read.parquet(*[e["data_dir"] for e in entries])
+
+
+def _raw_manifest(base: str) -> list[dict]:
+    """Every surviving manifest row, superseded ones included —
+    incremental scans need the raw append history, not the live view."""
+    mdir = _manifest_dir(base)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for fn in sorted(os.listdir(mdir)):
+        if fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda e: e["snapshot_id"])
+
+
+def read_incremental(
+    spark: SparkSession, base: str, after: int, to: int | None = None
+) -> DataFrame | None:
+    """Rows APPENDED strictly after snapshot ``after``, up to ``to``
+    (inclusive; default latest) — the Iceberg incremental append scan a
+    downstream consumer polls instead of re-reading the table.
+
+    Compaction rows rewrite existing rows and add none, so they are
+    never part of an incremental window's data.  When a compaction has
+    already replaced an append INSIDE the window, that append's rows
+    were merged into the rewrite and can no longer be isolated — the
+    scan raises :class:`SnapshotExpiredError`, exactly the
+    expiry-vs-incremental-read contract (the consumer must fall back to
+    a full read).  Returns None when the window holds no appends.
+    """
+    raw = _raw_manifest(base)
+
+    def in_window(sid: int) -> bool:
+        return sid > after and (to is None or sid <= to)
+
+    present = {e["snapshot_id"] for e in raw}
+    swept = [
+        r
+        for e in raw
+        for r in e.get("replaces", [])
+        if in_window(r) and r not in present
+    ]
+    appends = [
+        e for e in raw if in_window(e["snapshot_id"])
+        and not e.get("replaces")
+    ]
+    reclaimed = [
+        e["snapshot_id"] for e in appends
+        if not os.path.isdir(e["data_dir"])
+    ]
+    if swept or reclaimed:
+        gone = sorted(set(swept) | set(reclaimed))
+        raise SnapshotExpiredError(
+            f"append snapshot(s) {gone} inside ({after}, "
+            f"{to if to is not None else 'latest'}] were compacted "
+            "away; incremental read is unservable — fall back to a "
+            "full read"
+        )
+    if not appends:
+        return None
+    return spark.read.parquet(*[e["data_dir"] for e in appends])

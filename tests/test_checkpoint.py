@@ -350,3 +350,45 @@ def test_time_travel_sees_precompaction_view_when_cleanup_crashed(
     # as-of 2: the compaction row is filtered out, originals serve
     view = cp.read_table(spark, base, as_of=2)
     assert {r["k"] for r in view.collect()} == {0, 1}
+
+
+def test_incremental_read_window_semantics(spark, base):
+    e1 = cp.commit(_mkdf(spark, 0, 10), base, keys=["doc_id"])
+    e2 = cp.commit(_mkdf(spark, 10, 25), base, keys=["doc_id"])
+    e3 = cp.commit(_mkdf(spark, 25, 30), base, keys=["doc_id"])
+
+    def ids(df):
+        return sorted(r["doc_id"] for r in df.collect())
+
+    all_23 = ids(cp.read_incremental(spark, base, after=e1["snapshot_id"]))
+    assert all_23 == ids(_mkdf(spark, 10, 30))
+    only_2 = ids(cp.read_incremental(
+        spark, base, after=e1["snapshot_id"], to=e2["snapshot_id"]))
+    assert only_2 == ids(_mkdf(spark, 10, 25))
+    assert cp.read_incremental(
+        spark, base, after=e3["snapshot_id"]) is None
+    # after=0 is the full history as appends
+    assert ids(cp.read_incremental(spark, base, after=0)) == \
+        ids(_mkdf(spark, 0, 30))
+
+
+def test_incremental_read_across_compaction_expires(spark, base):
+    e1 = cp.commit(_mkdf(spark, 0, 10), base, keys=["doc_id"])
+    cp.commit(_mkdf(spark, 10, 25), base, keys=["doc_id"])
+    comp = cp.compact(spark, base)
+    assert comp is not None
+    # the window's appends were merged into the rewrite: unservable
+    with pytest.raises(cp.SnapshotExpiredError):
+        cp.read_incremental(spark, base, after=e1["snapshot_id"])
+    # nothing appended since the compaction
+    assert cp.read_incremental(
+        spark, base, after=comp["snapshot_id"]) is None
+    # a fresh append after compaction is incrementally readable again
+    e4 = cp.commit(_mkdf(spark, 25, 33), base, keys=["doc_id"])
+    got = sorted(
+        r["doc_id"]
+        for r in cp.read_incremental(
+            spark, base, after=comp["snapshot_id"]).collect()
+    )
+    assert got == sorted(r["doc_id"] for r in _mkdf(spark, 25, 33).collect())
+    assert e4["snapshot_id"] == comp["snapshot_id"] + 1
