@@ -1437,6 +1437,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pairs, src="a", dst="b", iters=5, undirected=True
         ).withColumnRenamed("node", "doc_id")
 
+    def q_tokenize_pack(spark, sf_dir):
+        # the FULL tokenizer front end composed end-to-end: raw text →
+        # learned BPE rules → subword ids (dense freq-ranked, 0
+        # reserved for EOS) → GPT-style concat-and-chunk into 256-id
+        # training blocks; one oracle replays trainer + id assignment +
+        # global offsets + block re-assembly
+        from gbdc_spark.operators.packing import pack_concat_chunks
+        from gbdc_spark.operators.tokenizer import (
+            bpe_encode_ids,
+            bpe_train,
+        )
+
+        docs = _docs(spark, sf_dir)
+        merges, _ = bpe_train(docs, n_merges=12)
+        ids = bpe_encode_ids(docs, merges)
+        hi = int(ids.agg(F.max("doc_id")).first()[0])
+        blocks = pack_concat_chunks(
+            ids,
+            block_size=256,
+            tokens_col="tokens",
+            eos_id=0,
+            bucket_width=max(1, hi // 16),
+            drop_last=False,
+        )
+        return blocks.select(
+            "block_id",
+            "n_tok",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.col("tokens"), lambda x: x.cast("string")
+                    ),
+                )
+            ).alias("tokens_md5"),
+        )
+
     def q_incremental_read(spark, sf_dir):
         # Iceberg-style incremental append scan over the snapshot
         # manifest: documents committed as three doc_id bands, then the
@@ -2599,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": q_stream_hll,
         "jaccard_join": q_jaccard_join,
         "incremental_read": q_incremental_read,
+        "tokenize_pack": q_tokenize_pack,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -3448,6 +3486,68 @@ def _duck_bpe_sql(mode: str = "merges", n_merges: int = 12) -> str:
                          CAST(sum(n_chars) AS BIGINT) AS n_chars
                   FROM occ JOIN wt USING (word)
                   GROUP BY source)
+            """
+        )
+    if mode == "pack":
+        # trainer → subword-id assignment (dense rank by freq DESC,
+        # token ASC; 0 reserved for EOS) → per-doc id streams →
+        # concat-and-chunk global offsets → 256-id block re-assembly
+        return (
+            "WITH " + ",\n".join(pieces) + f""",
+            wt AS (SELECT word, string_split(trim(syms), '  ') AS ts
+                   FROM {last}),
+            occ AS (
+                SELECT doc_id, pos, word
+                FROM (
+                    SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+                           unnest(ws) AS word
+                    FROM (SELECT doc_id,
+                                 string_split_regex(text, '\\s+') AS ws
+                          FROM documents)
+                )
+                WHERE word <> '' AND strpos(word, chr(30)) = 0
+                      AND word IN (SELECT word FROM wt)
+            ),
+            tf AS (SELECT t, CAST(count(*) AS BIGINT) AS freq
+                   FROM (SELECT unnest(wt.ts) AS t
+                         FROM occ JOIN wt USING (word))
+                   GROUP BY t),
+            idt AS (SELECT t, CAST(row_number() OVER (
+                        ORDER BY freq DESC, t) AS INTEGER) AS id
+                    FROM tf),
+            wid AS (SELECT word, list(id ORDER BY tpos) AS ids
+                    FROM (SELECT word,
+                                 generate_subscripts(ts, 1) AS tpos,
+                                 unnest(ts) AS t
+                          FROM wt) w
+                    JOIN idt USING (t)
+                    GROUP BY word),
+            docids AS (
+                SELECT d.doc_id,
+                       list_append(coalesce(f.ids, []), 0) AS toks
+                FROM documents d
+                LEFT JOIN (SELECT doc_id,
+                                  flatten(list(ids ORDER BY pos)) AS ids
+                           FROM occ JOIN wid USING (word)
+                           GROUP BY doc_id) f
+                USING (doc_id)
+            ),
+            o AS (SELECT doc_id, toks,
+                         coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS off
+                  FROM docids),
+            u AS (SELECT off, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) AS pos
+                  FROM o),
+            b AS (SELECT CAST((off + pos - 1) // 256 AS BIGINT)
+                             AS block_id,
+                         (off + pos - 1) % 256 AS bp, tok
+                  FROM u)
+            SELECT block_id, CAST(count(*) AS INT) AS n_tok,
+                   md5(string_agg(CAST(tok AS VARCHAR), ','
+                       ORDER BY bp)) AS tokens_md5
+            FROM b GROUP BY block_id
             """
         )
     assert mode == "encode"
@@ -5059,6 +5159,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE i / u >= 0.95
         """,
         "bpe_fertility": _duck_bpe_sql(mode="fertility", n_merges=12),
+        "tokenize_pack": _duck_bpe_sql(mode="pack", n_merges=12),
         "pagerank_dups": _duck_pagerank_sql(iters=5, damping=0.85),
         "textrank_words": _duck_textrank_sql(iters=10, damping=0.85),
         "triangle_stats": f"""

@@ -1088,7 +1088,10 @@ def pack_concat_chunks(
     if bucket_prefix is not None:
         bcol = F.substring(F.col("_k").cast("string"), 1, int(bucket_prefix))
     elif bucket_width is not None:
-        bcol = F.floor(F.col("_k") / F.lit(int(bucket_width))).cast("string")
+        # stays NUMERIC: a string cast would sort bucket "10" before
+        # "2" and mis-order the bucket-offset window past 10 buckets
+        # (caught by the tokenize_pack composed oracle)
+        bcol = F.floor(F.col("_k") / F.lit(int(bucket_width)))
     else:
         bcol = F.lit("")
     from pyspark.sql import Window

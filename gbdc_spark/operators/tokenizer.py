@@ -39,6 +39,8 @@ __all__ = [
     "bpe_apply",
     "bpe_encode",
     "bpe_fertility",
+    "bpe_vocab_ids",
+    "bpe_encode_ids",
 ]
 
 # end-of-word marker: its own symbol appended to every word (Sennrich's
@@ -286,4 +288,94 @@ def bpe_fertility(
                 "chars_per_token"
             ),
         )
+    )
+
+
+def bpe_vocab_ids(encoded: DataFrame, tokens_col: str = "bpe_tokens") -> DataFrame:
+    """Subword → integer id table from an encoded corpus: ids are dense
+    ranks by (corpus frequency DESC, token ASC), starting at 1 — id 0
+    stays reserved for EOS/padding, and frequent subwords get small ids
+    (the convention every tokenizer file follows).  The id table is
+    vocabulary-sized; the window runs over it, never the corpus."""
+    from pyspark.sql import Window
+
+    freq = (
+        encoded.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return freq.select(
+        "token", "freq", F.row_number().over(w).cast("int").alias("id")
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "tokens",
+) -> DataFrame:
+    """Text → BPE subwords → integer token ids: the full tokenizer
+    front end, producing exactly the pre-tokenized-sequence shape the
+    rest of the engine consumes (doc_id, tokens:array<int>, n_tok).
+
+    Same distinct-word economics as :func:`bpe_encode`: the replace
+    chain and the id lookup both run once per distinct word (the
+    word's subword-id array is precomputed on the deduplicated word
+    table via one explode + vocabulary-sized broadcast join +
+    order-preserving re-assembly), then fan back to occurrences."""
+    rules = _as_rules(merges)
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias(
+            "pos", "word"
+        ),
+    ).filter((F.col("word") != "") & (~F.col("word").contains(EOW)))
+    distinct = (
+        words.select("word")
+        .distinct()
+        .withColumn("toks", bpe_apply(F.col("word"), rules))
+    ).persist()
+    vocab = bpe_vocab_ids(
+        words.join(F.broadcast(distinct), "word").select(
+            F.col("toks").alias("bpe_tokens")
+        ),
+        tokens_col="bpe_tokens",
+    )
+    word_ids = (
+        distinct.select(
+            "word", F.posexplode("toks").alias("tpos", "token")
+        )
+        .join(F.broadcast(vocab.select("token", "id")), "token")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "id"))),
+                lambda s: s["id"],
+            ).alias("ids")
+        )
+    )
+    per_doc = (
+        words.join(F.broadcast(word_ids), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "ids"))
+                    ),
+                    lambda s: s["ids"],
+                )
+            ).alias(out)
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .withColumn(
+            out, F.coalesce(F.col(out), F.array().cast("array<int>"))
+        )
+        .withColumn("n_tok", F.size(out).cast("int"))
     )

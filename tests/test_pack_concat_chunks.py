@@ -96,3 +96,31 @@ def test_blocks_are_exact_size_and_contiguous(spark):
     got = _collect(pack_concat_chunks(sdf, 24))
     assert all(len(v) == 24 for v in got.values())
     assert sorted(got) == list(range(len(got)))
+
+
+def test_bucket_width_numeric_order_past_ten_buckets(spark):
+    """Numeric bucket_width must bucket in NUMERIC order: with >10
+    buckets a string-typed bucket column would sort "10" before "2"
+    and corrupt the global offsets (the regression the tokenize_pack
+    composed oracle caught)."""
+    from pyspark.sql import functions as F
+
+    from gbdc_spark.operators.packing import pack_concat_chunks
+
+    df = spark.createDataFrame(
+        [(i, list(range(i % 5 + 1))) for i in range(1, 401)],
+        "doc_id long, tokens array<int>",
+    )
+
+    def blocks(**kw):
+        return sorted(
+            (r["block_id"],
+             ",".join(str(t) for t in r["tokens"]))
+            for r in pack_concat_chunks(
+                df, block_size=64, drop_last=False, **kw
+            ).collect()
+        )
+
+    base = blocks()                     # single-window reference
+    assert blocks(bucket_width=25) == base   # 16 numeric buckets
+    assert blocks(bucket_width=7) == base    # 58 buckets

@@ -213,3 +213,29 @@ def test_bpe_fertility_hand_computed(spark):
     # chars: ab->3, ab->3, c->2 => 8 chars / 6 toks
     assert got["s1"]["chars_per_token"] == round(8 / 6, 6)
     assert got["s2"]["n_words"] == 1 and got["s2"]["fertility"] == 2.0
+
+
+def test_bpe_encode_ids_roundtrip_and_density(spark):
+    from gbdc_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab_ids,
+    )
+
+    df = _docs(spark)
+    merges, _ = bpe_train(df, n_merges=6)
+    enc = bpe_encode(df, merges)
+    ids = bpe_encode_ids(df, merges)
+    vocab = bpe_vocab_ids(enc)
+    id2tok = {r["id"]: r["token"] for r in vocab.collect()}
+    # ids are dense 1..V (0 reserved)
+    assert sorted(id2tok) == list(range(1, len(id2tok) + 1))
+    subwords = {r["doc_id"]: list(r["bpe_tokens"]) for r in enc.collect()}
+    got = {r["doc_id"]: list(r["tokens"]) for r in ids.collect()}
+    assert set(got) == set(subwords)
+    for d, seq in got.items():
+        assert [id2tok[i] for i in seq] == subwords[d], d
+    # frequency-ordered: id 1 is (one of) the most frequent subwords
+    freqs = {r["token"]: r["freq"] for r in vocab.collect()}
+    assert freqs[id2tok[1]] == max(freqs.values())

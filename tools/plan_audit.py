@@ -420,6 +420,13 @@ CHECKS = {
          "truncated by design)", r"Scan ExistingRDD"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "tokenize_pack": [
+        ("id lookup + encodings broadcast to occurrences",
+         r"BroadcastHashJoin"),
+        ("block re-assembly is a real equi-join/agg (never cross)",
+         r"^(?!.*CartesianProduct)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "jaccard_join": [
         ("prefix candidates + verification are real equi-joins "
          "(never cross)", r"(SortMergeJoin|ShuffledHashJoin|"
