@@ -1437,6 +1437,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pairs, src="a", dst="b", iters=5, undirected=True
         ).withColumnRenamed("node", "doc_id")
 
+    def q_domain_weights(spark, sf_dir):
+        # DoReMi-style domain mixture: per-source mean LM cross-entropy
+        # → exponentiated excess loss → uniform-smoothed weights that
+        # sum to 1; composes over the lm_perplexity oracle
+        from gbdc_spark.operators.quality import domain_weights
+
+        return domain_weights(
+            _docs(spark, sf_dir), eta=1.0, smoothing=0.3, min_count=2
+        )
+
+    def q_stream_cms(spark, sf_dir):
+        # REAL streaming frequency sketch: cms_build runs UNCHANGED as
+        # a streaming aggregate — cell counts are ADDITIVE across
+        # micro-batches, the CMS merge property online (the sibling of
+        # stream_hll's max-fold); events replayed as two mtime-ordered
+        # files, the sunk sketch point-queried batch-side vs exact
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from gbdc_spark.operators.sketches import cms_build, cms_query
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.col("event_type").alias("item"), "event_id"
+        )
+        base = tempfile.mkdtemp(prefix="gbdc_scms_")
+        os.makedirs(f"{base}/in")
+        for tag, mt, par in (("a", 1000, 0), ("b", 2000, 1)):
+            tmp = f"{base}/_{tag}"
+            ev.filter(F.col("event_id") % 2 == par).select(
+                "item"
+            ).coalesce(1).write.parquet(tmp)
+            fn = next(
+                f for f in sorted(os.listdir(tmp))
+                if f.endswith(".parquet")
+            )
+            dst = f"{base}/in/{tag}.parquet"
+            shutil.copy(f"{tmp}/{fn}", dst)
+            os.utime(dst, (mt, mt))
+            shutil.rmtree(tmp)
+        src = (
+            spark.readStream.schema("item string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/in")
+        )
+        name = f"scms_{uuid.uuid4().hex[:8]}"
+        q = (
+            cms_build(src, "item", depth=4, width=64)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        truth = ev.groupBy("item").agg(F.count("*").alias("n_true"))
+        return cms_query(
+            truth, spark.table(name), "item", depth=4, width=64
+        )
+
     def q_tokenize_pack(spark, sf_dir):
         # the FULL tokenizer front end composed end-to-end: raw text →
         # learned BPE rules → subword ids (dense freq-ranked, 0
@@ -2637,6 +2695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join": q_jaccard_join,
         "incremental_read": q_incremental_read,
         "tokenize_pack": q_tokenize_pack,
+        "stream_cms": q_stream_cms,
+        "domain_weights": q_domain_weights,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -5287,6 +5347,25 @@ def oracle_sql() -> dict[str, str]:
             FROM q LEFT JOIN cms USING (row, col)
             GROUP BY q.word, q.n_true
         """,
+        "stream_cms": f"""
+            WITH w AS (SELECT event_type AS item FROM events),
+            rr AS (SELECT unnest(range(0, 4)) AS r),
+            cells AS (SELECT item, CAST(rr.r AS INTEGER) AS row,
+                             CAST({_duck_md5_u32("concat(CAST(rr.r AS VARCHAR), ':', item)")}
+                                  % 64 AS INTEGER) AS col
+                      FROM w, rr),
+            cms AS (SELECT row, col, count(*) AS cnt
+                    FROM cells GROUP BY row, col),
+            t AS (SELECT item, count(*) AS n_true FROM w GROUP BY item),
+            q AS (SELECT t.item, t.n_true, CAST(rr.r AS INTEGER) AS row,
+                         CAST({_duck_md5_u32("concat(CAST(rr.r AS VARCHAR), ':', t.item)")}
+                              % 64 AS INTEGER) AS col
+                  FROM t, rr)
+            SELECT q.item, CAST(q.n_true AS BIGINT) AS n_true,
+                   CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS cms_est
+            FROM q LEFT JOIN cms USING (row, col)
+            GROUP BY q.item, q.n_true
+        """,
         "logreg_calibration": f"""
             WITH scored AS ({_duck_logreg_sql(epochs=3, lr=1.0, label="en")}),
             lbl AS (SELECT s.score,
@@ -6533,5 +6612,26 @@ def oracle_sql() -> dict[str, str]:
                md5(string_agg(CAST(tok AS VARCHAR), ',' ORDER BY bp))
                    AS tokens_md5
         FROM b GROUP BY block_id
+    """
+    # DoReMi-style mixture weights compose over the lm_perplexity
+    # oracle (the scored-CTE wrap device): domain means of the ROUNDED
+    # per-doc cross-entropies, exponentiated excess, uniform smoothing
+    oracles["domain_weights"] = f"""
+        WITH ppl AS ({oracles["lm_perplexity"]}),
+        j AS (SELECT d.source, p.cross_entropy
+              FROM documents d JOIN ppl p USING (doc_id)
+              WHERE p.cross_entropy IS NOT NULL),
+        dom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       avg(cross_entropy) AS ce
+                FROM j GROUP BY source),
+        m AS (SELECT avg(ce) AS ce_bar FROM dom),
+        ex AS (SELECT source, n_docs, ce,
+                      exp(1.0 * (ce - ce_bar)) AS e
+               FROM dom, m),
+        tot AS (SELECT sum(e) AS z, CAST(count(*) AS BIGINT) AS k
+                FROM ex)
+        SELECT source, n_docs, round(ce, 6) AS ce,
+               round((1.0 - 0.3) * e / z + 0.3 / k, 6) AS weight
+        FROM ex, tot
     """
     return oracles

@@ -28,7 +28,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "with_c4_signals", "c4_clean_lines", "c4_filter",
            "C4_TERMINAL_PUNCT",
            "ngram_contamination",
-           "token_ngram_contamination", "lm_perplexity", "kn_perplexity",
+           "token_ngram_contamination", "lm_perplexity", "kn_perplexity", "domain_weights",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
            "temperature_weights", "ccnet_buckets", "temperature_mix",
            "percentile_gate"]
@@ -1726,4 +1726,64 @@ def binary_ap(
             ),
             6,
         ).alias("ap"),
+    )
+
+
+def domain_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    by: str = "source",
+    eta: float = 1.0,
+    smoothing: float = 0.3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Loss-driven domain mixture weights — the one-shot form of
+    DoReMi's reweighting rule (Xie et al., NeurIPS'23): domains whose
+    documents the corpus-level LM finds HARD (high cross-entropy under
+    the self-trained bigram model — underfit, novel) are upweighted by
+    an exponentiated excess loss, then smoothed toward uniform:
+
+        w(d) = (1 - s) * softmax_d(eta * (L_d - mean_d L)) + s / K
+
+    with L_d the domain's mean per-doc cross-entropy from
+    :func:`lm_perplexity` and K the domain count.  ``smoothing`` is
+    DoReMi's uniform mixing (their eq. 3 regularizer); ``eta`` the
+    exponentiated-gradient step.  Returns one row per domain:
+    (by, n_docs, ce, weight); weights sum to 1.
+
+    Shape at scale: the LM scoring pass dominates (see lm_perplexity);
+    everything after is a domain-count-sized aggregate chain with
+    1-row broadcasts — no corpus data ever re-shuffles.
+    """
+    scored = lm_perplexity(
+        df.select(key, text_col), text_col=text_col, key=key,
+        min_count=min_count,
+    )
+    j = (
+        df.select(key, by)
+        .join(scored, key)
+        .filter(F.col("cross_entropy").isNotNull())
+    )
+    dom = j.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        F.avg("cross_entropy").alias("_ce"),
+    )
+    m = F.broadcast(dom.agg(F.avg("_ce").alias("_ce_bar")))
+    ex = dom.crossJoin(m).withColumn(
+        "_e", F.exp(F.lit(float(eta)) * (F.col("_ce") - F.col("_ce_bar")))
+    )
+    tot = F.broadcast(
+        ex.agg(F.sum("_e").alias("_z"), F.count("*").alias("_k"))
+    )
+    s = float(smoothing)
+    return ex.crossJoin(tot).select(
+        by,
+        "n_docs",
+        F.round("_ce", 6).alias("ce"),
+        F.round(
+            F.lit(1.0 - s) * F.col("_e") / F.col("_z")
+            + F.lit(s) / F.col("_k"),
+            6,
+        ).alias("weight"),
     )

@@ -1015,3 +1015,37 @@ def test_kn_perplexity_plan_is_jvm_only(spark):
     )
     plan = kn_perplexity(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_domain_weights_sum_and_ordering(spark):
+    from gbdc_spark.operators.quality import domain_weights
+
+    rows = []
+    # domain B's docs use rare bigrams -> higher self-LM cross-entropy
+    for i in range(12):
+        rows.append((i, "A", "a b a b a b a b"))
+    for i in range(12, 24):
+        rows.append((i, "B", f"x{i} y{i} z{i} w{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in
+           domain_weights(df, min_count=1, smoothing=0.3).collect()}
+    assert set(out) == {"A", "B"}
+    total = sum(r["weight"] for r in out.values())
+    assert total == pytest.approx(1.0, abs=1e-5)
+    # the hard (high-loss) domain gets the larger weight
+    assert out["B"]["ce"] > out["A"]["ce"]
+    assert out["B"]["weight"] > out["A"]["weight"]
+    # smoothing floor: no domain below s/K
+    for r in out.values():
+        assert r["weight"] >= 0.3 / 2 - 1e-9
+
+
+def test_domain_weights_uniform_when_fully_smoothed(spark):
+    from gbdc_spark.operators.quality import domain_weights
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", "a b c a b") for i in range(9)],
+        "doc_id long, source string, text string",
+    )
+    out = domain_weights(df, min_count=1, smoothing=1.0).collect()
+    assert all(r["weight"] == pytest.approx(1 / 3, abs=1e-6) for r in out)

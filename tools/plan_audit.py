@@ -420,6 +420,12 @@ CHECKS = {
          "truncated by design)", r"Scan ExistingRDD"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "domain_weights": [
+        ("per-doc LM scoring joins are real equi-joins (never cross, "
+         "the domain-sized tail is 1-row broadcasts)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "tokenize_pack": [
         ("id lookup + encodings broadcast to occurrences",
          r"BroadcastHashJoin"),
