@@ -1437,6 +1437,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pairs, src="a", dst="b", iters=5, undirected=True
         ).withColumnRenamed("node", "doc_id")
 
+    def q_funnel(spark, sf_dir):
+        # ordered signup→view→purchase funnel: step k matches each
+        # user's earliest step-k event at/after their matched step-(k-1)
+        # time; K-1 user-key equi-joins, each intermediate one row per
+        # surviving user
+        from gbdc_spark.operators.temporal import funnel_analysis
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return funnel_analysis(ev, ["signup", "view", "purchase"])
+
     def q_domain_weights(spark, sf_dir):
         # DoReMi-style domain mixture: per-source mean LM cross-entropy
         # → exponentiated excess loss → uniform-smoothed weights that
@@ -2697,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_pack": q_tokenize_pack,
         "stream_cms": q_stream_cms,
         "domain_weights": q_domain_weights,
+        "funnel": q_funnel,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -5346,6 +5357,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS cms_est
             FROM q LEFT JOIN cms USING (row, col)
             GROUP BY q.word, q.n_true
+        """,
+        "funnel": """
+            WITH s1 AS (SELECT user_id AS u, min(ts) AS t
+                        FROM events WHERE event_type = 'signup'
+                        GROUP BY user_id),
+            s2 AS (SELECT e.user_id AS u, min(e.ts) AS t
+                   FROM events e JOIN s1 ON e.user_id = s1.u
+                   WHERE e.event_type = 'view' AND e.ts >= s1.t
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id AS u, min(e.ts) AS t
+                   FROM events e JOIN s2 ON e.user_id = s2.u
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+                   GROUP BY e.user_id),
+            c AS (SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+                (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+                (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3)
+            SELECT * FROM (
+                SELECT 1 AS step_idx, 'signup' AS step, n1 AS n_users,
+                       CASE WHEN n1 > 0 THEN round(n1 / n1, 6) END
+                           AS cum_rate,
+                       CASE WHEN n1 > 0 THEN round(n1 / n1, 6) END
+                           AS step_rate
+                FROM c
+                UNION ALL
+                SELECT 2, 'view', n2,
+                       CASE WHEN n1 > 0 THEN round(n2 / n1, 6) END,
+                       CASE WHEN n1 > 0 THEN round(n2 / n1, 6) END
+                FROM c
+                UNION ALL
+                SELECT 3, 'purchase', n3,
+                       CASE WHEN n1 > 0 THEN round(n3 / n1, 6) END,
+                       CASE WHEN n2 > 0 THEN round(n3 / n2, 6) END
+                FROM c)
         """,
         "stream_cms": f"""
             WITH w AS (SELECT event_type AS item FROM events),

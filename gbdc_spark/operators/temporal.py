@@ -34,6 +34,7 @@ __all__ = [
     "with_session_id_scalable",
     "with_temporal_bundle_scalable",
     "with_trailing_agg",
+    "funnel_analysis",
 ]
 
 
@@ -619,3 +620,85 @@ def with_ewma(
         return pdf[cols]
 
     return df.groupBy(*pb).applyInPandas(fn, schema)
+
+
+def funnel_analysis(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: Column | None = None,
+) -> DataFrame:
+    """Ordered multi-step funnel over an event stream: for each user,
+    step k matches the EARLIEST step-k event at or after the user's
+    matched step-(k-1) time (the standard product-analytics funnel —
+    order matters, revisits don't).  Returns one row per step:
+    (step_idx, step, n_users, cum_rate, step_rate) with cum_rate =
+    n_k / n_1 and step_rate = n_k / n_{k-1}.
+
+    ``within`` bounds the whole journey: an INTERVAL/Column upper
+    bound on (t_k - t_1), e.g. ``F.expr("INTERVAL 7 DAYS")`` — applied
+    at every step, so a user who converts too late drops out exactly
+    where the budget runs out.
+
+    Shape at scale: K-1 equi-joins on the user key, each preceded by a
+    map-side-combined min — the fact table is scanned once per step
+    but each intermediate is one row per surviving user (monotonically
+    shrinking).  At warehouse scale pre-bucket events by user_col so
+    the per-step joins co-locate.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_t1"))
+        .withColumn("_t", F.col("_t1"))
+    )
+    counts = [cur.count()]
+    for s in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .select(
+                F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+            )
+            .join(cur.select("_u", "_t1", "_t"), "_u")
+            .filter(F.col("_ts") >= F.col("_t"))
+        )
+        if within is not None:
+            nxt = nxt.filter(F.col("_ts") <= F.col("_t1") + within)
+        cur = (
+            nxt.groupBy("_u", "_t1")
+            .agg(F.min("_ts").alias("_t"))
+            .select("_u", "_t1", "_t")
+        )
+        counts.append(cur.count())
+    spark = events.sparkSession
+    rows = []
+    for k, (s, n) in enumerate(zip(steps, counts), start=1):
+        prev = counts[k - 2] if k > 1 else counts[0]
+        rows.append((k, s, int(n), int(counts[0]), int(prev)))
+    tall = spark.createDataFrame(
+        rows,
+        schema=(
+            "step_idx int, step string, n_users long,"
+            " n_first long, n_prev long"
+        ),
+    )
+    # rates computed as Spark column math (HALF_UP round, same as the
+    # SQL oracle's) — Python round() is banker's and would diverge on
+    # exact .5 boundaries
+    return tall.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(
+            F.col("n_first") > 0,
+            F.round(F.col("n_users") / F.col("n_first"), 6),
+        ).alias("cum_rate"),
+        F.when(
+            F.col("n_prev") > 0,
+            F.round(F.col("n_users") / F.col("n_prev"), 6),
+        ).alias("step_rate"),
+    )

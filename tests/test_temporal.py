@@ -361,3 +361,58 @@ def test_with_ewma_row_preserving_and_order_key(spark):
     # order is (ts, event_id): event 1 first -> 0.0, then 0.5*8 = 4.0
     assert got == {1: 0.0, 2: 4.0}
     assert len(out) == 2
+
+
+def test_funnel_analysis_hand_computed(spark):
+    from datetime import datetime
+
+    from gbdc_spark.operators.temporal import funnel_analysis
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # u1 completes all three in order
+        (1, "signup", t(0)), (1, "view", t(5)), (1, "purchase", t(9)),
+        # u2 views BEFORE signing up -> stops at signup
+        (2, "view", t(1)), (2, "signup", t(2)),
+        # u3 signup+view, no purchase
+        (3, "signup", t(0)), (3, "view", t(3)),
+        # u4 purchase before view -> stops after view
+        (4, "signup", t(0)), (4, "purchase", t(1)), (4, "view", t(2)),
+        # u5 never signs up
+        (5, "view", t(0)), (5, "purchase", t(1)),
+        # u6: same-minute signup+view (>= matches), then purchase
+        (6, "signup", t(4)), (6, "view", t(4)), (6, "purchase", t(8)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r["step_idx"]: r for r in funnel_analysis(
+        ev, ["signup", "view", "purchase"]).collect()}
+    assert (out[1]["n_users"], out[2]["n_users"], out[3]["n_users"]) \
+        == (5, 4, 2)
+    assert out[3]["cum_rate"] == 0.4          # 2/5
+    assert out[3]["step_rate"] == 0.5         # 2/4
+    assert out[1]["cum_rate"] == 1.0 and out[1]["step_rate"] == 1.0
+
+
+def test_funnel_analysis_within_budget(spark):
+    from datetime import datetime
+
+    from gbdc_spark.operators.temporal import funnel_analysis
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        (1, "signup", t(0)), (1, "purchase", t(3)),   # inside budget
+        (2, "signup", t(0)), (2, "purchase", t(30)),  # too late
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r["step"]: r["n_users"] for r in funnel_analysis(
+        ev, ["signup", "purchase"],
+        within=F.expr("INTERVAL 10 MINUTES")).collect()}
+    assert out == {"signup": 2, "purchase": 1}
