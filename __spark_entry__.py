@@ -1447,6 +1447,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return funnel_analysis(ev, ["signup", "view", "purchase"])
 
+    def q_cohort_retention(spark, sf_dir):
+        # weekly cohort retention triangle over events: cohort = week
+        # of first activity, k = whole-week offset, retention vs the
+        # cohort's own size — one min agg + one user-key join + one
+        # distinct count per cell
+        from gbdc_spark.operators.temporal import cohort_retention
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return cohort_retention(ev, period="week")
+
     def q_domain_weights(spark, sf_dir):
         # DoReMi-style domain mixture: per-source mean LM cross-entropy
         # → exponentiated excess loss → uniform-smoothed weights that
@@ -2708,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms": q_stream_cms,
         "domain_weights": q_domain_weights,
         "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -5357,6 +5368,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS cms_est
             FROM q LEFT JOIN cms USING (row, col)
             GROUP BY q.word, q.n_true
+        """,
+        "cohort_retention": """
+            WITH f AS (SELECT user_id AS u,
+                              date_trunc('week', min(ts)) AS c
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id AS u,
+                         date_trunc('week', ts) AS p
+                  FROM events),
+            j AS (SELECT a.u, f.c,
+                         CAST((epoch(a.p) - epoch(f.c)) / 604800
+                              AS BIGINT) AS k
+                  FROM a JOIN f ON a.u = f.u),
+            cell AS (SELECT c, k, CAST(count(DISTINCT u) AS BIGINT) AS n
+                     FROM j GROUP BY c, k),
+            sz AS (SELECT c, n AS s FROM cell WHERE k = 0)
+            SELECT cell.c AS cohort, CAST(cell.k AS INTEGER) AS k,
+                   cell.n AS n_users,
+                   round(cell.n / sz.s, 6) AS retention
+            FROM cell JOIN sz USING (c)
         """,
         "funnel": """
             WITH s1 AS (SELECT user_id AS u, min(ts) AS t

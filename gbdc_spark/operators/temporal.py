@@ -35,6 +35,7 @@ __all__ = [
     "with_temporal_bundle_scalable",
     "with_trailing_agg",
     "funnel_analysis",
+    "cohort_retention",
 ]
 
 
@@ -701,4 +702,69 @@ def funnel_analysis(
             F.col("n_prev") > 0,
             F.round(F.col("n_users") / F.col("n_prev"), 6),
         ).alias("step_rate"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_k: int | None = None,
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the period of
+    their FIRST event, and each later active period counts them as
+    retained at offset k — the product-analytics companion of
+    :func:`funnel_analysis`.
+
+    Returns (cohort, k, n_users, retention) where cohort is the
+    period-truncated first-activity timestamp, k the whole-period
+    offset (0 = the cohort period itself, so retention at k=0 is 1.0
+    by construction), n_users the distinct users from that cohort
+    active at offset k, and retention = n_users / cohort size.
+
+    Shape at scale: one min-aggregate for first activity (map-side
+    combined), one equi-join back on the user key, one distinct-count
+    per (cohort, k) — no window over the event stream, no skew hazard
+    beyond the user-key join (bucket by user at warehouse scale).
+    """
+    first = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("_cohort")
+    )
+    periods = {"week": 7 * 86400, "day": 86400}
+    if period not in periods:
+        raise ValueError("period must be 'week' or 'day'")
+    plen = periods[period]
+    act = events.select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc(period, F.col(ts_col)).alias("_p"),
+    ).distinct()
+    j = act.join(first, "_u").withColumn(
+        "_k",
+        (
+            (
+                F.col("_p").cast("long")
+                - F.col("_cohort").cast("long")
+            )
+            / F.lit(plen)
+        ).cast("long"),
+    )
+    if max_k is not None:
+        j = j.filter(F.col("_k") <= int(max_k))
+    cell = j.groupBy("_cohort", "_k").agg(
+        F.count_distinct("_u").alias("n_users")
+    )
+    size = cell.filter(F.col("_k") == 0).select(
+        F.col("_cohort"), F.col("n_users").alias("_size")
+    )
+    return (
+        cell.join(size, "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort"),
+            F.col("_k").cast("int").alias("k"),
+            "n_users",
+            F.round(F.col("n_users") / F.col("_size"), 6).alias(
+                "retention"
+            ),
+        )
     )

@@ -416,3 +416,42 @@ def test_funnel_analysis_within_budget(spark):
         ev, ["signup", "purchase"],
         within=F.expr("INTERVAL 10 MINUTES")).collect()}
     assert out == {"signup": 2, "purchase": 1}
+
+
+def test_cohort_retention_hand_computed(spark):
+    from datetime import datetime
+
+    from gbdc_spark.operators.temporal import cohort_retention
+
+    # weeks starting Mon 2024-01-01, 2024-01-08, 2024-01-15
+    rows = [
+        (1, datetime(2024, 1, 2)), (1, datetime(2024, 1, 9)),
+        (1, datetime(2024, 1, 16)),                      # w0,w1,w2
+        (2, datetime(2024, 1, 3)), (2, datetime(2024, 1, 17)),  # w0,w2
+        (3, datetime(2024, 1, 4)),                       # w0 only
+        (4, datetime(2024, 1, 10)), (4, datetime(2024, 1, 15)),  # cohort w1
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(str(r["cohort"])[:10], r["k"]): (r["n_users"], r["retention"])
+           for r in cohort_retention(ev).collect()}
+    assert out[("2024-01-01", 0)] == (3, 1.0)
+    assert out[("2024-01-01", 1)] == (1, round(1 / 3, 6))
+    assert out[("2024-01-01", 2)] == (2, round(2 / 3, 6))
+    assert out[("2024-01-08", 0)] == (1, 1.0)
+    assert out[("2024-01-08", 1)] == (1, 1.0)
+    assert len(out) == 5
+
+
+def test_cohort_retention_max_k_and_day_period(spark):
+    from datetime import datetime
+
+    from gbdc_spark.operators.temporal import cohort_retention
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 2)),
+         (1, datetime(2024, 1, 9))],
+        "user_id long, ts timestamp",
+    )
+    out = {r["k"] for r in
+           cohort_retention(ev, period="day", max_k=3).collect()}
+    assert out == {0, 1}  # day 8 cut by max_k
