@@ -1447,6 +1447,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return funnel_analysis(ev, ["signup", "view", "purchase"])
 
+    def q_markov_transitions(spark, sf_dir):
+        # first-order event-sequence model: one lead window per user
+        # (ts, event_id tiebreak), pair counts row-normalized
+        from gbdc_spark.operators.temporal import markov_transitions
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return markov_transitions(ev, tiebreak="event_id")
+
+    def q_markov_stationary(spark, sf_dir):
+        # stationary distribution of the transition chain: 16 unrolled
+        # power-iteration steps from uniform, probabilities exact
+        # integer ratios throughout — the oracle replays the identical
+        # trajectory in chained CTEs (the trainer-unroll device)
+        from gbdc_spark.operators.temporal import markov_stationary
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return markov_stationary(ev, iters=16, tiebreak="event_id")
+
     def q_cohort_retention(spark, sf_dir):
         # weekly cohort retention triangle over events: cohort = week
         # of first activity, k = whole-week offset, retention vs the
@@ -2719,6 +2737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_weights": q_domain_weights,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "markov_transitions": q_markov_transitions,
+        "markov_stationary": q_markov_stationary,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
         "cms_words": q_cms_words,
@@ -3755,6 +3775,53 @@ def _duck_textrank_sql(iters: int = 10, damping: float = 0.85,
         + f"""
         SELECT node AS word, round(r, 6) AS textrank FROM r{int(iters)}
         ORDER BY textrank DESC, word LIMIT {int(topk)}
+        """
+    )
+
+
+def _duck_markov_sql(mode: str = "transitions", iters: int = 16) -> str:
+    """Oracle for the Markov pair: the per-user lead window and
+    row-normalized pair counts; for 'stationary', ``iters`` unrolled
+    pi' = pi·P steps as chained MATERIALIZED CTEs, probabilities kept
+    as exact integer ratios throughout (rounding only at the end)."""
+    base = """s AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+            FROM events),
+        c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+              FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        r AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tot
+              FROM c GROUP BY cur)"""
+    if mode == "transitions":
+        return f"""
+            WITH {base}
+            SELECT c.cur, c.nxt, c.cnt,
+                   round(c.cnt / r.tot, 6) AS p
+            FROM c JOIN r USING (cur)
+            """
+    assert mode == "stationary"
+    pieces = [
+        base,
+        "pm AS MATERIALIZED (SELECT c.cur, c.nxt, c.cnt / r.tot AS p"
+        " FROM c JOIN r USING (cur))",
+        "st AS MATERIALIZED (SELECT DISTINCT cur AS state FROM pm"
+        " UNION SELECT DISTINCT nxt FROM pm)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM st)",
+        "pi0 AS MATERIALIZED (SELECT state, 1.0 / n AS pi FROM st, nn)",
+    ]
+    for k in range(1, int(iters) + 1):
+        pieces.append(f"""pi{k} AS MATERIALIZED (
+            SELECT pm.nxt AS state, sum(pi.pi * pm.p) AS pi
+            FROM pm JOIN pi{k - 1} pi ON pm.cur = pi.state
+            GROUP BY pm.nxt)""")
+    return (
+        "WITH "
+        + ",\n".join(pieces)
+        + f"""
+        SELECT st.state, round(coalesce(p.pi, 0.0), 6) AS pi
+        FROM st LEFT JOIN pi{int(iters)} p USING (state)
         """
     )
 
@@ -5369,6 +5436,9 @@ def oracle_sql() -> dict[str, str]:
             FROM q LEFT JOIN cms USING (row, col)
             GROUP BY q.word, q.n_true
         """,
+        "markov_transitions": _duck_markov_sql(mode="transitions"),
+        "markov_stationary": _duck_markov_sql(mode="stationary",
+                                              iters=16),
         "cohort_retention": """
             WITH f AS (SELECT user_id AS u,
                               date_trunc('week', min(ts)) AS c

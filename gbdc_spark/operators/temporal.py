@@ -36,6 +36,8 @@ __all__ = [
     "with_trailing_agg",
     "funnel_analysis",
     "cohort_retention",
+    "markov_transitions",
+    "markov_stationary",
 ]
 
 
@@ -767,4 +769,103 @@ def cohort_retention(
                 "retention"
             ),
         )
+    )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order Markov model of per-user event sequences: each
+    user's events ordered by (ts, tiebreak), consecutive pairs counted,
+    rows normalized — (cur, nxt, cnt, p) with sum_nxt p = 1 per cur.
+
+    Shape at scale: ONE window (lead) partitioned by the user key —
+    the natural partitioning of behavioral data — then a
+    map-side-combined pair count into at most |states|^2 rows; the
+    normalization joins two state-sized tables.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("cur"),
+            F.lead(type_col).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("cnt").alias("_tot"))
+    return pairs.join(tot, "cur").select(
+        "cur",
+        "nxt",
+        "cnt",
+        F.round(F.col("cnt") / F.col("_tot"), 6).alias("p"),
+    )
+
+
+def markov_stationary(
+    events: DataFrame,
+    iters: int = 16,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Stationary distribution of the per-user event-transition chain
+    via ``iters`` unrolled power-iteration steps from the uniform
+    vector (pi' = pi P).  States with no outgoing transitions shed
+    their mass (sub-stochastic chain over observed transitions) — the
+    model is descriptive of the observed sequences, documented rather
+    than patched.  Probabilities stay UNROUNDED (exact integer ratios)
+    through the iteration; only the output rounds — so a SQL twin
+    replays the trajectory exactly.
+
+    The state space is model-sized (|event types|), so each step is a
+    state-sized join+agg; the corpus is touched once for the pair
+    counts.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("cur"),
+            F.lead(type_col).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("cnt").alias("_tot"))
+    pm = pairs.join(tot, "cur").select(
+        "cur", "nxt", (F.col("cnt") / F.col("_tot")).alias("_p")
+    ).persist()
+    states = (
+        pm.select(F.col("cur").alias("state"))
+        .unionByName(pm.select(F.col("nxt").alias("state")))
+        .distinct()
+        .persist()
+    )
+    nn = F.broadcast(states.agg(F.count("*").alias("_n")))
+    pi = states.crossJoin(nn).select(
+        "state", (F.lit(1.0) / F.col("_n")).alias("_pi")
+    ).localCheckpoint()
+    for _ in range(int(iters)):
+        pi = (
+            pm.join(pi, pm["cur"] == pi["state"])
+            .select(
+                F.col("nxt").alias("state"),
+                (F.col("_pi") * F.col("_p")).alias("_m"),
+            )
+            .groupBy("state")
+            .agg(F.sum("_m").alias("_pi"))
+            .localCheckpoint()
+        )
+    return states.join(pi, "state", "left").select(
+        "state",
+        F.round(F.coalesce("_pi", F.lit(0.0)), 6).alias("pi"),
     )

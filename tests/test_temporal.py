@@ -455,3 +455,59 @@ def test_cohort_retention_max_k_and_day_period(spark):
     out = {r["k"] for r in
            cohort_retention(ev, period="day", max_k=3).collect()}
     assert out == {0, 1}  # day 8 cut by max_k
+
+
+def test_markov_transitions_hand_computed(spark):
+    from datetime import datetime
+
+    from gbdc_spark.operators.temporal import markov_transitions
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        (1, "a", t(0)), (1, "b", t(1)), (1, "a", t(2)), (1, "b", t(3)),
+        (2, "a", t(0)), (2, "a", t(1)), (2, "c", t(2)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {(r["cur"], r["nxt"]): (r["cnt"], r["p"])
+           for r in markov_transitions(ev).collect()}
+    # from 'a': ->b x2, ->a x1, ->c x1 (4 total); from 'b': ->a x1
+    assert got[("a", "b")] == (2, 0.5)
+    assert got[("a", "a")] == (1, 0.25)
+    assert got[("a", "c")] == (1, 0.25)
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in got  # c has no outgoing
+
+
+def test_markov_stationary_matches_numpy_power_iteration(spark):
+    from datetime import datetime
+
+    import numpy as np
+
+    from gbdc_spark.operators.temporal import markov_stationary
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    # one long cyclic user sequence -> irreducible 3-state chain
+    seq = "abcabacbcabcab"
+    rows = [(1, ch, t(i)) for i, ch in enumerate(seq)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["state"]: r["pi"]
+           for r in markov_stationary(ev, iters=16).collect()}
+
+    from collections import Counter
+    pc = Counter(zip(seq, seq[1:]))
+    states = sorted({*seq})
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((3, 3))
+    for (a, b), c in pc.items():
+        P[idx[a], idx[b]] = c
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(3, 1 / 3)
+    for _ in range(16):
+        pi = pi @ P
+    for s in states:
+        assert got[s] == pytest.approx(pi[idx[s]], abs=1e-6), s
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
