@@ -420,6 +420,50 @@ CHECKS = {
          "truncated by design)", r"Scan ExistingRDD"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "funnel": [
+        # counts collect per step (K driver scalars, like k-means
+        # centroids); the returned frame is the K-row local summary —
+        # audit just pins it Python-free
+        ("K-row summary is local and Python-free",
+         r"^(?!.*ArrowEvalPython)"),
+    ],
+    "cohort_retention": [
+        ("first-activity min agg is map-side combined", r"partial_min"),
+        ("cohort size joins back as a real equi-join",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "markov_transitions": [
+        ("pair count is map-side combined", r"partial_count"),
+        ("row normalization is a state-sized equi-join",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("one lead window partitioned by the user key",
+         r"Window"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "markov_stationary": [
+        # iterations are localCheckpoint'd (the iterative rule) — the
+        # returned plan is the final state-sized join
+        ("final vector joins states in a real equi-join",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "stream_cms": [
+        ("sketch point queries broadcast-join the sunk cells",
+         r"BroadcastHashJoin"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "stream_hll": [
+        ("estimate over the sunk registers is a bounded agg, "
+         "exact count crossed in as a 1-row broadcast",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "incremental_read": [
+        ("incremental scan is a plain parquet read of the window's "
+         "append dirs (no shuffle)", r"^(?!.*Exchange)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "domain_weights": [
         ("per-doc LM scoring joins are real equi-joins (never cross, "
          "the domain-sized tail is 1-row broadcasts)",
