@@ -1447,6 +1447,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return funnel_analysis(ev, ["signup", "view", "purchase"])
 
+    def q_hits_words(spark, sf_dir):
+        # HITS hubs/authorities over the DIRECTED weighted word-bigram
+        # graph (hubs start phrases, authorities end them) — the
+        # mutually recursive pair PageRank is not; 8 L1-normalized
+        # iterations unrolled in the oracle
+        from gbdc_spark.operators.graph import hits
+
+        ws = F.split(F.col("text"), " ")
+        bg = (
+            _docs(spark, sf_dir)
+            .select(
+                F.explode(
+                    F.when(
+                        F.size(ws) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(ws) - 1),
+                            lambda i: F.struct(
+                                F.element_at(ws, i).alias("w1"),
+                                F.element_at(ws, i + 1).alias("w2"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<w1:string,w2:string>>"
+                        )
+                    )
+                ).alias("bg")
+            )
+            .select("bg.w1", "bg.w2")
+            .filter(F.col("w1") != F.col("w2"))
+            .groupBy("w1", "w2")
+            .agg(F.count("*").cast("double").alias("w"))
+        )
+        return hits(
+            bg, src="w1", dst="w2", weight="w", iters=8
+        ).withColumnRenamed("node", "word")
+
     def q_markov_transitions(spark, sf_dir):
         # first-order event-sequence model: one lead window per user
         # (ts, event_id tiebreak), pair counts row-normalized
@@ -2738,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "markov_transitions": q_markov_transitions,
+        "hits_words": q_hits_words,
         "markov_stationary": q_markov_stationary,
         "logreg_auc": q_logreg_auc,
         "logreg_ap": q_logreg_ap,
@@ -3775,6 +3813,62 @@ def _duck_textrank_sql(iters: int = 10, damping: float = 0.85,
         + f"""
         SELECT node AS word, round(r, 6) AS textrank FROM r{int(iters)}
         ORDER BY textrank DESC, word LIMIT {int(topk)}
+        """
+    )
+
+
+def _duck_hits_sql(iters: int = 8) -> str:
+    """Oracle for ``hits_words``: the directed weighted bigram graph,
+    then ``iters`` unrolled HITS iterations — a' = W^T h then L1
+    normalize, h' = W a then L1 normalize — as chained MATERIALIZED
+    CTEs with 1-row normalizer CTEs, mirroring the Spark half-steps
+    exactly (weights are exact integer counts in doubles)."""
+    pieces = [
+        """bg AS (
+            SELECT unnest(list_transform(range(1, len(ws)),
+                          i -> ws[i])) AS w1,
+                   unnest(list_transform(range(1, len(ws)),
+                          i -> ws[i + 1])) AS w2
+            FROM (SELECT str_split(text, ' ') AS ws FROM documents)
+            WHERE len(ws) >= 2)""",
+        """ew AS (
+            SELECT w1 AS s, w2 AS d, CAST(count(*) AS DOUBLE) AS w
+            FROM bg WHERE w1 <> w2 GROUP BY 1, 2)""",
+        "e AS MATERIALIZED (SELECT s, d, sum(w) AS w FROM ew"
+        " GROUP BY s, d)",
+        "st AS MATERIALIZED (SELECT DISTINCT s AS node FROM e"
+        " UNION SELECT DISTINCT d FROM e)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM st)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 / n AS v FROM st, nn)",
+    ]
+    for k in range(1, int(iters) + 1):
+        pieces.append(f"""ar{k} AS MATERIALIZED (
+            SELECT e.d AS node, sum(e.w * h.v) AS raw
+            FROM e JOIN h{k - 1} h ON e.s = h.node GROUP BY e.d)""")
+        pieces.append(f"az{k} AS (SELECT sum(raw) AS z FROM ar{k})")
+        pieces.append(
+            f"a{k} AS MATERIALIZED (SELECT node, raw / z AS v"
+            f" FROM ar{k}, az{k})"
+        )
+        pieces.append(f"""hr{k} AS MATERIALIZED (
+            SELECT e.s AS node, sum(e.w * a.v) AS raw
+            FROM e JOIN a{k} a ON e.d = a.node GROUP BY e.s)""")
+        pieces.append(f"hz{k} AS (SELECT sum(raw) AS z FROM hr{k})")
+        pieces.append(
+            f"h{k} AS MATERIALIZED (SELECT node, raw / z AS v"
+            f" FROM hr{k}, hz{k})"
+        )
+    last = int(iters)
+    return (
+        "WITH "
+        + ",\n".join(pieces)
+        + f"""
+        SELECT st.node AS word,
+               round(coalesce(h.v, 0.0), 6) AS hub,
+               round(coalesce(a.v, 0.0), 6) AS authority
+        FROM st
+        LEFT JOIN h{last} h USING (node)
+        LEFT JOIN a{last} a USING (node)
         """
     )
 
@@ -5436,6 +5530,7 @@ def oracle_sql() -> dict[str, str]:
             FROM q LEFT JOIN cms USING (row, col)
             GROUP BY q.word, q.n_true
         """,
+        "hits_words": _duck_hits_sql(iters=8),
         "markov_transitions": _duck_markov_sql(mode="transitions"),
         "markov_stationary": _duck_markov_sql(mode="stationary",
                                               iters=16),

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "hits"]
 
 
 def pagerank(
@@ -228,5 +228,99 @@ def triangle_count(
             )
             .otherwise(F.lit(0.0))
             .alias("clustering"),
+        )
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 8,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg, JACM'99) over a DIRECTED
+    edge table — the mutually recursive pair PageRank is not: a good
+    hub points at good authorities, a good authority is pointed at by
+    good hubs.  On a word-bigram graph: hubs start phrases,
+    authorities end them.
+
+        a'(v) = sum_{u->v} w(u,v) * h(u);   then a = a' / sum(a')
+        h'(u) = sum_{u->v} w(u,v) * a(v);   then h = h' / sum(h')
+
+    L1 normalization each half-step keeps the trajectory bounded and
+    exactly replayable (the normalizers are 1-row broadcasts, never a
+    driver collect).  Parallel edges combine by weight sum; ``weight``
+    None means unit weights.  Returns (node, hub, authority), both
+    rounded at the end only.
+
+    Scale shape: each half-step is one equi-join of the edge table
+    against a node-sized vector plus a map-side-combined sum —
+    identical economics to a PageRank sweep, two of them per
+    iteration; vectors localCheckpoint per iteration (iterative rule),
+    ``checkpoint=False`` exposes the unrolled lineage for plan audits.
+    """
+    w_col = (
+        F.col(weight).cast("double") if weight else F.lit(1.0)
+    )
+    e = (
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"),
+            w_col.alias("w"),
+        )
+        .groupBy("s", "d")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nn = F.broadcast(nodes.agg(F.count("*").alias("n")))
+    hub = nodes.crossJoin(nn).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("v")
+    )
+    if checkpoint:
+        hub = hub.localCheckpoint()
+
+    def _step(vec: DataFrame, join_on: str, out_on: str) -> DataFrame:
+        raw = (
+            e.join(vec, e[join_on] == vec["node"])
+            .select(
+                F.col(out_on).alias("node"),
+                (F.col("w") * F.col("v")).alias("m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("m").alias("raw"))
+        )
+        z = F.broadcast(raw.agg(F.sum("raw").alias("z")))
+        return raw.crossJoin(z).select(
+            "node", (F.col("raw") / F.col("z")).alias("v")
+        )
+
+    auth = None
+    for _ in range(int(iters)):
+        auth = _step(hub, "s", "d")
+        if checkpoint:
+            auth = auth.localCheckpoint()
+        hub = _step(auth, "d", "s")
+        if checkpoint:
+            hub = hub.localCheckpoint()
+    return (
+        nodes.join(
+            hub.select("node", F.col("v").alias("_h")), "node", "left"
+        )
+        .join(
+            auth.select("node", F.col("v").alias("_a")), "node", "left"
+        )
+        .select(
+            "node",
+            F.round(F.coalesce("_h", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("_a", F.lit(0.0)), 6).alias(
+                "authority"
+            ),
         )
     )

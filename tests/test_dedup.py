@@ -1074,3 +1074,46 @@ def test_jaccard_join_plan_has_no_cartesian(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hits_matches_numpy_reference(spark):
+    import numpy as np
+
+    from gbdc_spark.operators.graph import hits
+
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (3, 1, 1.0),
+             (0, 1, 1.0)]  # parallel edge combines to 4.0
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(df, weight="w", iters=8).collect()}
+
+    from collections import defaultdict
+    comb = defaultdict(float)
+    for s, d, w in edges:
+        comb[(s, d)] += w
+    nodes = sorted({x for s, d in comb for x in (s, d)})
+    idx = {v: i for i, v in enumerate(nodes)}
+    W = np.zeros((len(nodes), len(nodes)))
+    for (s, d), w in comb.items():
+        W[idx[s], idx[d]] = w
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(8):
+        a = W.T @ h
+        a = a / a.sum()
+        h = W @ a
+        h = h / h.sum()
+    for v in nodes:
+        assert got[v][0] == pytest.approx(h[idx[v]], abs=1e-6), v
+        assert got[v][1] == pytest.approx(a[idx[v]], abs=1e-6), v
+    # node 2 is a pure sink: authority > 0, hub == 0
+    assert got[2][1] > 0 and got[2][0] == 0.0
+
+
+def test_hits_unit_weight_default(spark):
+    from gbdc_spark.operators.graph import hits
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    dfw = df.withColumn("w", F.lit(1.0))
+    a = sorted(map(tuple, hits(df, iters=4).collect()))
+    b = sorted(map(tuple, hits(dfw, weight="w", iters=4).collect()))
+    assert a == b

@@ -433,6 +433,13 @@ CHECKS = {
          r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "hits_words": [
+        # half-steps localCheckpoint (iterative rule); returned plan
+        # is the final node-sized join pair
+        ("final hub/authority vectors join nodes as real equi-joins",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "markov_transitions": [
         ("pair count is map-side combined", r"partial_count"),
         ("row normalization is a state-sized equi-join",
