@@ -424,6 +424,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return c4_filter(fx, min_sentences=5).drop("text")
 
+    def q_charset_filter(spark, sf_dir):
+        # charset-hygiene gate (mojibake / binary spill / padding —
+        # the RefinedWeb-class encoding rules).  Synth docs are clean
+        # ASCII, so the fixture injects deterministic doc_id-keyed
+        # damage with engine-portable ops (concat/repeat/chr) that
+        # the oracle repeats verbatim: U+FFFD runs on doc_id%5,
+        # C0 controls on doc_id%7, whitespace pads on doc_id%3 whose
+        # length crosses the max_ws_run=200 gate at doc_id%11 >= 7.
+        from gbdc_spark.operators.quality import charset_filter
+
+        fx = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.repeat(
+                        F.lit("�"),
+                        (F.col("doc_id") % 3 + 1).cast("int"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 7 == 0, F.lit("\x01ctl\x02"))
+                .otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.repeat(
+                        F.lit(" "),
+                        ((F.col("doc_id") % 11) * 30).cast("int"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return charset_filter(fx).drop("text")
+
     def q_ngram_contamination(spark, sf_dir):
         # benchmark decontamination: a deterministic 5% md5-slice of the
         # docs is the "eval set"; flag corpus docs sharing any 8-gram
@@ -2709,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "gopher_quality_filter": q_gopher_quality_filter,
         "c4_filter": q_c4_filter,
+        "charset_filter": q_charset_filter,
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
         "lm_perplexity": q_lm_perplexity,
@@ -4167,6 +4202,69 @@ def _duck_c4_filter_sql(source="documents", min_sentences=5) -> str:
     """
 
 
+def _duck_charset_filter_sql(
+    source="documents",
+    max_replacement_frac=0.0,
+    max_control_frac=0.001,
+    max_ws_frac=0.5,
+    max_ws_run=200,
+) -> str:
+    """Oracle for ``charset_filter``: rebuilds the deterministic
+    damage fixture (U+FFFD runs / C0 controls / whitespace pads keyed
+    on doc_id), recomputes every signal with RE2 character classes
+    written with explicit ``\\x`` escapes (the Java/RE2-agreeing
+    subset — no shorthand ``\\s``), and re-derives the pass flag from
+    the ROUNDED columns exactly as the operator does."""
+    return f"""
+        WITH fx AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN repeat('�', CAST(doc_id % 3 + 1 AS INT))
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN chr(1) || 'ctl' || chr(2)
+                           ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN repeat(' ',
+                                       CAST((doc_id % 11) * 30 AS INT))
+                           ELSE '' END AS text
+            FROM {source}),
+        sig AS (
+            SELECT doc_id,
+                   GREATEST(length(text), 1) AS n,
+                   length(text) - length(replace(text, '�', ''))
+                       AS n_repl,
+                   len(regexp_extract_all(text,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]'))
+                       AS n_ctl,
+                   len(regexp_extract_all(text, '[^\\x00-\\x7F]'))
+                       AS n_na,
+                   len(regexp_extract_all(text,
+                       '[ \\t\\n\\r\\x0B\\f]')) AS n_ws,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_dig,
+                   CAST(COALESCE(list_max(list_transform(
+                       regexp_extract_all(text, '[ \\t\\n\\r\\x0B\\f]+'),
+                       x -> length(x))), 0) AS BIGINT) AS max_ws_run
+            FROM fx),
+        r AS (
+            SELECT doc_id,
+                   ROUND(n_repl / n, 6) AS replacement_char_frac,
+                   ROUND(n_ctl / n, 6) AS control_char_frac,
+                   ROUND(n_na / n, 6) AS non_ascii_frac,
+                   ROUND(n_ws / n, 6) AS whitespace_frac,
+                   ROUND(n_dig / n, 6) AS digit_frac,
+                   max_ws_run
+            FROM sig)
+        SELECT *,
+               (replacement_char_frac <= {max_replacement_frac}
+                AND control_char_frac <= {max_control_frac}
+                AND whitespace_frac <= {max_ws_frac}
+                AND max_ws_run <= {max_ws_run}) AS charset_pass
+        FROM r
+    """
+
+
 def _duck_gopher_filter_sql(source="documents") -> str:
     """Oracle for ``gopher_filter``: the repetition signals for exactly
     the thresholded n values, plus the conjunction flag GENERATED from
@@ -4552,6 +4650,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": _duck_gopher_filter_sql(),
         "gopher_quality_filter": _duck_gopher_quality_sql(),
         "c4_filter": _duck_c4_filter_sql(),
+        "charset_filter": _duck_charset_filter_sql(),
         "ngram_contamination": """
             WITH u AS (
                 SELECT doc_id, text,

@@ -27,6 +27,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "GOPHER_MAX_TOP_NGRAM", "GOPHER_MAX_DUP_NGRAM",
            "with_c4_signals", "c4_clean_lines", "c4_filter",
            "C4_TERMINAL_PUNCT",
+           "with_charset_signals", "charset_filter",
            "ngram_contamination",
            "token_ngram_contamination", "lm_perplexity", "kn_perplexity", "domain_weights",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
@@ -1233,6 +1234,119 @@ def c4_filter(
         & (F.col("n_blocklist_hits") == 0)
     )
     return out.withColumn("c4_pass", flag)
+
+
+# Explicit whitespace class instead of \s: Java \s includes \x0B while
+# RE2's does not, so the shorthand silently diverges between the Spark
+# expression and the DuckDB oracle on vertical-tab input.
+_WS_CLASS = r"[ \t\n\r\x0B\f]"
+_CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def with_charset_signals(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document charset-hygiene signals — the encoding-damage
+    complement to the linguistic shape rules (Gopher) and page rules
+    (C4): web-scale crawls carry mojibake (mis-decoded bytes surfacing
+    as U+FFFD), binary spill (C0 control characters), and
+    whitespace-padding artifacts that none of the word/line signals
+    see.  The RefinedWeb/FineWeb pipelines (Penedo et al. 2023/2024)
+    gate on exactly this class of damage; thresholds there are
+    unpublished engineering choices, so they are parameters of
+    :func:`charset_filter`, not constants here.
+
+    Adds, with every fraction over ``max(char_count, 1)`` and rounded
+    to 6 decimals (the cross-engine parity contract):
+
+    * ``replacement_char_frac`` — U+FFFD occurrences per character
+      (the decoder's substitution marker: any nonzero value means the
+      upstream bytes were not valid in the charset they were decoded
+      as);
+    * ``control_char_frac`` — C0 control characters EXCLUDING
+      ``\\t \\n \\r`` (plus DEL), per character — text should have
+      none; binary spill has many;
+    * ``non_ascii_frac`` — code points above U+007F per character
+      (a signal, not a defect: high values are normal for non-Latin
+      languages — :func:`charset_filter` leaves it ungated by
+      default);
+    * ``whitespace_frac`` — whitespace per character;
+    * ``digit_frac`` — ASCII digits per character;
+    * ``max_ws_run`` — length of the longest whitespace run (layout
+      tables and ASCII-art padding produce runs real prose never
+      does).
+
+    Pure JVM regexp/replace projection over the scan — no shuffle, no
+    Python workers; patterns stay inside the syntax subset where Java
+    regex (Spark) and RE2 (the DuckDB oracle) agree: explicit character
+    classes with ``\\x`` escapes, no shorthand ``\\s`` (Java's includes
+    ``\\x0B``, RE2's does not), no lookaround.
+    """
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1))
+    # replace() is left-to-right non-overlapping in both engines, so
+    # the length delta is the same occurrence count in both
+    n_repl = F.length(t) - F.length(F.replace(t, F.lit("�"), F.lit("")))
+    ws_runs = F.regexp_extract_all(t, F.lit(_WS_CLASS + "+"), 0)
+    return (
+        df.withColumn("replacement_char_frac", F.round(n_repl / n, 6))
+        .withColumn(
+            "control_char_frac",
+            F.round(F.regexp_count(t, F.lit(_CONTROL_CLASS)) / n, 6),
+        )
+        .withColumn(
+            "non_ascii_frac",
+            F.round(F.regexp_count(t, F.lit(r"[^\x00-\x7F]")) / n, 6),
+        )
+        .withColumn(
+            "whitespace_frac",
+            F.round(F.regexp_count(t, F.lit(_WS_CLASS)) / n, 6),
+        )
+        .withColumn(
+            "digit_frac",
+            F.round(F.regexp_count(t, F.lit("[0-9]")) / n, 6),
+        )
+        .withColumn(
+            "max_ws_run",
+            F.coalesce(
+                F.array_max(F.transform(ws_runs, F.length)),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+
+
+def charset_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_replacement_frac: float = 0.0,
+    max_control_frac: float = 0.001,
+    max_ws_frac: float = 0.5,
+    max_ws_run: int = 200,
+) -> DataFrame:
+    """Charset-damage rejection rule as a boolean flag: computes
+    :func:`with_charset_signals` and adds ``charset_pass`` = true iff
+    the doc has no decoder replacement characters (``<=
+    max_replacement_frac``), at most ``max_control_frac`` control
+    characters, at most ``max_ws_frac`` whitespace, and no whitespace
+    run longer than ``max_ws_run``.  ``non_ascii_frac`` is surfaced
+    but NOT gated — it measures script, not damage.  Rows are flagged,
+    not dropped, and the flag thresholds the ROUNDED signal columns —
+    the same audit-friendly contract as :func:`gopher_filter` and
+    :func:`c4_filter` (an engine recomputing the signals derives the
+    identical flag).  Defaults are engineering choices in the spirit
+    of RefinedWeb/FineWeb (which publish the rule class, not the
+    constants); pass explicit thresholds for reproducible corpus
+    builds.
+    """
+    out = with_charset_signals(df, text_col=text_col)
+    flag = (
+        (F.col("replacement_char_frac") <= max_replacement_frac)
+        & (F.col("control_char_frac") <= max_control_frac)
+        & (F.col("whitespace_frac") <= max_ws_frac)
+        & (F.col("max_ws_run") <= max_ws_run)
+    )
+    return out.withColumn("charset_pass", flag)
 
 
 def ccnet_buckets(

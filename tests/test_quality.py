@@ -1049,3 +1049,62 @@ def test_domain_weights_uniform_when_fully_smoothed(spark):
     )
     out = domain_weights(df, min_count=1, smoothing=1.0).collect()
     assert all(r["weight"] == pytest.approx(1 / 3, abs=1e-6) for r in out)
+
+
+def test_charset_signals_hand_computed(spark):
+    from gbdc_spark.operators.quality import charset_filter, with_charset_signals
+
+    rows = [
+        (1, "clean ascii text."),
+        (2, "café �� broken"),          # 2 U+FFFD + 1 é
+        (3, "bin\x01\x02ary\x7fspill"),
+        (4, "padded      out   \t\t  "),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_charset_signals(df).collect()}
+
+    n1 = len("clean ascii text.")
+    assert out[1]["replacement_char_frac"] == 0.0
+    assert out[1]["control_char_frac"] == 0.0
+    assert out[1]["non_ascii_frac"] == 0.0
+    assert out[1]["whitespace_frac"] == pytest.approx(round(2 / n1, 6))
+    assert out[1]["max_ws_run"] == 1
+
+    n2 = len("café �� broken")
+    assert out[2]["replacement_char_frac"] == pytest.approx(round(2 / n2, 6))
+    assert out[2]["non_ascii_frac"] == pytest.approx(round(3 / n2, 6))
+
+    n3 = len("bin\x01\x02ary\x7fspill")
+    assert out[3]["control_char_frac"] == pytest.approx(round(3 / n3, 6))
+
+    n4 = len("padded      out   \t\t  ")
+    assert out[4]["whitespace_frac"] == pytest.approx(round(13 / n4, 6))
+    assert out[4]["max_ws_run"] == 7  # "   \t\t  " tail run
+
+    # empty text: clamped denominator, zero signals, zero run
+    assert out[5]["whitespace_frac"] == 0.0
+    assert out[5]["max_ws_run"] == 0
+
+    flags = {r["doc_id"]: r["charset_pass"] for r in charset_filter(df).collect()}
+    assert flags == {1: True, 2: False, 3: False, 4: False, 5: True}
+
+
+def test_charset_filter_thresholds_use_rounded_columns(spark):
+    from gbdc_spark.operators.quality import charset_filter
+
+    # a doc whose control fraction rounds to exactly the threshold
+    # passes: the flag gates the ROUNDED column, not the raw ratio
+    text = "x" * 999 + "\x01"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = charset_filter(df, max_control_frac=0.001).collect()[0]
+    assert r["control_char_frac"] == 0.001
+    assert r["charset_pass"] is True
+
+
+def test_charset_signals_plan_is_jvm_only(spark):
+    from gbdc_spark.operators.quality import with_charset_signals
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = with_charset_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEval" not in plan and "BatchEval" not in plan

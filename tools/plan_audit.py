@@ -57,6 +57,10 @@ CHECKS = {
         ("shuffle-free projection over the scan", r"^(?!.*Exchange)"),
         ("no Arrow eval in plan", r"^(?!.*ArrowEvalPython)"),
     ],
+    "charset_filter": [
+        ("shuffle-free projection over the scan", r"^(?!.*Exchange)"),
+        ("no Arrow eval in plan", r"^(?!.*ArrowEvalPython)"),
+    ],
     # the one Exchange here is ensure_parallelism's input-split
     # rebalance (single local parquet file) — what must NOT appear is
     # a gram group-by or join: the signals are per-row folds
