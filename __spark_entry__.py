@@ -501,6 +501,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir).select("doc_id", "text"), min_count=2
         )
 
+    def q_token_lm_perplexity(spark, sf_dir):
+        # the same CCNet-style LM score in TOKEN space — perplexity of
+        # the pre-tokenized stream, the form loss-based data selection
+        # actually uses; min_count=2 prunes the id-pair tail, which is
+        # what legalizes the broadcast scoring path (unpruned token
+        # bigram tables are vocab² and must shuffle-join)
+        from gbdc_spark.operators.quality import token_lm_perplexity
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "tokens"
+        )
+        return token_lm_perplexity(seqs, min_count=2)
+
     def q_kn_perplexity(spark, sf_dir):
         # interpolated Kneser-Ney bigram perplexity — continuation-count
         # smoothing next to lm_perplexity's add-one baseline; all model
@@ -2747,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
         "lm_perplexity": q_lm_perplexity,
+        "token_lm_perplexity": q_token_lm_perplexity,
         "kn_perplexity": q_kn_perplexity,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
@@ -4738,6 +4752,38 @@ def oracle_sql() -> dict[str, str]:
                    round(s.h, 6) AS cross_entropy,
                    round(exp(s.h), 6) AS perplexity
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "token_lm_perplexity": f"""
+            WITH w AS (
+                SELECT {_DOC_KEY} AS doc_id,
+                       {_DUCK_TOKENS_FLAT} AS ws
+                FROM documents),
+            p AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                                             i -> ws[i])) AS w1,
+                       unnest(list_transform(range(1, len(ws)),
+                                             i -> ws[i + 1])) AS w2
+                FROM w WHERE len(ws) >= 2),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM p
+                   GROUP BY w1, w2 HAVING count(*) >= 2),
+            uc AS (SELECT w AS w1, count(*) AS c1
+                   FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+            v AS (SELECT count(DISTINCT w) AS v
+                  FROM (SELECT unnest(ws) AS w FROM w)),
+            scored AS (
+                SELECT p.doc_id, count(*) AS n_bigrams,
+                       avg(-ln((coalesce(bc.c12, 0) + 1)
+                               / CAST(uc.c1 + v.v AS DOUBLE))) AS h
+                FROM p
+                LEFT JOIN bc USING (w1, w2)
+                JOIN uc USING (w1)
+                CROSS JOIN v
+                GROUP BY p.doc_id)
+            SELECT w.doc_id, s.n_bigrams,
+                   round(s.h, 6) AS cross_entropy,
+                   round(exp(s.h), 6) AS perplexity
+            FROM w LEFT JOIN scored s USING (doc_id)
         """,
         "kn_perplexity": """
             WITH w AS (

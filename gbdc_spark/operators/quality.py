@@ -29,7 +29,8 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "C4_TERMINAL_PUNCT",
            "with_charset_signals", "charset_filter",
            "ngram_contamination",
-           "token_ngram_contamination", "lm_perplexity", "kn_perplexity", "domain_weights",
+           "token_ngram_contamination", "lm_perplexity",
+           "token_lm_perplexity", "kn_perplexity", "domain_weights",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
            "temperature_weights", "ccnet_buckets", "temperature_mix",
            "percentile_gate"]
@@ -256,7 +257,62 @@ def lm_perplexity(
     explode is deliberately NOT materialized).  All JVM expressions —
     no Python workers.
     """
-    ws = _words(text_col)
+    return _bigram_perplexity(
+        df, _words(text_col), key, min_count, broadcast_model,
+        slot="lm_perplexity",
+        pair_type="array<struct<w1:string,w2:string>>",
+    )
+
+
+def token_lm_perplexity(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    key: str = "doc_id",
+    min_count: int = 1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """:func:`lm_perplexity` over PRE-TOKENIZED sequences: the same
+    self-trained add-one bigram LM and per-document cross-entropy, but
+    the units are token ids (``array<int>``) instead of whitespace
+    words — perplexity in the space the model actually trains on.
+    Text-level LM scores diverge from token-level ones exactly where
+    tokenization does something interesting (rare words exploding into
+    long byte-pair tails, terminator/control ids), and token-level
+    perplexity is the form used for loss-based data selection
+    (e.g. RHO-style selection scores model loss on the tokenized
+    stream, not on text).
+
+    Same output columns (``key, n_bigrams, cross_entropy,
+    perplexity``), same smoothing family, and the same scale contract
+    as :func:`lm_perplexity`: ``min_count`` pruning is what makes the
+    bigram table model-sized, so the broadcast hint applies ONLY when
+    ``min_count > 1`` — token-id bigram tables are vocab² in the worst
+    case (a 100k-token vocabulary admits 10^10 pairs), so an unpruned
+    model shuffle-joins regardless of the flag.  Sequences shorter
+    than two tokens keep a row with nulls.  All JVM expressions — no
+    Python workers.
+    """
+    return _bigram_perplexity(
+        df, F.col(tokens_col), key, min_count, broadcast_model,
+        slot="token_lm_perplexity",
+        pair_type="array<struct<w1:int,w2:int>>",
+    )
+
+
+def _bigram_perplexity(
+    df: DataFrame,
+    ws,
+    key: str,
+    min_count: int,
+    broadcast_model: bool,
+    slot: str,
+    pair_type: str,
+) -> DataFrame:
+    """Shared core of :func:`lm_perplexity` / :func:`token_lm_perplexity`:
+    add-one bigram LM over the unit array ``ws`` (words or token ids —
+    ``pair_type`` names the typed empty-array literal for sub-2-unit
+    rows), model build + scoring exactly as documented on the public
+    wrappers."""
     pairs = df.select(
         F.col(key),
         F.explode(
@@ -269,7 +325,7 @@ def lm_perplexity(
                         F.element_at(ws, i + 1).alias("w2"),
                     ),
                 ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).otherwise(F.array().cast(pair_type))
         ).alias("bg"),
     ).select(key, "bg.w1", "bg.w2")
 
@@ -286,7 +342,7 @@ def lm_perplexity(
         df.select(F.explode(ws).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1")),
-        slot="lm_perplexity",
+        slot=slot,
     )
     vocab = unigram_counts.agg(F.count("*").alias("v"))
 

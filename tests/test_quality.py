@@ -1108,3 +1108,61 @@ def test_charset_signals_plan_is_jvm_only(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     plan = with_charset_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEval" not in plan and "BatchEval" not in plan
+
+
+def test_token_lm_perplexity_matches_text_lm_on_same_units(spark):
+    # the token variant is the SAME model family: mapping words to
+    # distinct ids must reproduce lm_perplexity's scores exactly
+    from gbdc_spark.operators.quality import lm_perplexity, token_lm_perplexity
+
+    text = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    toks = spark.createDataFrame(
+        [(1, [7, 3, 7]), (2, [7, 3]), (3, [9])],
+        "doc_id long, tokens array<int>",
+    )
+    want = {r["doc_id"]: r for r in lm_perplexity(text).collect()}
+    got = {r["doc_id"]: r for r in token_lm_perplexity(toks).collect()}
+    for d in (1, 2):
+        assert got[d]["n_bigrams"] == want[d]["n_bigrams"]
+        assert got[d]["cross_entropy"] == pytest.approx(
+            want[d]["cross_entropy"], abs=1e-6
+        )
+        assert got[d]["perplexity"] == pytest.approx(
+            want[d]["perplexity"], abs=1e-6
+        )
+    assert got[3]["n_bigrams"] is None and got[3]["cross_entropy"] is None
+
+
+def test_token_lm_perplexity_hand_computed(spark):
+    # unigrams 5:2 0:3 -8:1, V=3; bigrams (5,0):1 (0,5):1 (5,-8):1 (-8,0):1
+    from math import log
+
+    from gbdc_spark.operators.quality import token_lm_perplexity
+
+    df = spark.createDataFrame(
+        [(1, [5, 0, 5, -8, 0]), (2, [0])],
+        "doc_id long, tokens array<int>",
+    )
+    out = {r["doc_id"]: r for r in token_lm_perplexity(df).collect()}
+    h1 = (
+        -log((1 + 1) / (2 + 3))   # P(0|5)
+        - log((1 + 1) / (3 + 3))  # P(5|0)
+        - log((1 + 1) / (2 + 3))  # P(-8|5)
+        - log((1 + 1) / (1 + 3))  # P(0|-8)
+    ) / 4
+    assert out[1]["n_bigrams"] == 4
+    assert out[1]["cross_entropy"] == pytest.approx(h1, abs=1e-6)
+    assert out[2]["n_bigrams"] is None
+
+
+def test_token_lm_perplexity_plan_is_jvm_only(spark):
+    from gbdc_spark.operators.quality import token_lm_perplexity
+
+    df = spark.createDataFrame([(1, [1, 2])], "doc_id long, tokens array<int>")
+    plan = (
+        token_lm_perplexity(df, min_count=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEval" not in plan and "BatchEval" not in plan

@@ -287,6 +287,18 @@ CHECKS = {
         ("unigram model cached (vocab count reads it, not the corpus)",
          r"InMemoryTableScan"),
     ],
+    # same scale contract as lm_perplexity, over token-id units
+    "token_lm_perplexity": [
+        ("bigram model + scoring all JVM-side", r"^(?!.*ArrowEvalPython)"),
+        ("map-side partial aggregation for the LM counts",
+         r"partial_count|HashAggregate"),
+        ("model joins broadcast (token stream never pair-shuffled)",
+         r"BroadcastHashJoin"),
+        ("no sort-merge join on token-pair keys",
+         r"^(?!.*SortMergeJoin Left keys \[\d+\]: \[w[12]#)"),
+        ("unigram model cached (vocab count reads it, not the corpus)",
+         r"InMemoryTableScan"),
+    ],
     "line_dedup": [
         ("all JVM-side (explode/agg/join, no Python)",
          r"^(?!.*ArrowEvalPython)"),
