@@ -2206,6 +2206,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=5
         )
 
+    def q_embedding_covariance(spark, sf_dir):
+        # one-pass augmented-Gram covariance of the embedding table:
+        # the d x d second-moment statistics behind PCA/whitening
+        # (dim probed from the first row — a LIMIT-1 scan)
+        return similarity.embedding_covariance(_emb(spark, sf_dir))
+
+    def q_embedding_pca(spark, sf_dir):
+        # fit (distributed Gram -> driver eigh on the d x d matrix) and
+        # project onto the top-4 basis; the oracle recomputes the same
+        # fit from the parquet with numpy and bakes the basis as SQL
+        # literals, so the projection pass is value-checked end-to-end
+        e = _emb(spark, sf_dir)
+        fit = similarity.pca_fit(e, k=4)
+        return similarity.pca_project(e, fit["mean"], fit["components"])
+
+    def q_source_ngram_overlap(spark, sf_dir):
+        # corpus-level cross-source 5-gram contamination matrix
+        return text.source_ngram_overlap(_docs(spark, sf_dir), n=5)
+
     def q_ivf_assign(spark, sf_dir):
         e = _emb(spark, sf_dir)
         cents = similarity.centroids_from_rows(e, list(range(8)))
@@ -2849,6 +2868,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_pca": q_embedding_pca,
+        "source_ngram_overlap": q_source_ngram_overlap,
         "embedding_decontam": q_embedding_decontam,
         "ivf_assign": q_ivf_assign,
         "semantic_dedup": q_semantic_dedup,
@@ -2895,6 +2917,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _EMB_PROBE_CACHE: dict = {}
 
 
+def _probe_emb_shape(caller: str) -> tuple:
+    """(n_rows, dim) of the embeddings table the oracle will run
+    against: probe GBDC_ORACLE_SF_DIR (default: the driver-gate sf0.01
+    dir, with a one-time informational warning), memoized per sf_dir.
+    Shared by every oracle whose SQL must bake shape-derived constants
+    (sign-LSH bits/planes, the PCA basis, the covariance index range)."""
+    sf_dir = os.environ.get("GBDC_ORACLE_SF_DIR")
+    if sf_dir is None:
+        import warnings
+
+        sf_dir = "/root/testdata/sf0.01"
+        if sf_dir not in _EMB_PROBE_CACHE:
+            # informational, not alarming: unset IS the normal
+            # driver-gate configuration (the gate runs at sf0.01); the
+            # variable only matters for a different target corpus
+            warnings.warn(
+                f"{caller} oracle: GBDC_ORACLE_SF_DIR unset, "
+                f"probing the driver-gate default {sf_dir} — set it if "
+                "the oracle will run against a different corpus (the "
+                "baked-in constants follow the probed table)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    if sf_dir not in _EMB_PROBE_CACHE:
+        try:
+            import duckdb
+
+            n, d = duckdb.sql(
+                "SELECT count(*), max(len(embedding)) "
+                f"FROM '{sf_dir}/embeddings.parquet'"
+            ).fetchone()
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                f"{caller} oracle: could not probe {sf_dir}; "
+                "assuming the driver's sf0.01 shape (500, 64) — the oracle "
+                "will MISMATCH any other corpus size",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            n, d = 500, 64
+        _EMB_PROBE_CACHE[sf_dir] = (int(n), int(d))
+    return _EMB_PROBE_CACHE[sf_dir] + (sf_dir,)
+
+
 def _duck_embedding_near_dups_sql(threshold: float = 0.5,
                                   tables: int | None = 2) -> str:
     """Oracle for the auto-scaled sign-LSH near-dup query: regenerates
@@ -2913,47 +2981,10 @@ def _duck_embedding_near_dups_sql(threshold: float = 0.5,
     # the Spark side derives from its input — probe the SAME sf_dir the
     # oracle will run against (override via GBDC_ORACLE_SF_DIR for
     # non-default scale factors; the driver gate runs at sf0.01).
-    # Probe memoized per sf_dir: oracle_sql() builds TWO near-dup
-    # oracles, which would otherwise duplicate the I/O and the warning.
-    sf_dir = os.environ.get("GBDC_ORACLE_SF_DIR")
-    if sf_dir is None:
-        import warnings
-
-        sf_dir = "/root/testdata/sf0.01"
-        if sf_dir not in _EMB_PROBE_CACHE:
-            # informational, not alarming: unset IS the normal
-            # driver-gate configuration (the gate runs at sf0.01); the
-            # variable only matters for a different target corpus
-            warnings.warn(
-                "embedding_near_dups oracle: GBDC_ORACLE_SF_DIR unset, "
-                f"probing the driver-gate default {sf_dir} — set it if "
-                "the oracle will run against a different corpus (the "
-                "baked-in bits/planes follow the probed table)",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-    if sf_dir in _EMB_PROBE_CACHE:
-        n, d = _EMB_PROBE_CACHE[sf_dir]
-    else:
-        try:
-            import duckdb
-
-            n, d = duckdb.sql(
-                "SELECT count(*), max(len(embedding)) "
-                f"FROM '{sf_dir}/embeddings.parquet'"
-            ).fetchone()
-        except Exception:
-            import warnings
-
-            warnings.warn(
-                f"embedding_near_dups oracle: could not probe {sf_dir}; "
-                "assuming the driver's sf0.01 shape (500, 64) — the oracle "
-                "will MISMATCH any other corpus size",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-            n, d = 500, 64
-        _EMB_PROBE_CACHE[sf_dir] = (n, d)
+    # Probe memoized per sf_dir: oracle_sql() builds several
+    # shape-derived oracles, which would otherwise duplicate the I/O
+    # and the warning.
+    n, d, _ = _probe_emb_shape("embedding_near_dups")
     bits = auto_sign_bits(int(n))
     if tables is None:
         tables = auto_sign_tables(bits, threshold)
@@ -2987,6 +3018,82 @@ def _duck_embedding_near_dups_sql(threshold: float = 0.5,
                             * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
             FROM pairs p JOIN b x ON x.vec_id = p.a JOIN b y ON y.vec_id = p.b)
         WHERE cosine >= {threshold}
+    """
+
+
+def _duck_embedding_covariance_sql() -> str:
+    """Oracle for the one-pass augmented-Gram covariance: DuckDB lacks
+    WITH ORDINALITY, so the per-dimension lateral is a constant
+    range(0, d) with 1-based list indexing — d baked from the probed
+    table shape (the Spark side probes its own first row)."""
+    _, d, _ = _probe_emb_shape("embedding_covariance")
+    return f"""
+        WITH g AS (
+            SELECT i::INT AS i, j::INT AS j,
+                   sum(e.embedding[i + 1]::DOUBLE
+                       * e.embedding[j + 1]::DOUBLE) AS s
+            FROM embeddings e, range(0, {d}) r1(i), range(0, {d}) r2(j)
+            WHERE i <= j GROUP BY 1, 2),
+        n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        m AS (SELECT i::INT AS i, sum(e.embedding[i + 1]::DOUBLE) AS s
+              FROM embeddings e, range(0, {d}) r(i) GROUP BY 1)
+        SELECT g.i, g.j,
+               round(g.s / n.n - (ma.s / n.n) * (mb.s / n.n), 6) AS cov
+        FROM g, n, m ma, m mb WHERE ma.i = g.i AND mb.i = g.j
+    """
+
+
+def _duck_embedding_pca_sql(k: int = 4, decimals: int = 4) -> str:
+    """Oracle for the PCA projection: recompute the fit INDEPENDENTLY
+    (duckdb scan -> numpy population covariance -> eigh, the identical
+    math to similarity.pca_fit including the _fix_sign convention) and
+    bake mean/basis as SQL literals, so the distributed projection pass
+    is value-checked against an external implementation of the whole
+    fit.  pc_k = (v - mu) . w_k is expanded to v . w_k - (mu . w_k):
+    the constant term folds into one literal per component."""
+    import numpy as np
+
+    from gbdc_spark.operators.similarity import _fix_sign
+
+    n, d, sf_dir = _probe_emb_shape("embedding_pca")
+    try:
+        import duckdb
+
+        X = np.array(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in duckdb.sql(
+                    "SELECT embedding FROM "
+                    f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+                ).fetchall()
+            ]
+        )
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"embedding_pca oracle: could not read {sf_dir} — emitting "
+            "an oracle with a zero basis that WILL mismatch",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        X = np.zeros((2, d))
+    mu = X.mean(axis=0)
+    cov = X.T @ X / len(X) - np.outer(mu, mu)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    V = _fix_sign(V[:, order])
+    comps = ",\n               ".join(
+        f"round(list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in V[:, c])
+        + f"]) - {float(mu @ V[:, c])!r}, {decimals}) AS pc{c + 1}"
+        for c in range(V.shape[1])
+    )
+    return f"""
+        SELECT vec_id,
+               {comps}
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings)
     """
 
 
@@ -6268,6 +6375,41 @@ def oracle_sql() -> dict[str, str]:
                                                       * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
                                                    c.cell) AS rn
                 FROM embeddings e, c) WHERE rn = 1
+        """,
+        "embedding_covariance": _duck_embedding_covariance_sql(),
+        "embedding_pca": _duck_embedding_pca_sql(k=4),
+        "source_ngram_overlap": """
+            WITH t AS (SELECT source, str_split(text, ' ') AS us
+                       FROM documents),
+            g AS (
+                SELECT DISTINCT source,
+                       md5(array_to_string(us[i:i + 4], chr(31))) AS g
+                FROM (SELECT source, us,
+                             unnest(range(1, greatest(len(us) - 4, 0) + 1)) AS i
+                      FROM t)),
+            per AS (
+                SELECT d.source, coalesce(c.cnt, 0) AS n_grams
+                FROM (SELECT DISTINCT source FROM documents) d
+                LEFT JOIN (SELECT source, count(*) AS cnt
+                           FROM g GROUP BY source) c USING (source)),
+            sh AS (
+                SELECT a.source AS sa, b.source AS sb, count(*) AS cnt
+                FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+                GROUP BY 1, 2)
+            SELECT pa.source AS source_a, pb.source AS source_b,
+                   CAST(pa.n_grams AS BIGINT) AS grams_a,
+                   CAST(pb.n_grams AS BIGINT) AS grams_b,
+                   CAST(coalesce(sh.cnt, 0) AS BIGINT) AS shared_grams,
+                   round(coalesce(sh.cnt, 0)
+                         / CAST(nullif(pa.n_grams + pb.n_grams
+                                       - coalesce(sh.cnt, 0), 0) AS DOUBLE),
+                         6) AS jaccard,
+                   round(coalesce(sh.cnt, 0)
+                         / CAST(nullif(least(pa.n_grams, pb.n_grams), 0)
+                                AS DOUBLE), 6) AS containment
+            FROM per pa
+            JOIN per pb ON pa.source < pb.source
+            LEFT JOIN sh ON sh.sa = pa.source AND sh.sb = pb.source
         """,
         "embedding_near_dups": _duck_embedding_near_dups_sql(threshold=0.5, tables=8),
         "embedding_near_dups_auto": _duck_embedding_near_dups_sql(

@@ -33,6 +33,9 @@ __all__ = [
     "with_residuals",
     "ivfpq_topk",
     "embedding_decontam",
+    "embedding_covariance",
+    "pca_fit",
+    "pca_project",
 ]
 
 
@@ -579,3 +582,184 @@ def embedding_decontam(
             ).alias(out),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed second-moment statistics + PCA over the embedding column.
+#
+# The corpus-scale work is ONE augmented-Gram pass: append a constant
+# 1.0 slot to each vector and accumulate the upper triangle of
+# sum(x'_i * x'_j).  The (i, aug) entries are then the per-dimension
+# sums and the (aug, aug) entry is the row count, so mean AND
+# covariance fall out of a single map-side-combined aggregate into
+# (d+1)(d+2)/2 groups — no second scan for the means, no driver-side
+# data.  Everything after that Gram table is O(d²) arithmetic
+# (eigendecomposition is on the d×d matrix, never on rows), which is
+# why PCA over 10^12 embeddings is exactly one shuffle of d² cells.
+# Whitening / PCA features over document embeddings are what
+# SemDeDup-style pipelines (Abbas et al., 2023) project with before
+# cosine clustering.
+
+
+def _aug_gram(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle Gram table (i, j, s) of the 1.0-augmented vectors,
+    0-based, i <= j <= dim; index ``dim`` is the constant slot."""
+    from ..functions import bind_once as _bind
+
+    pairs = _bind(
+        F.concat(_to_double(F.col(vec_col)), F.array(F.lit(1.0))),
+        lambda vv: F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim)),
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dim)),
+                    lambda j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        (
+                            F.element_at(vv, i + 1) * F.element_at(vv, j + 1)
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        ),
+    )
+    return (
+        df.select(F.explode(pairs).alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s"))
+    )
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("embedding_covariance: empty input")
+    return int(first["d"])
+
+
+def embedding_covariance(df: DataFrame, dim: int | None = None,
+                         vec_col: str = "embedding",
+                         decimals: int = 6) -> DataFrame:
+    """Population covariance matrix of the embedding column as (i, j,
+    cov) rows, 0-based upper triangle (i <= j < d), round-``decimals``.
+
+    cov_ij = s_ij/n − (s_i/n)(s_j/n) with every s taken from the SAME
+    single-pass augmented-Gram aggregate (module comment above):
+    s_i = gram[i, d], n = gram[d, d].
+
+    ``dim`` probes the first row when omitted — pass it explicitly on
+    derived inputs (the same bounded-probe contract as
+    ``embedding_near_dups``'s auto sizing).
+
+    Scale shape: one explode to (d+1)(d+2)/2 cells per row, one
+    map-side-combined sum into that many GROUPS total (d=1024 → ~526k
+    groups — a few MB regardless of corpus size), then broadcast
+    self-joins among those tiny tables.  Nothing else touches the
+    corpus; no Python workers.
+    """
+    d = dim if dim is not None else _probe_dim(df, vec_col)
+    gram = _aug_gram(df, d, vec_col)
+    n = gram.filter((F.col("i") == d) & (F.col("j") == d)).select(
+        F.col("s").alias("n")
+    )
+    means = gram.filter((F.col("j") == d) & (F.col("i") < d)).select(
+        F.col("i").alias("mi"), F.col("s").alias("ms")
+    )
+    return (
+        gram.filter(F.col("j") < d)
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(means), F.col("i") == F.col("mi"))
+        .drop("mi")
+        .withColumnRenamed("ms", "ms_i")
+        .join(F.broadcast(means), F.col("j") == F.col("mi"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("s") / F.col("n")
+                - (F.col("ms_i") / F.col("n")) * (F.col("ms") / F.col("n")),
+                decimals,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def _fix_sign(V):
+    """Deterministic eigenvector sign convention shared by the Spark fit
+    and any external oracle: the largest-|coordinate| entry of each
+    vector (smallest index on ties) is made positive."""
+    import numpy as np
+
+    for k in range(V.shape[1]):
+        idx = int(np.argmax(np.abs(V[:, k])))
+        if V[idx, k] < 0:
+            V[:, k] = -V[:, k]
+    return V
+
+
+def pca_fit(df: DataFrame, dim: int | None = None, k: int = 4,
+            vec_col: str = "embedding") -> dict:
+    """Fit a PCA basis over the embedding column.  Returns
+    ``{"mean": [d floats], "eigvals": [k floats, descending],
+    "components": [k lists of d floats]}``.
+
+    The distributed work is the one augmented-Gram pass of
+    :func:`embedding_covariance`; what crosses to the driver is the
+    (d+1)(d+2)/2 Gram CELLS (bounded by the dimension, never by the
+    corpus), and ``numpy.linalg.eigh`` runs on the d×d covariance —
+    driver-side linear algebra on a matrix whose size is a model
+    property, the standard big-data PCA split.  Component signs follow
+    :func:`_fix_sign` so independently-computed bases agree exactly.
+    """
+    import numpy as np
+
+    d = dim if dim is not None else _probe_dim(df, vec_col)
+    rows = _aug_gram(df, d, vec_col).collect()
+    G = np.zeros((d + 1, d + 1))
+    for r in rows:
+        G[r["i"], r["j"]] = r["s"]
+        G[r["j"], r["i"]] = r["s"]
+    n = G[d, d]
+    mean = G[:d, d] / n
+    cov = G[:d, :d] / n - np.outer(mean, mean)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    V = _fix_sign(V[:, order])
+    return {
+        "mean": [float(x) for x in mean],
+        "eigvals": [float(w[i]) for i in order],
+        "components": [[float(x) for x in V[:, c]] for c in range(V.shape[1])],
+    }
+
+
+def pca_project(df: DataFrame, mean: list, components: list,
+                key: str = "vec_id", vec_col: str = "embedding",
+                decimals: int = 4) -> DataFrame:
+    """Project each vector onto a fitted PCA basis: pc_k = (v − μ)·w_k.
+    Returns (key, pc1..pcK), round-``decimals``.
+
+    Scale shape: the basis is k·d literals compiled into the plan; the
+    projection is a JVM zip_with/aggregate fold per row — map-only, no
+    shuffle, no Python, whole-stage codegen.
+    """
+    from ..functions import bind_once as _bind
+
+    mu = F.array(*[F.lit(float(m)) for m in mean])
+    out_cols = []
+    cen = _bind(
+        F.zip_with(_to_double(F.col(vec_col)), mu, lambda x, m: x - m),
+        lambda c: F.struct(
+            *[
+                F.round(
+                    _dot(c, F.array(*[F.lit(float(x)) for x in comp])),
+                    decimals,
+                ).alias(f"pc{i + 1}")
+                for i, comp in enumerate(components)
+            ]
+        ),
+    )
+    proj = df.select(F.col(key), cen.alias("_p"))
+    return proj.select(key, *[f"_p.pc{i + 1}" for i in range(len(components))])

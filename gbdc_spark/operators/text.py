@@ -28,6 +28,7 @@ __all__ = [
     "ngram_novelty",
     "word_burstiness",
     "heaps_fit",
+    "source_ngram_overlap",
 ]
 
 # fixed marker set for the n-gram/stopword language heuristic
@@ -787,4 +788,78 @@ def heaps_fit(
     )
     return v.crossJoin(F.broadcast(fit)).select(
         "k", "n_tokens", "vocab", "beta", "lnc"
+    )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    group: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    how much word-``n``-gram vocabulary they share.  This is the
+    corpus-curation diagnostic behind mixing decisions — two "distinct"
+    sources with high containment are the same crawl twice, and a
+    benchmark-derived source overlapping a training source is leakage
+    the per-document decontamination operators
+    (:func:`~gbdc_spark.operators.quality.ngram_contamination`) flag
+    row-by-row; this gives the corpus-level view.
+
+    Returns one row per unordered source pair (``source_a`` <
+    ``source_b``): distinct-gram counts of both sides, ``shared_grams``,
+    ``jaccard`` = shared/(a+b−shared) and ``containment`` =
+    shared/min(a,b), round-6 (NULL when a side has no grams).  Pairs
+    with zero overlap are kept — absence of overlap is the signal a
+    mixing decision wants to see.
+
+    Scale shape: one explode to gram hashes, one distinct on
+    (source, gram) — map-side combined; one self equi-join on the gram
+    hash whose per-key fanout is bounded by the number of SOURCES
+    carrying that gram (≤ #sources, a catalog property, never corpus
+    size); one count aggregate into ≤ #sources² groups.  The per-source
+    totals and the pair scaffold are #sources-row tables, broadcast.
+    """
+    us = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(us) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(us) - F.lit(n - 1)),
+            lambda i: F.md5(F.concat_ws("\x1f", F.slice(us, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sg = df.select(F.col(group), F.explode(grams).alias("g")).distinct()
+    per = (
+        df.select(group)
+        .distinct()
+        .join(sg.groupBy(group).agg(F.count("*").alias("n_grams")), group, "left")
+        .select(group, F.coalesce("n_grams", F.lit(0)).alias("n_grams"))
+    )
+    shared = (
+        sg.select(F.col(group).alias("source_a"), "g")
+        .join(sg.select(F.col(group).alias("source_b"), "g"), "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    pa = per.select(F.col(group).alias("source_a"), F.col("n_grams").alias("grams_a"))
+    pb = per.select(F.col(group).alias("source_b"), F.col("n_grams").alias("grams_b"))
+    scaffold = pa.crossJoin(pb).filter(F.col("source_a") < F.col("source_b"))
+    sh = F.coalesce(F.col("shared_grams"), F.lit(0))
+    return (
+        scaffold.join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "grams_a",
+            "grams_b",
+            sh.cast("long").alias("shared_grams"),
+            F.round(
+                F.try_divide(sh, F.col("grams_a") + F.col("grams_b") - sh), 6
+            ).alias("jaccard"),
+            F.round(
+                F.try_divide(sh, F.least("grams_a", "grams_b")), 6
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
     )

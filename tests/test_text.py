@@ -346,3 +346,31 @@ def test_heaps_fit_two_phase_offsets_match_plain(spark):
     a = sorted(heaps_fit(docs, checkpoints=4, buckets=256).collect())
     b = sorted(heaps_fit(docs, checkpoints=4, buckets=16, max_id=39).collect())
     assert a == b
+
+
+def test_source_ngram_overlap_hand_computed(spark):
+    from gbdc_spark.operators.text import source_ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "A"),      # grams: abcde, bcdef
+            (2, "a b c d e z", "A"),      # adds bcdez (abcde deduped)
+            (3, "a b c d e x", "B"),      # grams: abcde, bcdex
+            (4, "q r", "C"),              # < n words: zero grams
+        ],
+        "doc_id: long, text: string, source: string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_ngram_overlap(docs, n=5).collect()
+    }
+    # full matrix: zero-overlap and zero-gram pairs are kept
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab["grams_a"], ab["grams_b"], ab["shared_grams"]) == (3, 2, 1)
+    assert ab["jaccard"] == pytest.approx(1 / 4, abs=1e-6)
+    assert ab["containment"] == pytest.approx(1 / 2, abs=1e-6)
+    ac = out[("A", "C")]
+    assert (ac["grams_a"], ac["grams_b"], ac["shared_grams"]) == (3, 0, 0)
+    assert ac["jaccard"] == 0.0  # 0 / (3+0-0)
+    assert ac["containment"] is None  # min side has no grams: undefined

@@ -551,6 +551,33 @@ CHECKS = {
         ("replace chain + re-assembly JVM-side (no Python workers)",
          r"^(?!.*ArrowEvalPython)"),
     ],
+    "embedding_covariance": [
+        # the only corpus-touching stage: explode to (d+1)(d+2)/2 Gram
+        # cells, ONE map-side-combined sum into that many groups; the
+        # mean/count join-backs are broadcast joins among d-row tables
+        ("Gram cells summed via hash aggregate (map-side combined)",
+         r"HashAggregate.*partial_sum"),
+        ("mean/count join-back broadcast (d-row tables)",
+         r"(BroadcastHashJoin|BroadcastNestedLoopJoin)"),
+        ("all arithmetic JVM-side (no Python workers)",
+         r"^(?!.*ArrowEvalPython)"),
+    ],
+    "embedding_pca": [
+        # the PROJECTION plan: basis baked as literals, centered dots as
+        # JVM folds — a map-only stage, nothing aggregates or joins
+        ("projection is map-only (no aggregation, no join)",
+         r"^(?!.*(HashAggregate|SortMergeJoin|BroadcastHashJoin))"),
+        ("fold arithmetic JVM-side (no Python workers)",
+         r"^(?!.*ArrowEvalPython)"),
+    ],
+    "source_ngram_overlap": [
+        ("gram self-join is a real equi-join on the gram hash",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("distinct (source, gram) map-side combined",
+         r"HashAggregate"),
+        ("gram hashing JVM-side (no Python workers)",
+         r"^(?!.*ArrowEvalPython)"),
+    ],
 }
 
 
