@@ -487,6 +487,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = seqs.join(bench.select("doc_id"), "doc_id", "left_anti")
         return token_ngram_contamination(corpus, bench, n=8)
 
+    def q_split_contamination(spark, sf_dir):
+        # train-vs-val split leakage on the pre-tokenized sequences:
+        # after the deterministic 80/10/10 split, flag every TRAIN
+        # sequence sharing an 8-token window with the val split — the
+        # QA gate for leakage ACROSS a split boundary.  Both sides are
+        # corpus-scale, so the gram join runs WITHOUT the benchmark
+        # broadcast (broadcast_benchmark=False: shuffled equi-join on
+        # the gram hash)
+        from gbdc_spark.operators.packing import dataset_split
+        from gbdc_spark.operators.quality import token_ngram_contamination
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "tokens"
+        )
+        split = dataset_split(
+            seqs.select("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        train = seqs.join(
+            split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+        )
+        val = seqs.join(
+            split.filter(F.col("split") == "val").select("doc_id"), "doc_id"
+        )
+        return token_ngram_contamination(
+            train, val, n=8, broadcast_benchmark=False
+        )
+
     def q_lm_perplexity(spark, sf_dir):
         # CCNet-style LM quality scoring: self-trained add-one bigram
         # LM, per-doc cross-entropy/perplexity — all JVM expressions,
@@ -2778,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_filter": q_charset_filter,
         "ngram_contamination": q_ngram_contamination,
         "token_ngram_contamination": q_token_ngram_contamination,
+        "split_contamination": q_split_contamination,
         "lm_perplexity": q_lm_perplexity,
         "token_lm_perplexity": q_token_lm_perplexity,
         "kn_perplexity": q_kn_perplexity,
@@ -4812,6 +4840,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM t),
             bench AS (SELECT doc_id, toks FROM u WHERE h < 0.05 * 4294967296.0),
             corpus AS (SELECT doc_id, toks FROM u WHERE h >= 0.05 * 4294967296.0),
+            grams AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, len(toks) - 7 + 1),
+                           i -> array_to_string(
+                               list_transform(list_slice(toks, i, i + 7),
+                                              x -> CAST(x AS VARCHAR)),
+                               ' ')))) AS gram
+                FROM corpus WHERE len(toks) >= 8),
+            bgrams AS (
+                SELECT DISTINCT unnest(list_distinct(list_transform(
+                           range(1, len(toks) - 7 + 1),
+                           i -> array_to_string(
+                               list_transform(list_slice(toks, i, i + 7),
+                                              x -> CAST(x AS VARCHAR)),
+                               ' ')))) AS gram
+                FROM bench WHERE len(toks) >= 8)
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM grams g JOIN bgrams b USING (gram)
+            GROUP BY g.doc_id
+        """,
+        "split_contamination": f"""
+            WITH t AS (SELECT {_DOC_KEY} AS doc_id, {_DUCK_TOKENS_FLAT} AS toks
+                       FROM documents),
+            s AS (
+                SELECT doc_id, toks,
+                       {_duck_md5_u32("concat('split:', doc_id)")}
+                           / 4294967296.0 AS uu
+                FROM t),
+            corpus AS (SELECT doc_id, toks FROM s WHERE uu < 0.8),
+            bench AS (SELECT doc_id, toks FROM s
+                      WHERE uu >= 0.8 AND uu < 0.9),
             grams AS (
                 SELECT doc_id, unnest(list_distinct(list_transform(
                            range(1, len(toks) - 7 + 1),

@@ -128,6 +128,7 @@ def ngram_contamination(
     key: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag every corpus doc sharing at least
     one word ``n``-gram with the benchmark set (the standard eval-leak
@@ -139,6 +140,12 @@ def ngram_contamination(
     corpus side streams through map-side — no corpus shuffle.  At 100 TB
     the corpus explode is the dominant cost and is embarrassingly
     parallel.
+
+    ``broadcast_benchmark=False`` drops the broadcast hint for scans
+    where the "benchmark" side is itself corpus-scale (train-vs-val
+    split-leakage checks): the join becomes a plain shuffled equi-join
+    on the gram hash, whose per-key fanout is the gram's document
+    frequency — the scale-safe shape when NEITHER side fits an executor.
     """
 
     def grams(df: DataFrame) -> DataFrame:
@@ -158,9 +165,11 @@ def ngram_contamination(
         return df.select(F.col(key), F.explode(arr).alias("gram"))
 
     bench_grams = grams(benchmark).select("gram").distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
     return (
         grams(corpus)
-        .join(F.broadcast(bench_grams), "gram")
+        .join(bench_grams, "gram")
         .groupBy(key)
         .agg(F.count("*").alias("n_hits"))
     )
@@ -172,6 +181,7 @@ def token_ngram_contamination(
     key: str = "doc_id",
     tokens_col: str = "tokens",
     n: int = 8,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination over PRE-TOKENIZED sequences: flag
     every corpus sequence sharing at least one token ``n``-gram with the
@@ -181,7 +191,10 @@ def token_ngram_contamination(
 
     Same scale shape: both sides explode to distinct n-gram rows; the
     eval side is tiny so the equi-join broadcasts it and the corpus
-    streams map-side — no corpus shuffle.
+    streams map-side — no corpus shuffle.  As in
+    :func:`ngram_contamination`, pass ``broadcast_benchmark=False``
+    when the right side is corpus-scale (split-leakage scans) so the
+    join shuffles on the gram hash instead of broadcasting.
     """
 
     def grams(df: DataFrame) -> DataFrame:
@@ -200,9 +213,11 @@ def token_ngram_contamination(
         return df.select(F.col(key), F.explode(arr).alias("gram"))
 
     bench_grams = grams(benchmark).select("gram").distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
     return (
         grams(corpus)
-        .join(F.broadcast(bench_grams), "gram")
+        .join(bench_grams, "gram")
         .groupBy(key)
         .agg(F.count("*").alias("n_hits"))
     )

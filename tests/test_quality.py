@@ -243,6 +243,17 @@ def test_token_ngram_contamination_hand_case(spark):
     }
     assert out == {"c1": 2, "c3": 1}
 
+    # the shuffle-join path (corpus-scale benchmark side, e.g.
+    # split-leakage scans) is a physical-plan choice only: identical
+    # output, and the broadcast hint really is gone from the plan
+    shuffled = token_ngram_contamination(
+        corpus, bench, n=8, broadcast_benchmark=False
+    )
+    assert {r["doc_id"]: r["n_hits"] for r in shuffled.collect()} == out
+    hinted = token_ngram_contamination(corpus, bench, n=8)
+    assert "Hint" in hinted._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in shuffled._jdf.queryExecution().analyzed().toString()
+
 
 def _rep_ref(text, ns_top=(2, 3, 4), ns_dup=(5, 10), sep="\n"):
     """Independent pure-Python reference for with_repetition_signals."""

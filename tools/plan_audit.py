@@ -578,6 +578,16 @@ CHECKS = {
         ("gram hashing JVM-side (no Python workers)",
          r"^(?!.*ArrowEvalPython)"),
     ],
+    # broadcast_benchmark=False: the val-gram side must NOT carry a
+    # broadcast hint (AQE may still pick broadcast at sf0.01 from
+    # runtime sizes — that is fine; a compile-time hint on a
+    # corpus-scale side is not)
+    "split_contamination": [
+        ("gram join is a real equi-join (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("tokenize + gram hashing JVM-side (no Python workers)",
+         r"^(?!.*ArrowEvalPython)"),
+    ],
 }
 
 
