@@ -1849,6 +1849,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merges, _ = bpe_train(docs, n_merges=12)
         return bpe_fertility(docs, merges, by="source")
 
+    def q_sketch_quantiles(spark, sf_dir):
+        # mergeable quantile sketch (DDSketch idea, decimal-mantissa
+        # bins so the SQL oracle reproduces every register and
+        # estimate exactly): per-source p50/p90/p99 of document length
+        # from a ~90-bins-per-decade register table — the streaming/
+        # mergeable complement to the exact source_len_quantiles
+        from gbdc_spark.operators.sketches import ddq_quantiles, ddq_registers
+
+        reg = ddq_registers(_docs(spark, sf_dir), "n_chars", by=["source"])
+        return ddq_quantiles(reg, qs=(0.5, 0.9, 0.99), by=["source"])
+
     def q_hll_distinct(spark, sf_dir):
         # HyperLogLog cardinality: per-event-type distinct-user
         # registers (one map-side-combined max agg), the bucket-wise
@@ -2858,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode_docs": q_bpe_encode_docs,
         "hll_distinct": q_hll_distinct,
+        "sketch_quantiles": q_sketch_quantiles,
         "bpe_fertility": q_bpe_fertility,
         "pagerank_dups": q_pagerank_dups,
         "triangle_stats": q_triangle_stats,
@@ -5686,6 +5698,34 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _duck_bpe_sql(mode="merges", n_merges=12),
         "bpe_encode_docs": _duck_bpe_sql(mode="encode", n_merges=12),
         "hll_distinct": _duck_hll_sql(p=12),
+        "sketch_quantiles": """
+            WITH b AS (
+                SELECT source,
+                       CASE WHEN n_chars > 0
+                            THEN length(CAST(n_chars AS VARCHAR))
+                            ELSE 0 END AS d,
+                       CASE WHEN n_chars > 0
+                            THEN CAST(substr(CAST(n_chars AS VARCHAR) || '0',
+                                             1, 2) AS INT)
+                            ELSE 0 END AS m
+                FROM documents),
+            reg AS (SELECT source, d, m, count(*) AS cnt
+                    FROM b GROUP BY 1, 2, 3),
+            c AS (SELECT source, d, m, cnt,
+                         sum(cnt) OVER (PARTITION BY source
+                                        ORDER BY d, m) AS cum,
+                         sum(cnt) OVER (PARTITION BY source) AS n
+                  FROM reg),
+            qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+            SELECT c.source, qq.q, CAST(c.n AS BIGINT) AS n,
+                   round(CASE WHEN c.d = 0 THEN 0.0
+                         ELSE (c.m * pow(10, c.d - 2)
+                               + (c.m + 1) * pow(10, c.d - 2)) / 2
+                         END, 6) AS est
+            FROM c, qq
+            WHERE c.cum >= greatest(ceil(qq.q * c.n), 1)
+              AND c.cum - c.cnt < greatest(ceil(qq.q * c.n), 1)
+        """,
         "stream_hll": _duck_hll_sql(p=12, mode="stream"),
         "incremental_read": """
             WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.4)

@@ -737,18 +737,34 @@ def pca_fit(df: DataFrame, dim: int | None = None, k: int = 4,
 
 def pca_project(df: DataFrame, mean: list, components: list,
                 key: str = "vec_id", vec_col: str = "embedding",
-                decimals: int = 4) -> DataFrame:
+                decimals: int = 4,
+                eigvals: list | None = None) -> DataFrame:
     """Project each vector onto a fitted PCA basis: pc_k = (v − μ)·w_k.
     Returns (key, pc1..pcK), round-``decimals``.
+
+    Passing the fit's ``eigvals`` WHITENS the projection (divide each
+    score by sqrt(λ_k), giving unit variance per component) — the
+    preprocessing that makes cosine/L2 over the projected space treat
+    every retained direction equally (SemDeDup-style semantic dedup
+    over anisotropic embedding spaces).  The scaling folds into the
+    basis literals at plan-build time, so the runtime plan is identical.
 
     Scale shape: the basis is k·d literals compiled into the plan; the
     projection is a JVM zip_with/aggregate fold per row — map-only, no
     shuffle, no Python, whole-stage codegen.
     """
+    import math
+
     from ..functions import bind_once as _bind
 
+    if eigvals is not None:
+        if len(eigvals) != len(components):
+            raise ValueError("eigvals must match components 1:1")
+        components = [
+            [x / math.sqrt(ev) for x in comp]
+            for comp, ev in zip(components, eigvals)
+        ]
     mu = F.array(*[F.lit(float(m)) for m in mean])
-    out_cols = []
     cen = _bind(
         F.zip_with(_to_double(F.col(vec_col)), mu, lambda x, m: x - m),
         lambda c: F.struct(

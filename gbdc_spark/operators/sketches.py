@@ -9,7 +9,7 @@ included.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -18,6 +18,9 @@ __all__ = [
     "hll_registers",
     "hll_merge",
     "hll_estimate",
+    "ddq_registers",
+    "ddq_merge",
+    "ddq_quantiles",
 ]
 
 
@@ -176,3 +179,98 @@ def hll_estimate(reg: DataFrame, p: int = 12,
         v.alias("v_zero"),
         F.round(est, 6).alias("est_distinct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Decimal-mantissa quantile sketch — the quantiles member of the family
+# (Bloom membership, CMS frequency, HLL cardinality, this one
+# quantiles).  Same published idea as DDSketch (Masson, Rim & Lee,
+# VLDB'19): log-spaced bins give relative-error-bounded quantiles from
+# a fixed-size mergeable table.  Instead of DDSketch's gamma^k float
+# bins this uses the value's DECIMAL form — bin = (n_digits,
+# first-two-significant-digits) via pure string ops — because libm log
+# at bin boundaries is not bit-portable across engines, and string
+# binning lets a SQL oracle reproduce every register and estimate
+# exactly (the same reasoning as the HLL rho).  90 bins per decade →
+# worst-case relative error of the midpoint estimate 1/(2·10) = 5%,
+# typically ~0.5%.
+
+
+def ddq_registers(df: DataFrame, value_col: str,
+                  by: list[str] | None = None) -> DataFrame:
+    """Fold a NONNEGATIVE integer-valued column (counts, lengths, byte
+    sizes) into (by..., d, m, cnt) quantile-sketch registers: d =
+    decimal digit count, m = first two significant digits (single-digit
+    values zero-padded: 7 → m=70, i.e. mantissa 7.0); zeros land in the
+    (0, 0) register.  ONE map-side-combined count aggregate into at
+    most ~90·19 groups per ``by`` key regardless of corpus size.
+
+    Registers from disjoint scans/snapshots/streams MERGE by (d, m)
+    count-sum (:func:`ddq_merge`) — what makes corpus-scale quantiles
+    one tiny shuffle, and the sketch usable as a streaming aggregate.
+    """
+    by = list(by or [])
+    x = F.col(value_col).cast("long")
+    s = x.cast("string")
+    d = F.when(x > 0, F.length(s)).otherwise(F.lit(0)).cast("int")
+    m = (
+        F.when(x > 0, F.substring(F.concat(s, F.lit("0")), 1, 2).cast("int"))
+        .otherwise(F.lit(0))
+    )
+    return (
+        df.select(*by, d.alias("d"), m.alias("m"))
+        .groupBy(*by, "d", "m")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def ddq_merge(reg: DataFrame, drop: list[str] | None = None) -> DataFrame:
+    """Merge register tables by (d, m) count-sum — lossless, like
+    :func:`hll_merge`: merged registers are IDENTICAL to registers
+    built over the concatenated input.  Pass ``drop`` to collapse
+    grouping keys; unionByName several builds first to merge across
+    DataFrames."""
+    keep = [c for c in reg.columns if c not in ("d", "m", "cnt")
+            and c not in set(drop or [])]
+    return reg.groupBy(*keep, "d", "m").agg(F.sum("cnt").alias("cnt"))
+
+
+def ddq_quantiles(reg: DataFrame, qs: tuple = (0.5, 0.9, 0.99),
+                  by: list[str] | None = None) -> DataFrame:
+    """Quantile estimates from a register table: for each q, rank r =
+    max(ceil(q·n), 1) in the bin order (d, m); the estimate is the
+    MIDPOINT of the first bin whose cumulative count reaches r —
+    deterministic integer edges lo = m·10^(d−2), hi = (m+1)·10^(d−2)
+    (the zero register estimates exactly 0), round-6.
+
+    Returns one row per (by..., q): (by..., q, n, est).  Relative
+    error ≤ half a bin width: 5% worst-case at mantissa 10, ~0.5% at
+    mantissa 99 — the DDSketch guarantee shape, with decimal bins.
+
+    Scale shape: registers are already ≤ ~1.7k rows per group; the
+    cumulative sum is a window over THAT table, never over the corpus.
+    """
+    by = list(by or [])
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("d", "m")
+    wn = Window.partitionBy(*[F.col(c) for c in by])
+    cum = reg.select(
+        *by, "d", "m", "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    lo = F.col("m") * F.pow(F.lit(10.0), F.col("d") - 2)
+    hi = (F.col("m") + 1) * F.pow(F.lit(10.0), F.col("d") - 2)
+    est = F.when(F.col("d") == 0, F.lit(0.0)).otherwise((lo + hi) / 2)
+    out = None
+    for q in qs:
+        r = F.greatest(F.ceil(F.lit(float(q)) * F.col("n")), F.lit(1))
+        picked = cum.filter(
+            (F.col("_cum") >= r) & (F.col("_cum") - F.col("cnt") < r)
+        ).select(
+            *by,
+            F.lit(float(q)).alias("q"),
+            F.col("n"),
+            F.round(est, 6).alias("est"),
+        )
+        out = picked if out is None else out.unionByName(picked)
+    return out

@@ -87,6 +87,20 @@ def test_pca_project_matches_numpy(spark, emb_df):
         assert p2 == pytest.approx(round(P[i, 1], 4), abs=1e-9)
 
 
+def test_pca_project_whitened_unit_variance(spark, emb_df):
+    # whitening contract: each component's population variance becomes 1
+    fit = pca_fit(emb_df, k=3)
+    proj = pca_project(
+        emb_df, fit["mean"], fit["components"], decimals=9,
+        eigvals=fit["eigvals"],
+    )
+    rows = np.array([(r["pc1"], r["pc2"], r["pc3"]) for r in proj.collect()])
+    assert np.allclose(rows.var(axis=0), 1.0, rtol=1e-6)
+    with pytest.raises(ValueError):
+        pca_project(emb_df, fit["mean"], fit["components"],
+                    eigvals=fit["eigvals"][:2])
+
+
 def test_pca_projection_variance_is_eigenvalue(spark, emb_df):
     # the defining property: the variance captured along component k IS
     # eigenvalue k (population), so the fit and projection agree

@@ -130,3 +130,72 @@ def test_hll_register_fold_is_map_side_combined(spark):
     )
     assert "partial_max" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ddq_quantiles_hand_case(spark):
+    from gbdc_spark.operators.sketches import ddq_quantiles, ddq_registers
+
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "x long")
+    reg = ddq_registers(df, "x")
+    out = {r["q"]: r for r in ddq_quantiles(reg, qs=(0.5, 0.99)).collect()}
+    # rank ceil(0.5*100)=50 -> value 50 -> bin (d=2, m=50), midpoint 50.5
+    assert out[0.5]["n"] == 100 and out[0.5]["est"] == 50.5
+    # rank 99 -> value 99 -> bin (2, 99), midpoint 99.5
+    assert out[0.99]["est"] == 99.5
+
+
+def test_ddq_zero_register_and_padding(spark):
+    from gbdc_spark.operators.sketches import ddq_quantiles, ddq_registers
+
+    # zeros land in (0,0); single-digit values pad to mantissa x10
+    df = spark.createDataFrame([(0,), (0,), (0,), (7,)], "x long")
+    reg = {(r["d"], r["m"]): r["cnt"] for r in ddq_registers(df, "x").collect()}
+    assert reg == {(0, 0): 3, (1, 70): 1}
+    out = {r["q"]: r["est"] for r in ddq_quantiles(
+        ddq_registers(df, "x"), qs=(0.5, 0.99)).collect()}
+    assert out[0.5] == 0.0
+    assert out[0.99] == 7.05  # bin [7.0, 7.1) midpoint
+
+
+def test_ddq_merge_is_lossless(spark):
+    from gbdc_spark.operators.sketches import ddq_merge, ddq_registers
+
+    rows = [(("a" if i % 3 else "b"), i * 37 % 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    merged = ddq_merge(ddq_registers(df, "x", by=["grp"]), drop=["grp"])
+    direct = ddq_registers(df.select("x"), "x")
+    a = sorted((r["d"], r["m"], r["cnt"]) for r in merged.collect())
+    b = sorted((r["d"], r["m"], r["cnt"]) for r in direct.collect())
+    assert a == b
+
+
+def test_ddq_relative_error_bound(spark):
+    import math
+    import random
+
+    from gbdc_spark.operators.sketches import ddq_quantiles, ddq_registers
+
+    rng = random.Random(11)
+    vals = [rng.randint(1, 10**6) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    qs = (0.5, 0.9, 0.99)
+    out = {r["q"]: r["est"] for r in ddq_quantiles(
+        ddq_registers(df, "x"), qs=qs).collect()}
+    sv = sorted(vals)
+    for q in qs:
+        true = sv[max(math.ceil(q * len(sv)), 1) - 1]  # rank ceil(q n)
+        # the true rank-value lies inside the picked bin, so the
+        # midpoint is within half a bin width: rel err <= 1/(2*10) = 5%
+        assert abs(out[q] - true) / true <= 0.05
+
+
+def test_ddq_register_fold_is_map_side_combined(spark):
+    from gbdc_spark.operators.sketches import ddq_registers
+
+    df = spark.createDataFrame([(5,)], "x long")
+    plan = (
+        ddq_registers(df, "x")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

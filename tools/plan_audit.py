@@ -578,6 +578,14 @@ CHECKS = {
         ("gram hashing JVM-side (no Python workers)",
          r"^(?!.*ArrowEvalPython)"),
     ],
+    "sketch_quantiles": [
+        ("register fold map-side combined (corpus -> <=1.7k bins/group)",
+         r"partial_count"),
+        ("quantile pick windows over the REGISTER table, not the corpus",
+         r"Window"),
+        ("string binning JVM-side (no Python workers)",
+         r"^(?!.*ArrowEvalPython)"),
+    ],
     # broadcast_benchmark=False: the val-gram side must NOT carry a
     # broadcast hint (AQE may still pick broadcast at sf0.01 from
     # runtime sizes — that is fine; a compile-time hint on a
