@@ -1776,6 +1776,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact = ev.agg(F.count_distinct("item").alias("exact_distinct"))
         return est.crossJoin(exact)
 
+    def q_stream_quantiles(spark, sf_dir):
+        # REAL streaming quantile sketch: ddq_registers runs UNCHANGED
+        # as a streaming aggregate (count-sum is order/batch-invariant
+        # — the same merge property that makes the sketch maintainable
+        # online as stream_hll's max-fold); documents replayed as two
+        # mtime-ordered files, per-source p50/p90/p99 read from the
+        # complete-mode register sink.  The oracle is the batch SQL:
+        # replay-invariance IS the contract under test
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from gbdc_spark.operators.sketches import ddq_quantiles, ddq_registers
+
+        docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+        base = tempfile.mkdtemp(prefix="gbdc_sddq_")
+        os.makedirs(f"{base}/in")
+        for tag, mt, par in (("a", 1000, 0), ("b", 2000, 1)):
+            tmp = f"{base}/_{tag}"
+            docs.filter(F.col("doc_id") % 2 == par).select(
+                "source", "n_chars"
+            ).coalesce(1).write.parquet(tmp)
+            fn = next(
+                f for f in sorted(os.listdir(tmp))
+                if f.endswith(".parquet")
+            )
+            dst = f"{base}/in/{tag}.parquet"
+            shutil.copy(f"{tmp}/{fn}", dst)
+            os.utime(dst, (mt, mt))
+            shutil.rmtree(tmp)
+        src = (
+            spark.readStream.schema("source string, n_chars long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/in")
+        )
+        name = f"sddq_{uuid.uuid4().hex[:8]}"
+        q = (
+            ddq_registers(src, "n_chars", by=["source"])
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return ddq_quantiles(
+            spark.table(name), qs=(0.5, 0.9, 0.99), by=["source"]
+        )
+
     def q_textrank_words(spark, sf_dir):
         # TextRank keyword extraction (Mihalcea & Tarau EMNLP'04):
         # weighted PageRank over the corpus word co-occurrence graph
@@ -2875,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": q_triangle_stats,
         "textrank_words": q_textrank_words,
         "stream_hll": q_stream_hll,
+        "stream_quantiles": q_stream_quantiles,
         "jaccard_join": q_jaccard_join,
         "incremental_read": q_incremental_read,
         "tokenize_pack": q_tokenize_pack,
@@ -2955,6 +3003,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------- oracles
 _EMB_PROBE_CACHE: dict = {}
+
+# decimal-mantissa quantile sketch (sketches.ddq_*): shared by the batch
+# query and the streaming one — the streamed register table is
+# count-sum merged, hence replay-invariant, so both reduce to this SQL
+_DUCK_DDQ_SQL = """
+    WITH b AS (
+        SELECT source,
+               CASE WHEN n_chars > 0
+                    THEN length(CAST(n_chars AS VARCHAR))
+                    ELSE 0 END AS d,
+               CASE WHEN n_chars > 0
+                    THEN CAST(substr(CAST(n_chars AS VARCHAR) || '0',
+                                     1, 2) AS INT)
+                    ELSE 0 END AS m
+        FROM documents),
+    reg AS (SELECT source, d, m, count(*) AS cnt
+            FROM b GROUP BY 1, 2, 3),
+    c AS (SELECT source, d, m, cnt,
+                 sum(cnt) OVER (PARTITION BY source
+                                ORDER BY d, m) AS cum,
+                 sum(cnt) OVER (PARTITION BY source) AS n
+          FROM reg),
+    qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    SELECT c.source, qq.q, CAST(c.n AS BIGINT) AS n,
+           round(CASE WHEN c.d = 0 THEN 0.0
+                 ELSE (c.m * pow(10, c.d - 2)
+                       + (c.m + 1) * pow(10, c.d - 2)) / 2
+                 END, 6) AS est
+    FROM c, qq
+    WHERE c.cum >= greatest(ceil(qq.q * c.n), 1)
+      AND c.cum - c.cnt < greatest(ceil(qq.q * c.n), 1)
+"""
 
 
 def _probe_emb_shape(caller: str) -> tuple:
@@ -5698,34 +5778,11 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _duck_bpe_sql(mode="merges", n_merges=12),
         "bpe_encode_docs": _duck_bpe_sql(mode="encode", n_merges=12),
         "hll_distinct": _duck_hll_sql(p=12),
-        "sketch_quantiles": """
-            WITH b AS (
-                SELECT source,
-                       CASE WHEN n_chars > 0
-                            THEN length(CAST(n_chars AS VARCHAR))
-                            ELSE 0 END AS d,
-                       CASE WHEN n_chars > 0
-                            THEN CAST(substr(CAST(n_chars AS VARCHAR) || '0',
-                                             1, 2) AS INT)
-                            ELSE 0 END AS m
-                FROM documents),
-            reg AS (SELECT source, d, m, count(*) AS cnt
-                    FROM b GROUP BY 1, 2, 3),
-            c AS (SELECT source, d, m, cnt,
-                         sum(cnt) OVER (PARTITION BY source
-                                        ORDER BY d, m) AS cum,
-                         sum(cnt) OVER (PARTITION BY source) AS n
-                  FROM reg),
-            qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
-            SELECT c.source, qq.q, CAST(c.n AS BIGINT) AS n,
-                   round(CASE WHEN c.d = 0 THEN 0.0
-                         ELSE (c.m * pow(10, c.d - 2)
-                               + (c.m + 1) * pow(10, c.d - 2)) / 2
-                         END, 6) AS est
-            FROM c, qq
-            WHERE c.cum >= greatest(ceil(qq.q * c.n), 1)
-              AND c.cum - c.cnt < greatest(ceil(qq.q * c.n), 1)
-        """,
+        # stream_quantiles shares the batch oracle: the streamed
+        # register table is count-sum merged, hence replay-invariant —
+        # equality with the batch SQL IS the streaming contract
+        "stream_quantiles": _DUCK_DDQ_SQL,
+        "sketch_quantiles": _DUCK_DDQ_SQL,
         "stream_hll": _duck_hll_sql(p=12, mode="stream"),
         "incremental_read": """
             WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.4)
