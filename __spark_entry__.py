@@ -2218,6 +2218,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.dup_clusters_star(pairs)
 
+    def q_cluster_split(spark, sf_dir):
+        # leakage-safe dataset split: connected near-dup components
+        # (the same minhash pair graph as dedup_clusters) are hashed as
+        # WHOLE clusters into the 80/10/10 bands, so near-duplicates
+        # can never straddle train/val — the split-integrity
+        # counterpart of dedup-before-split (Lee et al. 2022)
+        from gbdc_spark.operators.packing import cluster_split
+
+        docs = _docs(spark, sf_dir)
+        pairs = dedup.minhash_candidate_pairs(
+            docs, key="doc_id", num_perm=8, bands=4, shingle_n=3
+        )
+        return cluster_split(
+            docs, dedup.dup_clusters(pairs),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+
     def q_dedup_keep_best(spark, sf_dir):
         # quality-aware survivorship over the same minhash pair graph:
         # per cluster keep the LONGEST doc (n_chars), ties to the
@@ -2949,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_minhash_pairs": q_token_minhash_pairs,
         "substring_dedup": q_substring_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_against": q_dedup_against,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -6415,6 +6433,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.v, e.dst FROM reach r JOIN edges e ON r.w = e.src),
             comp AS (SELECT v, least(v, min(w)) AS keeper FROM reach GROUP BY v)
             SELECT v AS doc_id, keeper FROM comp
+        """,
+        "cluster_split": f"""
+            WITH RECURSIVE {_DUCK_MINHASH_CAND},
+            edges AS MATERIALIZED (
+                      SELECT a AS src, b AS dst FROM cand
+                      UNION SELECT b, a FROM cand),
+            reach AS (
+                SELECT src AS v, dst AS w FROM edges
+                UNION
+                SELECT r.v, e.dst FROM reach r JOIN edges e ON r.w = e.src),
+            comp AS (SELECT v, least(v, min(w)) AS keeper FROM reach GROUP BY v),
+            lbl AS (
+                SELECT d.doc_id, coalesce(c.keeper, d.doc_id) AS cluster
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+            u AS (
+                SELECT doc_id, cluster,
+                       {_duck_md5_u32("concat('split:', CAST(cluster AS VARCHAR))")}
+                           / 4294967296.0 AS uu
+                FROM lbl)
+            SELECT doc_id, cluster,
+                   CASE WHEN uu < 0.8 THEN 'train'
+                        WHEN uu < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
         """,
         "dedup_keep_best": f"""
             WITH RECURSIVE {_DUCK_MINHASH_CAND},

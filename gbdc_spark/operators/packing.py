@@ -34,6 +34,7 @@ __all__ = [
     "stratified_sample",
     "weighted_sample",
     "dataset_split",
+    "cluster_split",
     "label_balance",
     "epoch_shuffle",
     "chunk_sequences",
@@ -479,6 +480,46 @@ def dataset_split(
     for name, edge in reversed(edges):
         expr = F.when(u < F.lit(edge), F.lit(name)).otherwise(expr)
     return df.withColumn(out, expr)
+
+
+def cluster_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    fractions: dict[str, float],
+    key: str = "doc_id",
+    out: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """LEAKAGE-SAFE dataset split: assign train/val/test by near-dup
+    CLUSTER, not by document, so near-duplicates can never straddle a
+    split boundary — a val doc whose near-dup sits in train is leaked
+    eval signal even after within-split dedup (the cross-split hazard
+    behind Lee et al. 2022's dedup-before-split advice; splitting BY
+    cluster removes it by construction, whatever the dedup policy).
+
+    ``clusters`` is a (key, keeper) component table from
+    ``dedup.dup_clusters`` / ``dup_clusters_star`` over any candidate
+    pair graph; docs absent from it are singletons (their own cluster).
+    The split hashes the CLUSTER id with :func:`dataset_split`'s
+    md5-uniform band rule, so every member of a component — present or
+    future — lands in the same band deterministically.
+
+    Returns (key, cluster, ``out``) — row-preserving over ``df``.
+
+    Scale shape: one left equi-join of the corpus keys against the
+    component table (itself bounded by the dup-pair mass), then the
+    pure-projection split; no new shuffle beyond the join.
+    """
+    comp = clusters.select(F.col(key), F.col("keeper"))
+    lbl = (
+        df.select(key)
+        .join(comp, key, "left")
+        .select(
+            key,
+            F.coalesce(F.col("keeper"), F.col(key)).alias("cluster"),
+        )
+    )
+    return dataset_split(lbl, fractions, key="cluster", out=out, salt=salt)
 
 
 def label_balance(

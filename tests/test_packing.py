@@ -671,3 +671,41 @@ def test_data_card_hand_computed(spark):
     assert out["s2"]["n_dup_docs"] == 1 and out["s2"]["n_langs"] == 2
     assert out["s2"]["min_chars"] == 3 and out["s2"]["max_chars"] == 5
     assert out["s2"]["avg_chars"] == 4.0
+
+
+def test_cluster_split_no_pair_straddles(spark):
+    from gbdc_spark.operators.dedup import dup_clusters
+    from gbdc_spark.operators.packing import cluster_split
+
+    # component {1,2,3} (path), component {10,11}, singletons 20, 21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long"
+    )
+    out = cluster_split(
+        docs, dup_clusters(pairs), {"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    assert len(out) == 7  # row-preserving, singletons included
+    by_id = {r["doc_id"]: r for r in out}
+    # every component member carries the keeper's cluster and ONE split
+    assert {by_id[i]["cluster"] for i in (1, 2, 3)} == {1}
+    assert len({by_id[i]["split"] for i in (1, 2, 3)}) == 1
+    assert {by_id[i]["cluster"] for i in (10, 11)} == {10}
+    assert len({by_id[i]["split"] for i in (10, 11)}) == 1
+    # singletons are their own cluster
+    assert by_id[20]["cluster"] == 20 and by_id[21]["cluster"] == 21
+    # and the split of a cluster equals dataset_split of its keeper id
+    from gbdc_spark.operators.packing import dataset_split
+
+    ref = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(
+            spark.createDataFrame([(1,), (10,), (20,), (21,)], "doc_id long"),
+            {"train": 0.5, "val": 0.25, "test": 0.25},
+        ).collect()
+    }
+    assert by_id[2]["split"] == ref[1]
+    assert by_id[11]["split"] == ref[10]
+    assert by_id[20]["split"] == ref[20]

@@ -578,6 +578,13 @@ CHECKS = {
         ("gram hashing JVM-side (no Python workers)",
          r"^(?!.*ArrowEvalPython)"),
     ],
+    "cluster_split": [
+        ("component join-back is a real equi-join on the key",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("band self-join never cross", r"^(?!.*CartesianProduct)"),
+        ("split assignment JVM-side (no Python workers)",
+         r"^(?!.*ArrowEvalPython)"),
+    ],
     "sketch_quantiles": [
         ("register fold map-side combined (corpus -> <=1.7k bins/group)",
          r"partial_count"),
