@@ -823,6 +823,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return legs[0].unionByName(legs[1])
 
+    def q_length_batches(spark, sf_dir):
+        # length-bucketed batch assignment (gbdc_spark/operators/
+        # packing.py length_batches): width-32 length buckets, md5-
+        # uniform order inside each bucket, consecutive 16-row batches,
+        # padded length = batch max — the padding-waste-minimizing
+        # batching for non-packed training.  Both physical rank paths
+        # (plain window vs two-phase sub-bucketed) share one total
+        # order; the union tags them so the oracle gates both.
+        from gbdc_spark.operators.packing import length_batches
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "n_tok"
+        )
+        legs = []
+        for label, kw in (("plain", {}), ("bucketed", {"bucketed": True})):
+            legs.append(
+                length_batches(seqs, batch_size=16, bucket_width=32, **kw)
+                .select("doc_id", "n_tok", "len_bucket", "batch_id",
+                        "batch_len", "pad_tok")
+                .withColumn("path", F.lit(label))
+            )
+        return legs[0].unionByName(legs[1])
+
+    def q_padding_stats(spark, sf_dir):
+        # the waste accounting that justifies the bucketing: per-bucket
+        # + ROLLUP-total real vs padded token volume for the width-32
+        # config AGAINST the single-global-bucket baseline (same batch
+        # size, same order law) — the saving is the delta between the
+        # two modes' total waste_frac rows
+        from gbdc_spark.operators.packing import length_batches, padding_stats
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "n_tok"
+        )
+        legs = []
+        for mode, width in (("bucketed", 32), ("global", None)):
+            legs.append(
+                padding_stats(
+                    length_batches(seqs, batch_size=16, bucket_width=width)
+                ).withColumn("mode", F.lit(mode))
+            )
+        return legs[0].unionByName(legs[1])
+
     def q_pack_concat_chunks(spark, sf_dir):
         # GPT-style concat-and-chunk: the corpus token stream (EOS 0
         # after every doc, doc_id order) cut into 256-token blocks;
@@ -2862,6 +2905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_next_fit": q_pack_next_fit,
         "pack_next_fit_scalable": q_pack_next_fit_scalable,
         "pack_next_fit_auto": q_pack_next_fit_auto,
+        "length_batches": q_length_batches,
+        "padding_stats": q_padding_stats,
         "pack_concat_chunks": q_pack_concat_chunks,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -7316,6 +7361,64 @@ def oracle_sql() -> dict[str, str]:
     # bucketed label_balance preserves the (md5-uniform, key) total
     # order exactly — same oracle gates both physical rank paths
     oracles["label_balance_bucketed"] = oracles["label_balance"]
+    # length-bucketed batching: width-32 buckets, in-bucket md5-uniform
+    # rank → consecutive 16-row batches → padded length = batch max;
+    # both physical rank paths (plain window / two-phase sub-bucketed)
+    # share one total order, so one windowed oracle gates the tagged
+    # union — and the padding accounting re-derives the batches per
+    # mode (width-32 vs the single-global-bucket baseline)
+
+    def _duck_length_batches(bucket_expr: str) -> str:
+        return f"""
+            WITH d AS (SELECT {_DOC_KEY} AS doc_id,
+                              CAST(len({_DUCK_TOKENS_FLAT}) AS INTEGER)
+                                  AS n_tok
+                       FROM documents),
+            u AS (SELECT doc_id, n_tok,
+                         CAST({bucket_expr} AS BIGINT) AS len_bucket,
+                         {_duck_md5_u32("concat('lbch:', doc_id)")} AS hv
+                  FROM d),
+            r AS (SELECT doc_id, n_tok, len_bucket,
+                         CAST((row_number() OVER (PARTITION BY len_bucket
+                              ORDER BY hv, doc_id) - 1) // 16 AS BIGINT)
+                             AS batch_id
+                  FROM u)
+            SELECT doc_id, n_tok, len_bucket, batch_id,
+                   CAST(max(n_tok) OVER (PARTITION BY len_bucket, batch_id)
+                        AS BIGINT) AS batch_len,
+                   CAST(max(n_tok) OVER (PARTITION BY len_bucket, batch_id)
+                        - n_tok AS BIGINT) AS pad_tok
+            FROM r
+        """
+
+    def _duck_padding_stats(bucket_expr: str) -> str:
+        return f"""
+            WITH b AS ({_duck_length_batches(bucket_expr)}),
+            per AS (SELECT len_bucket, batch_id,
+                           CAST(count(*) AS BIGINT) AS c,
+                           CAST(sum(n_tok) AS BIGINT) AS realtok,
+                           CAST(max(n_tok) AS BIGINT) AS mx
+                    FROM b GROUP BY len_bucket, batch_id)
+            SELECT len_bucket,
+                   CAST(count(*) AS BIGINT) AS n_batches,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(sum(realtok) AS BIGINT) AS real_tok,
+                   CAST(sum(c * mx) AS BIGINT) AS padded_tok,
+                   round((sum(c * mx) - sum(realtok))
+                         / CAST(sum(c * mx) AS DOUBLE), 6) AS waste_frac
+            FROM per GROUP BY ROLLUP(len_bucket)
+        """
+
+    oracles["length_batches"] = f"""
+        SELECT b.*, path FROM ({_duck_length_batches("n_tok // 32")}) b
+        CROSS JOIN (VALUES ('plain'), ('bucketed')) AS t(path)
+    """
+    oracles["padding_stats"] = f"""
+        SELECT s.*, 'bucketed' AS mode
+        FROM ({_duck_padding_stats("n_tok // 32")}) s
+        UNION ALL
+        SELECT s.*, 'global' AS mode FROM ({_duck_padding_stats("0")}) s
+    """
     # concat-and-chunk: global offsets = running token sum in doc_id
     # order; every token lands at (off + pos - 1), block = gpos // B
     oracles["pack_concat_chunks"] = f"""

@@ -37,6 +37,8 @@ __all__ = [
     "cluster_split",
     "label_balance",
     "epoch_shuffle",
+    "length_batches",
+    "padding_stats",
     "chunk_sequences",
     "pack_concat_chunks",
     "sft_mask",
@@ -663,6 +665,131 @@ def epoch_shuffle(df: DataFrame, seed: int = 0, key: str = "doc_id",
         scored.join(F.broadcast(offsets), "_b")
         .withColumn(out, (F.col("_off") + F.row_number().over(wr) - 1).cast("long"))
         .drop("_h", "_b", "_off")
+    )
+
+
+def length_batches(
+    df: DataFrame,
+    batch_size: int,
+    size_col: str = "n_tok",
+    bucket_width: int | None = 64,
+    key: str = "doc_id",
+    salt: str = "lbch",
+    bucketed: bool = False,
+    buckets: int = 256,
+    bucket_out: str = "len_bucket",
+    batch_out: str = "batch_id",
+    len_out: str = "batch_len",
+    pad_out: str = "pad_tok",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-waste-minimizing
+    batching used when sequences are NOT concat-packed (encoder
+    training, reward models, eval harnesses): sequences of similar
+    length batch together so each batch pads only to its own max, not
+    the corpus max.
+
+    Rows bucket by ``floor(size / bucket_width)`` (``bucket_width=None``
+    → one global bucket: the unbucketed baseline whose waste
+    :func:`padding_stats` quantifies the saving against).  Within a
+    bucket, rows take a deterministic md5-uniform order (epoch-style —
+    batches stay i.i.d. draws from the bucket, no length-sorted
+    curriculum bias, and re-runs/engines agree row-for-row) and chunk
+    into consecutive groups of ``batch_size``; the last batch per
+    bucket may be short.  Adds ``len_bucket``, ``batch_id`` (0-based
+    per bucket), ``batch_len`` (the batch's padded length = its max
+    ``size_col``) and ``pad_tok`` (``batch_len - size``).
+
+    Scale: the in-bucket rank has the same two physical paths as
+    :func:`label_balance`, same total order (md5-uniform, then key):
+    ``bucketed=False`` ranks each length bucket in one window
+    partition (parallel across buckets; a 10⁹-row bucket serializes),
+    ``bucketed=True`` uses the :func:`epoch_shuffle` two-phase rank
+    inside each length bucket (hash-prefix sub-buckets, tiny offset
+    aggregate broadcast back, eqNullSafe join-back so NULL-size rows
+    survive both paths identically).  The ``batch_len`` window
+    partitions on (bucket, batch) — at most ``batch_size`` rows per
+    partition, never a skew risk.
+    """
+    from pyspark.sql import Window
+
+    u = _md5_uniform(
+        F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
+    )
+    if bucket_width is None:
+        bexpr = F.lit(0).cast("long")
+    else:
+        bexpr = F.floor(F.col(size_col) / F.lit(int(bucket_width))).cast("long")
+    scored = df.withColumn(bucket_out, bexpr)
+    if not bucketed:
+        w = Window.partitionBy(bucket_out).orderBy(u, F.col(key))
+        ranked = scored.withColumn("_rn", F.row_number().over(w))
+    else:
+        prefix = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(buckets)
+        if prefix is None:
+            raise ValueError("buckets must be one of 16, 256, 4096, 65536")
+        h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string")))
+        # sub-bucket = leading hex of the SAME hash u parses, so
+        # sub-bucket order is exactly the coarse order of u; ties
+        # inside resolve by (u, key) — the plain path's total order
+        sub = scored.withColumn(
+            "_b", F.conv(F.substring(h, 1, prefix), 16, 10).cast("int")
+        )
+        counts = sub.groupBy(bucket_out, "_b").agg(F.count("*").alias("_c"))
+        wc = Window.partitionBy(bucket_out).orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.withColumn(
+            "_off", F.coalesce(F.sum("_c").over(wc), F.lit(0))
+        ).select(
+            F.col(bucket_out).alias("_olb"), F.col("_b").alias("_ob"), "_off"
+        )
+        wr = Window.partitionBy(bucket_out, "_b").orderBy(u, F.col(key))
+        ranked = (
+            sub.join(
+                F.broadcast(offsets),
+                F.col(bucket_out).eqNullSafe(F.col("_olb"))
+                & (F.col("_b") == F.col("_ob")),
+            )
+            .withColumn("_rn", F.col("_off") + F.row_number().over(wr))
+            .select(*scored.columns, "_rn")
+        )
+    wb = Window.partitionBy(bucket_out, batch_out)
+    return (
+        ranked.withColumn(
+            batch_out, F.floor((F.col("_rn") - 1) / F.lit(int(batch_size))).cast("long")
+        )
+        .withColumn(len_out, F.max(size_col).over(wb).cast("long"))
+        .withColumn(pad_out, (F.col(len_out) - F.col(size_col)).cast("long"))
+        .drop("_rn")
+    )
+
+
+def padding_stats(
+    batched: DataFrame,
+    bucket_col: str = "len_bucket",
+    size_col: str = "n_tok",
+    len_col: str = "batch_len",
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """Padding-waste accounting over :func:`length_batches` output:
+    per length bucket (plus a ROLLUP total row with NULL bucket) the
+    batch count, row count, real vs padded token volume and the waste
+    fraction — the number that justifies (or kills) a bucketing
+    config.  One map-side-combined aggregate; ``padded_tok`` sums the
+    per-row ``batch_len`` so no second batch-level pass is needed.
+    """
+    return (
+        batched.rollup(bucket_col)
+        .agg(
+            F.countDistinct(bucket_col, batch_col).alias("n_batches"),
+            F.count("*").alias("n_rows"),
+            F.sum(size_col).cast("long").alias("real_tok"),
+            F.sum(len_col).cast("long").alias("padded_tok"),
+            F.round(
+                (F.sum(len_col) - F.sum(size_col))
+                / F.sum(len_col).cast("double"), 6
+            ).alias("waste_frac"),
+        )
     )
 
 

@@ -709,3 +709,110 @@ def test_cluster_split_no_pair_straddles(spark):
     assert by_id[2]["split"] == ref[1]
     assert by_id[11]["split"] == ref[10]
     assert by_id[20]["split"] == ref[20]
+
+
+def _py_length_batches(rows, batch_size, width):
+    # independent python re-derivation: bucket by size//width, order by
+    # (md5-uniform of 'lbch:'+key, key), chunk into batch_size groups,
+    # pad to the batch max
+    import hashlib
+    from collections import defaultdict
+
+    def u(key):
+        return int(hashlib.md5(f"lbch:{key}".encode()).hexdigest()[:8], 16)
+
+    buckets = defaultdict(list)
+    for key, size in rows:
+        b = None if size is None else size // width
+        buckets[b].append((u(key), key, size))
+    out = {}
+    for b, members in buckets.items():
+        members.sort()
+        for rn, (_, key, size) in enumerate(members):
+            bid = rn // batch_size
+            out[key] = [b, bid, size]
+    # batch_len/pad per (bucket, batch)
+    mx = defaultdict(int)
+    for key, (b, bid, size) in out.items():
+        if size is not None:
+            mx[(b, bid)] = max(mx[(b, bid)], size)
+    return {
+        key: (b, bid, mx[(b, bid)], mx[(b, bid)] - size if size is not None else None)
+        for key, (b, bid, size) in out.items()
+    }
+
+
+def test_length_batches_matches_python_oracle(spark):
+    from gbdc_spark.operators.packing import length_batches
+
+    rng = random.Random(11)
+    rows = [(f"d{i:05d}", rng.randint(1, 500)) for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    got = {
+        r["doc_id"]: (r["len_bucket"], r["batch_id"], r["batch_len"], r["pad_tok"])
+        for r in length_batches(df, batch_size=16, bucket_width=64).collect()
+    }
+    assert got == _py_length_batches(rows, 16, 64)
+    # batch-size law: every (bucket, batch) holds <= batch_size rows and
+    # only the last batch per bucket may be short
+    from collections import Counter
+
+    per = Counter((v[0], v[1]) for v in got.values())
+    last = {}
+    for (b, bid), _n in per.items():
+        last[b] = max(last.get(b, -1), bid)
+    for (b, bid), n in per.items():
+        assert n <= 16
+        if bid < last[b]:
+            assert n == 16
+
+
+def test_length_batches_bucketed_path_identical_incl_nulls(spark):
+    # the two physical rank paths share one total order; NULL sizes form
+    # their own length bucket in the plain window, so the bucketed
+    # offset join-back must be null-safe (the label_balance lesson)
+    from gbdc_spark.operators.packing import length_batches
+
+    rng = random.Random(13)
+    rows = [(f"d{i:05d}", rng.randint(1, 300)) for i in range(1200)]
+    rows += [(f"n{i}", None) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    plain = sorted(
+        map(tuple, length_batches(df, batch_size=8, bucket_width=32).collect())
+    )
+    for buckets in (16, 256):
+        buck = sorted(map(tuple, length_batches(
+            df, batch_size=8, bucket_width=32, bucketed=True,
+            buckets=buckets).collect()))
+        assert buck == plain
+    # null-size rows survive both paths (batch_len/pad stay null)
+    nulls = [t for t in plain if t[0].startswith("n")]
+    assert len(nulls) == 5
+
+
+def test_padding_stats_accounting_and_bucketing_saves(spark):
+    from gbdc_spark.operators.packing import length_batches, padding_stats
+
+    rng = random.Random(17)
+    rows = [(f"d{i:05d}", rng.choice([20, 30, 200, 210, 900, 950]))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    st = padding_stats(
+        length_batches(df, batch_size=16, bucket_width=64)
+    ).collect()
+    total = [r for r in st if r["len_bucket"] is None]
+    per = [r for r in st if r["len_bucket"] is not None]
+    assert len(total) == 1
+    t = total[0]
+    assert t["n_rows"] == 600 == sum(r["n_rows"] for r in per)
+    assert t["real_tok"] == sum(x for _, x in rows)
+    assert t["padded_tok"] == sum(r["padded_tok"] for r in per)
+    assert t["padded_tok"] >= t["real_tok"]
+    assert 0.0 <= t["waste_frac"] < 1.0
+    # the point of the operator: width-64 bucketing wastes strictly less
+    # than single-bucket batching on a length-spread corpus
+    base = padding_stats(
+        length_batches(df, batch_size=16, bucket_width=None)
+    ).collect()
+    base_total = [r for r in base if r["len_bucket"] is None][0]
+    assert t["waste_frac"] < base_total["waste_frac"]

@@ -77,6 +77,15 @@ CHECKS = {
         ("dedup/contamination/sampling all JVM-side (no Arrow eval)", r"^(?!.*ArrowEvalPython)"),
         ("budget top-k is TakeOrderedAndProject (no full sort)", r"TakeOrderedAndProject"),
     ],
+    "length_batches": [
+        ("bucketed-path sub-bucket offsets broadcast back (no corpus-wide rank shuffle)", r"BroadcastHashJoin"),
+        ("pure window/aggregate plan — no Python workers", r"^(?!.*ArrowEvalPython)"),
+        ("no cartesian anywhere (the path-label union is literal-tagged)", r"^(?!.*CartesianProduct)"),
+    ],
+    "padding_stats": [
+        ("rollup is one map-side-combined aggregate pass", r"partial"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "label_balance": [
         ("minority-class target broadcast (nested-loop on 1 row, no shuffle of the corpus)", r"Broadcast"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
