@@ -866,6 +866,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return legs[0].unionByName(legs[1])
 
+    def q_budget_select(spark, sf_dir):
+        # greedy quality-ranked selection under a 20k-token budget
+        # (gbdc_spark/operators/packing.py budget_select): score =
+        # type-token ratio, keep in (score desc, doc_id) order while
+        # the running token total fits — the two-phase quantized-
+        # bucket cumulative sum must equal the oracle's single global
+        # running-sum window exactly, boundary doc included
+        from gbdc_spark.operators.packing import budget_select
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "tokens", "n_tok"
+        )
+        scored = (
+            seqs.filter(F.col("n_tok") > 0)
+            .withColumn(
+                "score",
+                F.size(F.array_distinct("tokens")) / F.size("tokens"),
+            )
+            .drop("tokens")
+        )
+        return budget_select(scored, budget=20000).select(
+            "doc_id", "n_tok", F.round("score", 6).alias("score"), "cum_tok"
+        )
+
+    def q_interleave_sources(spark, sf_dir):
+        # stride-scheduled deterministic source mixing: weight-4 src0 /
+        # weight-2 src1 / weight-1 rest, position = (rank - 0.5) /
+        # weight over a per-source md5-uniform order — both physical
+        # rank paths (plain window vs two-phase sub-bucketed) tagged
+        # and gated by one oracle
+        from gbdc_spark.operators.packing import interleave_sources
+
+        docs = _docs(spark, sf_dir).select("doc_id", "source")
+        legs = []
+        for label, kw in (("plain", {}), ("bucketed", {"bucketed": True})):
+            legs.append(
+                interleave_sources(
+                    docs, weights={"src0": 4.0, "src1": 2.0}, **kw
+                )
+                .select("doc_id", "source", "src_rank",
+                        F.round("position", 6).alias("position"))
+                .withColumn("path", F.lit(label))
+            )
+        return legs[0].unionByName(legs[1])
+
     def q_pack_concat_chunks(spark, sf_dir):
         # GPT-style concat-and-chunk: the corpus token stream (EOS 0
         # after every doc, doc_id order) cut into 256-token blocks;
@@ -2907,6 +2952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_next_fit_auto": q_pack_next_fit_auto,
         "length_batches": q_length_batches,
         "padding_stats": q_padding_stats,
+        "budget_select": q_budget_select,
+        "interleave_sources": q_interleave_sources,
         "pack_concat_chunks": q_pack_concat_chunks,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -7418,6 +7465,43 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_duck_padding_stats("n_tok // 32")}) s
         UNION ALL
         SELECT s.*, 'global' AS mode FROM ({_duck_padding_stats("0")}) s
+    """
+    # budget selection: the two-phase quantized-bucket running sum
+    # equals one global (score desc, doc_id) running-sum window —
+    # greedy prefix under the 20k-token budget, boundary doc included
+    oracles["budget_select"] = f"""
+        WITH d AS (SELECT {_DOC_KEY} AS doc_id,
+                          CAST(len({_DUCK_TOKENS_FLAT}) AS INTEGER)
+                              AS n_tok,
+                          len(list_distinct({_DUCK_TOKENS_FLAT}))
+                              / len({_DUCK_TOKENS_FLAT}) AS score
+                   FROM documents),
+        r AS (SELECT doc_id, n_tok, score,
+                     CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS cum_tok
+              FROM d WHERE n_tok > 0)
+        SELECT doc_id, n_tok, round(score, 6) AS score, cum_tok
+        FROM r WHERE cum_tok <= 20000
+    """
+    # stride-scheduled source interleaving: per-source md5-uniform
+    # rank, position = (rank - 0.5) / weight; both physical rank paths
+    # share the total order, so one windowed oracle gates the union
+    oracles["interleave_sources"] = f"""
+        WITH u AS (SELECT doc_id, source,
+                          {_duck_md5_u32("concat('mix:', doc_id)")} AS hv
+                   FROM documents),
+        r AS (SELECT doc_id, source,
+                     CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY hv, doc_id) AS BIGINT) AS src_rank
+              FROM u)
+        SELECT doc_id, source, src_rank,
+               round((src_rank - 0.5) /
+                     CASE source WHEN 'src0' THEN 4.0
+                                 WHEN 'src1' THEN 2.0
+                                 ELSE 1.0 END, 6) AS position,
+               path
+        FROM r CROSS JOIN (VALUES ('plain'), ('bucketed')) AS t(path)
     """
     # concat-and-chunk: global offsets = running token sum in doc_id
     # order; every token lands at (off + pos - 1), block = gpos // B

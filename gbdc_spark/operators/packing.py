@@ -39,6 +39,8 @@ __all__ = [
     "epoch_shuffle",
     "length_batches",
     "padding_stats",
+    "budget_select",
+    "interleave_sources",
     "chunk_sequences",
     "pack_concat_chunks",
     "sft_mask",
@@ -790,6 +792,134 @@ def padding_stats(
                 / F.sum(len_col).cast("double"), 6
             ).alias("waste_frac"),
         )
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    size_col: str = "n_tok",
+    key: str = "doc_id",
+    levels: int = 4096,
+    out: str = "cum_tok",
+) -> DataFrame:
+    """Greedy quality-ranked corpus selection under a token budget:
+    keep docs in (``score_col`` desc, ``key``) order while the running
+    ``size_col`` total stays within ``budget`` — the deterministic
+    "take the best N tokens" selection that follows a quality-scoring
+    pass (the budgeted counterpart of a percentile gate: the cut
+    adapts to the budget, not to a fixed quantile).  Adds ``cum_tok``,
+    the running total INCLUDING the row, so the boundary doc is the
+    last one that still fits.  NULL scores never select (a NULL
+    quality is not a high quality); ties break by ``key``.
+
+    Scale: no global sort.  Scores quantize into ``levels`` buckets
+    (``floor(score * levels)`` — monotone, so bucket order IS coarse
+    score order); a per-bucket token-sum aggregate (≤ ``levels`` rows)
+    computes cumulative offsets driver-free, offsets broadcast back,
+    and each bucket runs its own exact (score desc, key) cumulative
+    window in parallel — the :func:`epoch_shuffle` two-phase device
+    applied to running SUMS instead of ranks.  The budget filter then
+    prunes whole buckets below the frontier.
+    """
+    from pyspark.sql import Window
+
+    scored = df.filter(F.col(score_col).isNotNull()).withColumn(
+        "_qb", F.floor(F.col(score_col) * F.lit(int(levels))).cast("long")
+    )
+    sums = scored.groupBy("_qb").agg(F.sum(size_col).alias("_s"))
+    wc = Window.orderBy(F.col("_qb").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sums.withColumn(
+        "_off", F.coalesce(F.sum("_s").over(wc), F.lit(0)).cast("long")
+    ).select(F.col("_qb").alias("_ob"), "_off")
+    wr = (
+        Window.partitionBy("_qb")
+        .orderBy(F.col(score_col).desc(), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.join(F.broadcast(offsets), F.col("_qb") == F.col("_ob"))
+        .withColumn(out, (F.col("_off") + F.sum(size_col).over(wr)).cast("long"))
+        .filter(F.col(out) <= F.lit(int(budget)))
+        .drop("_qb", "_ob", "_off")
+    )
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: dict | None = None,
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "mix",
+    default_weight: float = 1.0,
+    bucketed: bool = False,
+    buckets: int = 256,
+    rank_out: str = "src_rank",
+    out: str = "position",
+) -> DataFrame:
+    """Deterministic stride-scheduled source interleaving — the data-
+    loader ORDER counterpart of :func:`temperature_weights` /
+    ``temperature_mix`` (which decide per-source volume): each source's
+    docs take a fresh md5-uniform order, and doc ``r`` (1-based) of a
+    weight-``w`` source lands at ``position = (r - 0.5) / w``.  Sorting
+    by (``position``, ``source_col``, ``key``) yields the classic
+    stride schedule: a weight-2 source appears twice as often as a
+    weight-1 source, evenly spread — no long single-source runs, no
+    RNG state, bit-stable across engines and re-runs.
+
+    Scale: one rank per source partition (``bucketed=False``) or the
+    two-phase sub-bucketed rank (``bucketed=True``, the
+    :func:`epoch_shuffle` device) when a single source holds 10⁹+
+    rows; position is a pure projection on top.
+    """
+    from pyspark.sql import Window
+
+    u = _md5_uniform(
+        F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
+    )
+    wexpr: Column = F.lit(float(default_weight))
+    for src, wgt in sorted((weights or {}).items()):
+        wexpr = F.when(
+            F.col(source_col) == F.lit(src), F.lit(float(wgt))
+        ).otherwise(wexpr)
+    if not bucketed:
+        w = Window.partitionBy(source_col).orderBy(u, F.col(key))
+        ranked = df.withColumn(rank_out, F.row_number().over(w).cast("long"))
+    else:
+        prefix = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(buckets)
+        if prefix is None:
+            raise ValueError("buckets must be one of 16, 256, 4096, 65536")
+        h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string")))
+        sub = df.withColumn(
+            "_b", F.conv(F.substring(h, 1, prefix), 16, 10).cast("int")
+        )
+        counts = sub.groupBy(source_col, "_b").agg(F.count("*").alias("_c"))
+        wc = Window.partitionBy(source_col).orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.withColumn(
+            "_off", F.coalesce(F.sum("_c").over(wc), F.lit(0))
+        ).select(
+            F.col(source_col).alias("_osrc"), F.col("_b").alias("_ob"), "_off"
+        )
+        wr = Window.partitionBy(source_col, "_b").orderBy(u, F.col(key))
+        ranked = (
+            sub.join(
+                F.broadcast(offsets),
+                F.col(source_col).eqNullSafe(F.col("_osrc"))
+                & (F.col("_b") == F.col("_ob")),
+            )
+            .withColumn(
+                rank_out,
+                (F.col("_off") + F.row_number().over(wr)).cast("long"),
+            )
+            .select(*df.columns, rank_out)
+        )
+    return ranked.withColumn(
+        out, (F.col(rank_out).cast("double") - F.lit(0.5)) / wexpr
     )
 
 

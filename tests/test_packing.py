@@ -816,3 +816,73 @@ def test_padding_stats_accounting_and_bucketing_saves(spark):
     ).collect()
     base_total = [r for r in base if r["len_bucket"] is None][0]
     assert t["waste_frac"] < base_total["waste_frac"]
+
+
+def test_budget_select_matches_python_greedy(spark):
+    # the two-phase quantized-bucket running sum must equal the global
+    # greedy prefix exactly, boundary doc included — coarse levels force
+    # many docs per bucket so offsets + in-bucket sums both matter
+    from gbdc_spark.operators.packing import budget_select
+
+    rng = random.Random(23)
+    rows = [(f"d{i:04d}", round(rng.random(), 3), rng.randint(5, 80))
+            for i in range(500)]
+    rows += [("nul1", None, 50), ("nul2", None, 5)]  # NULL scores never select
+    df = spark.createDataFrame(rows, "doc_id string, score double, n_tok int")
+    for levels in (4, 4096):
+        got = {
+            r["doc_id"]: r["cum_tok"]
+            for r in budget_select(df, budget=3000, levels=levels).collect()
+        }
+        ordered = sorted(
+            (r for r in rows if r[1] is not None),
+            key=lambda r: (-r[1], r[0]),
+        )
+        want, cum = {}, 0
+        for key, _score, size in ordered:
+            cum += size
+            if cum > 3000:
+                break
+            want[key] = cum
+        assert got == want
+    assert "nul1" not in got and "nul2" not in got
+
+
+def test_budget_select_tie_break_and_exact_fit(spark):
+    from gbdc_spark.operators.packing import budget_select
+
+    rows = [("a", 0.5, 10), ("b", 0.5, 10), ("c", 0.5, 10), ("d", 0.4, 10)]
+    df = spark.createDataFrame(rows, "doc_id string, score double, n_tok int")
+    # budget lands exactly on a boundary: the doc that fills it stays
+    got = sorted(
+        (r["doc_id"], r["cum_tok"])
+        for r in budget_select(df, budget=30).collect()
+    )
+    assert got == [("a", 10), ("b", 20), ("c", 30)]
+
+
+def test_interleave_sources_stride_and_bucketed_path(spark):
+    from gbdc_spark.operators.packing import interleave_sources
+
+    rng = random.Random(29)
+    rows = [(f"d{i:04d}", rng.choice(["a", "a", "b"])) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    plain = interleave_sources(df, weights={"a": 2.0, "b": 1.0}).collect()
+    # position law: doc r of source s sits at (r - 0.5) / w
+    for r in plain:
+        w = 2.0 if r["source"] == "a" else 1.0
+        assert r["position"] == (r["src_rank"] - 0.5) / w
+    # stride property: in global position order, every prefix holds
+    # roughly twice as many weight-2 docs as weight-1 docs
+    order = sorted(plain, key=lambda r: (r["position"], r["source"]))
+    n_a = sum(1 for r in rows if r[1] == "a")
+    for cut in (90, 300, 600):
+        na = sum(1 for r in order[:cut] if r["source"] == "a")
+        # expected share until source a exhausts: 2/(2+1)
+        if cut * 2 / 3 < n_a:
+            assert abs(na / cut - 2 / 3) < 0.05
+    # two-phase rank path is output-identical
+    buck = interleave_sources(
+        df, weights={"a": 2.0, "b": 1.0}, bucketed=True
+    ).collect()
+    assert sorted(map(tuple, buck)) == sorted(map(tuple, plain))

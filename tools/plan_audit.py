@@ -86,6 +86,15 @@ CHECKS = {
         ("rollup is one map-side-combined aggregate pass", r"partial"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "budget_select": [
+        ("quantized-bucket offsets broadcast back (no single global running-sum window)", r"BroadcastHashJoin"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+        ("no cartesian", r"^(?!.*CartesianProduct)"),
+    ],
+    "interleave_sources": [
+        ("bucketed-path sub-bucket offsets broadcast back", r"BroadcastHashJoin"),
+        ("pure window/projection plan — no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "label_balance": [
         ("minority-class target broadcast (nested-loop on 1 row, no shuffle of the corpus)", r"Broadcast"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
