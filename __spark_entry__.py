@@ -866,6 +866,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return legs[0].unionByName(legs[1])
 
+    def q_balanced_shards(spark, sf_dir):
+        # token-balanced shard assignment (gbdc_spark/operators/
+        # packing.py balanced_shards): global (n_tok desc, doc_id)
+        # rank snakes across 8 shards — the two-phase size-value-
+        # bucketed rank must equal the oracle's single global window
+        from gbdc_spark.operators.packing import balanced_shards
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "n_tok"
+        )
+        return balanced_shards(seqs, n_shards=8)
+
     def q_budget_select(spark, sf_dir):
         # greedy quality-ranked selection under a 20k-token budget
         # (gbdc_spark/operators/packing.py budget_select): score =
@@ -2422,6 +2434,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", "cell", F.round("cell_cosine", 6).alias("cell_cosine")
         )
 
+    def q_cell_prototypes(spark, sf_dir):
+        # cluster-stratified selection (gbdc_spark/operators/
+        # similarity.py cell_prototypes): per-IVF-cell quotas — 10 most
+        # central prototypes + 10 most peripheral edge vectors per
+        # cell, ranked on the ROUNDED cosine (the IVF oracles'
+        # quantized-ordering contract) with vec_id ties
+        e = _emb(spark, sf_dir)
+        cents = similarity.centroids_from_rows(e, list(range(8)))
+        legs = [
+            similarity.cell_prototypes(e, cents, k=10, mode=m)
+            .withColumn("mode", F.lit(m))
+            for m in ("central", "edge")
+        ]
+        return legs[0].unionByName(legs[1])
+
     def q_semantic_dedup(spark, sf_dir):
         # SemDeDup keep-first semantic dedup: first-8-rows centroids
         # (same deterministic cells as ivf_assign), tau=0.4 drops the
@@ -2954,6 +2981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_stats": q_padding_stats,
         "budget_select": q_budget_select,
         "interleave_sources": q_interleave_sources,
+        "balanced_shards": q_balanced_shards,
+        "cell_prototypes": q_cell_prototypes,
         "pack_concat_chunks": q_pack_concat_chunks,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -7483,6 +7512,42 @@ def oracle_sql() -> dict[str, str]:
               FROM d WHERE n_tok > 0)
         SELECT doc_id, n_tok, round(score, 6) AS score, cum_tok
         FROM r WHERE cum_tok <= 20000
+    """
+    # token-balanced sharding: global (n_tok desc, doc_id) rank snakes
+    # across 8 shards (0..7 then 7..0) — one window reproduces the
+    # two-phase size-value-bucketed rank exactly
+    oracles["balanced_shards"] = f"""
+        WITH d AS (SELECT {_DOC_KEY} AS doc_id,
+                          CAST(len({_DUCK_TOKENS_FLAT}) AS INTEGER)
+                              AS n_tok
+                   FROM documents),
+        r AS (SELECT doc_id, n_tok,
+                     row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1
+                         AS rn
+              FROM d)
+        SELECT doc_id, n_tok,
+               CAST(CASE WHEN rn % 16 < 8 THEN rn % 16
+                         ELSE 15 - (rn % 16) END AS INT) AS shard
+        FROM r
+    """
+    # per-cell quotas rank on the SAME rounded cosines the ivf_assign
+    # oracle emits — compose it as the assignment subquery
+    oracles["cell_prototypes"] = f"""
+        WITH a AS ({oracles["ivf_assign"]}),
+        p AS (SELECT vec_id, cell, cell_cosine,
+                     CAST(row_number() OVER (PARTITION BY cell
+                          ORDER BY cell_cosine DESC, vec_id) AS BIGINT)
+                         AS proto_rank,
+                     CAST(row_number() OVER (PARTITION BY cell
+                          ORDER BY cell_cosine ASC, vec_id) AS BIGINT)
+                         AS edge_rank
+              FROM a)
+        SELECT vec_id, cell, cell_cosine, proto_rank, 'central' AS mode
+        FROM p WHERE proto_rank <= 10
+        UNION ALL
+        SELECT vec_id, cell, cell_cosine, edge_rank AS proto_rank,
+               'edge' AS mode
+        FROM p WHERE edge_rank <= 10
     """
     # stride-scheduled source interleaving: per-source md5-uniform
     # rank, position = (rank - 0.5) / weight; both physical rank paths

@@ -41,6 +41,7 @@ __all__ = [
     "padding_stats",
     "budget_select",
     "interleave_sources",
+    "balanced_shards",
     "chunk_sequences",
     "pack_concat_chunks",
     "sft_mask",
@@ -920,6 +921,57 @@ def interleave_sources(
         )
     return ranked.withColumn(
         out, (F.col(rank_out).cast("double") - F.lit(0.5)) / wexpr
+    )
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    size_col: str = "n_tok",
+    key: str = "doc_id",
+    out: str = "shard",
+) -> DataFrame:
+    """Token-balanced shard assignment — equal-WORK training shards,
+    not equal-count: docs take a global (``size_col`` desc, ``key``)
+    rank and snake across the ``n_shards`` shards (shard order
+    0..K-1 then K-1..0, repeating), the classic zigzag heuristic that
+    keeps every shard's token sum within one max-doc of the others
+    without any sequential bin-packing state.  Deterministic, so
+    re-runs and engines agree row-for-row.
+
+    Scale: no global sort window.  The size VALUE is the bucket —
+    distinct ``size_col`` values are bounded by the context length,
+    so a per-value count aggregate (tiny) yields exact cumulative
+    offsets, offsets broadcast back, and each size-value bucket ranks
+    independently by ``key`` — the :func:`epoch_shuffle` device with
+    the quantization error at exactly zero.  NULL sizes are kept and
+    rank after every real size (shard still assigned).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(size_col).agg(F.count("*").alias("_c"))
+    wc = Window.orderBy(
+        F.col(size_col).desc_nulls_last()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(wc), F.lit(0)).cast("long")
+    ).select(F.col(size_col).alias("_osz"), "_off")
+    wr = Window.partitionBy(size_col).orderBy(F.col(key))
+    k = int(n_shards)
+    ranked = (
+        df.join(
+            F.broadcast(offsets),
+            F.col(size_col).eqNullSafe(F.col("_osz")),
+        )
+        .withColumn("_rn", F.col("_off") + F.row_number().over(wr) - 1)
+    )
+    zig = F.col("_rn") % F.lit(2 * k)
+    return (
+        ranked.withColumn(
+            out,
+            F.when(zig < k, zig).otherwise(F.lit(2 * k - 1) - zig).cast("int"),
+        )
+        .drop("_osz", "_off", "_rn")
     )
 
 

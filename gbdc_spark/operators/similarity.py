@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine_topk",
     "ivf_assign",
+    "cell_prototypes",
     "ivf_multiprobe_assign",
     "ivf_topk",
     "ivf_index_write",
@@ -779,3 +780,46 @@ def pca_project(df: DataFrame, mean: list, components: list,
     )
     proj = df.select(F.col(key), cen.alias("_p"))
     return proj.select(key, *[f"_p.pc{i + 1}" for i in range(len(components))])
+
+
+def cell_prototypes(
+    df: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    mode: str = "central",
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Cluster-stratified selection: keep the ``k`` most central
+    (``mode='central'``) or most peripheral (``mode='edge'``) vectors
+    of every IVF cell — the per-cluster quota step of a
+    diversity-preserving curation pass (SemDeDup-style pipelines keep
+    prototypes per semantic cluster instead of a global top-k, so no
+    region of embedding space is wiped out by a dominant cluster;
+    ``edge`` keeps boundary/outlier examples for hard-negative
+    mining).
+
+    Ranks on the ROUNDED cell cosine (``decimals``, ties by ``key``) so
+    the order is stable across engines and summation orders — the same
+    quantized-ordering contract as the IVF oracles.  Returns
+    (key, cell, cell_cosine rounded, proto_rank).
+
+    Scale: one :func:`ivf_assign` pass (centroid broadcast, map-side)
+    plus a rank window per cell — cells are the parallelism unit, and
+    the output is ≤ ``k`` rows per cell.
+    """
+    if mode not in ("central", "edge"):
+        raise ValueError("mode must be 'central' or 'edge'")
+    assigned = ivf_assign(df, centroids, key=key, vec_col=vec_col)
+    r = F.round(F.col("cell_cosine"), decimals)
+    order = [r.desc() if mode == "central" else r.asc(), F.col(key)]
+    w = Window.partitionBy("cell").orderBy(*order)
+    return (
+        assigned.withColumn("proto_rank", F.row_number().over(w))
+        .filter(F.col("proto_rank") <= k)
+        .select(
+            key, "cell", r.alias("cell_cosine"),
+            F.col("proto_rank").cast("long").alias("proto_rank"),
+        )
+    )

@@ -886,3 +886,56 @@ def test_interleave_sources_stride_and_bucketed_path(spark):
         df, weights={"a": 2.0, "b": 1.0}, bucketed=True
     ).collect()
     assert sorted(map(tuple, buck)) == sorted(map(tuple, plain))
+
+
+def test_balanced_shards_snake_and_balance(spark):
+    from gbdc_spark.operators.packing import balanced_shards
+
+    rng = random.Random(31)
+    rows = [(f"d{i:04d}", rng.randint(1, 999)) for i in range(1000)]
+    rows += [("nulA", None), ("nulB", None)]  # NULL sizes keep a shard
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    got = {r["doc_id"]: r["shard"] for r in balanced_shards(df, 8).collect()}
+    # python re-derivation: (n_tok desc nulls last, doc_id) rank, zigzag
+    ordered = sorted(rows, key=lambda r: (-(r[1] if r[1] is not None else -1), r[0]))
+    for rn, (key, _s) in enumerate(ordered):
+        z = rn % 16
+        assert got[key] == (z if z < 8 else 15 - z), key
+    # the point: per-shard token sums within one max doc of each other
+    sums = [0] * 8
+    for key, s in rows:
+        if s is not None:
+            sums[got[key]] += s
+    assert max(sums) - min(sums) <= 999
+    # and FAR tighter than count-balanced random assignment in practice
+    assert (max(sums) - min(sums)) / (sum(sums) / 8) < 0.02
+
+
+def test_cell_prototypes_hand_check_and_modes(spark):
+    from gbdc_spark.operators.similarity import (
+        cell_prototypes, centroids_from_rows,
+    )
+
+    # two orthogonal clusters; in-cluster cosine falls off with index
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0, float(i)]))          # cluster around x-axis
+        rows.append((100 + i, [float(i), 10.0]))    # cluster around y-axis
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows], "vec_id long, embedding array<double>"
+    )
+    cents = centroids_from_rows(df, [0, 100])  # x-axis / y-axis centroids
+    central = cell_prototypes(df, cents, k=2, mode="central").collect()
+    edge = cell_prototypes(df, cents, k=2, mode="edge").collect()
+    by_cell = {}
+    for r in central:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    # most-central of the x cluster is vec 0 itself (cosine 1.0)
+    assert 0 in by_cell[0] and len(by_cell[0]) == 2
+    # edge picks the opposite end of each cell's cosine range
+    edge_ids = {r["vec_id"] for r in edge}
+    assert edge_ids.isdisjoint({0})  # the centroid row is never an edge
+    for r in central + edge:
+        assert 1 <= r["proto_rank"] <= 2
+    with pytest.raises(ValueError):
+        cell_prototypes(df, cents, k=2, mode="middle")

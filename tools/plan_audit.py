@@ -95,6 +95,14 @@ CHECKS = {
         ("bucketed-path sub-bucket offsets broadcast back", r"BroadcastHashJoin"),
         ("pure window/projection plan — no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "balanced_shards": [
+        ("size-value offsets broadcast back (no single global rank window)", r"BroadcastHashJoin"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "cell_prototypes": [
+        ("centroid table broadcast (nested-loop over a k-row side)", r"Broadcast"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "label_balance": [
         ("minority-class target broadcast (nested-loop on 1 row, no shuffle of the corpus)", r"Broadcast"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
