@@ -923,6 +923,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return legs[0].unionByName(legs[1])
 
+    def q_loader_prep(spark, sf_dir):
+        # composed loader-prep pipeline: type-token-ratio scoring →
+        # greedy 20k-token budget selection → 4-way token-balanced
+        # snake sharding — the session operators chained end-to-end,
+        # with the oracle composed from the same verified pieces
+        from gbdc_spark.operators.packing import (
+            balanced_shards, budget_select,
+        )
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "tokens", "n_tok"
+        )
+        scored = (
+            seqs.filter(F.col("n_tok") > 0)
+            .withColumn(
+                "score",
+                F.size(F.array_distinct("tokens")) / F.size("tokens"),
+            )
+            .drop("tokens")
+        )
+        sel = budget_select(scored, budget=20000).select(
+            "doc_id", "n_tok", "cum_tok"
+        )
+        return balanced_shards(sel, n_shards=4)
+
     def q_pack_concat_chunks(spark, sf_dir):
         # GPT-style concat-and-chunk: the corpus token stream (EOS 0
         # after every doc, doc_id order) cut into 256-token blocks;
@@ -2983,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_sources": q_interleave_sources,
         "balanced_shards": q_balanced_shards,
         "cell_prototypes": q_cell_prototypes,
+        "loader_prep": q_loader_prep,
         "pack_concat_chunks": q_pack_concat_chunks,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -7548,6 +7574,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, cell, cell_cosine, edge_rank AS proto_rank,
                'edge' AS mode
         FROM p WHERE edge_rank <= 10
+    """
+    # composed loader prep: the snake sharding applied to the budget
+    # selection's output — oracle composed from the same two verified
+    # pieces (4 shards → zigzag period 8)
+    oracles["loader_prep"] = f"""
+        WITH sel AS ({oracles["budget_select"]}),
+        r AS (SELECT doc_id, n_tok, cum_tok,
+                     row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1
+                         AS rn
+              FROM sel)
+        SELECT doc_id, n_tok, cum_tok,
+               CAST(CASE WHEN rn % 8 < 4 THEN rn % 8
+                         ELSE 7 - (rn % 8) END AS INT) AS shard
+        FROM r
     """
     # stride-scheduled source interleaving: per-source md5-uniform
     # rank, position = (rank - 0.5) / weight; both physical rank paths

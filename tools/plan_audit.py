@@ -99,6 +99,11 @@ CHECKS = {
         ("size-value offsets broadcast back (no single global rank window)", r"BroadcastHashJoin"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "loader_prep": [
+        ("both two-phase offset tables broadcast back", r"BroadcastHashJoin"),
+        ("no Python workers end-to-end", r"^(?!.*ArrowEvalPython)"),
+        ("no cartesian", r"^(?!.*CartesianProduct)"),
+    ],
     "cell_prototypes": [
         ("centroid table broadcast (nested-loop over a k-row side)", r"Broadcast"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
