@@ -878,6 +878,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return balanced_shards(seqs, n_shards=8)
 
+    def q_padding_sweep(spark, sf_dir):
+        # bucket-width auto-tune: widths {16,32,64,128} evaluated in
+        # one pass, is_best marks the min-waste config — each width's
+        # totals must equal the padding_stats ROLLUP-total row for
+        # that width
+        from gbdc_spark.operators.packing import padding_sweep
+
+        seqs = tables.documents_as_sequences(spark, sf_dir).select(
+            "doc_id", "n_tok"
+        )
+        return padding_sweep(seqs, widths=(16, 32, 64, 128), batch_size=16)
+
     def q_budget_select(spark, sf_dir):
         # greedy quality-ranked selection under a 20k-token budget
         # (gbdc_spark/operators/packing.py budget_select): score =
@@ -3009,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_shards": q_balanced_shards,
         "cell_prototypes": q_cell_prototypes,
         "loader_prep": q_loader_prep,
+        "padding_sweep": q_padding_sweep,
         "pack_concat_chunks": q_pack_concat_chunks,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -7574,6 +7587,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, cell, cell_cosine, edge_rank AS proto_rank,
                'edge' AS mode
         FROM p WHERE edge_rank <= 10
+    """
+    # width sweep: per-width totals = the padding_stats ROLLUP-total
+    # row computed per candidate width; is_best = argmin over the W
+    # rows (rounded waste_frac both sides, ties all flagged)
+    _sweep_legs = "\nUNION ALL\n".join(
+        f"""SELECT {w} AS width, n_batches, n_rows, real_tok,
+                   padded_tok, waste_frac
+            FROM ({_duck_padding_stats(f"n_tok // {w}")})
+            WHERE len_bucket IS NULL"""
+        for w in (16, 32, 64, 128)
+    )
+    oracles["padding_sweep"] = f"""
+        SELECT *, waste_frac = min(waste_frac) OVER () AS is_best
+        FROM ({_sweep_legs})
     """
     # composed loader prep: the snake sharding applied to the budget
     # selection's output — oracle composed from the same two verified

@@ -42,6 +42,7 @@ __all__ = [
     "budget_select",
     "interleave_sources",
     "balanced_shards",
+    "padding_sweep",
     "chunk_sequences",
     "pack_concat_chunks",
     "sft_mask",
@@ -921,6 +922,65 @@ def interleave_sources(
         )
     return ranked.withColumn(
         out, (F.col(rank_out).cast("double") - F.lit(0.5)) / wexpr
+    )
+
+
+def padding_sweep(
+    df: DataFrame,
+    widths: Iterable[int],
+    batch_size: int,
+    size_col: str = "n_tok",
+    key: str = "doc_id",
+    salt: str = "lbch",
+) -> DataFrame:
+    """Bucket-width auto-tuner: evaluate every candidate
+    ``bucket_width`` of :func:`length_batches` in ONE pass and report
+    each width's total padding waste, with ``is_best`` marking the
+    argmin — measure the config choice instead of guessing it.  Rows
+    fan out once per width (a W-way explode of a literal array), each
+    copy batches under its own width with the SAME order law as
+    ``length_batches``, and a per-width aggregate reduces to W rows.
+
+    Scale: cost is W× the single-config rank work (windows partition
+    on (width, bucket) so all copies rank in parallel); the output is
+    W rows.  Run it on a :func:`stratified_sample` of the corpus —
+    waste fractions are ratio estimates, so a deterministic sample
+    tunes the width at a fraction of the cost (noted here rather than
+    auto-sampled: the caller owns the estimate/exact trade-off).
+    """
+    from pyspark.sql import Window
+
+    ws = sorted({int(w) for w in widths})
+    if not ws:
+        raise ValueError("widths must be non-empty")
+    u = _md5_uniform(
+        F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
+    )
+    fanned = df.withColumn(
+        "width", F.explode(F.array(*[F.lit(w) for w in ws]))
+    ).withColumn("_lb", F.floor(F.col(size_col) / F.col("width")).cast("long"))
+    wr = Window.partitionBy("width", "_lb").orderBy(u, F.col(key))
+    wb = Window.partitionBy("width", "_lb", "_bid")
+    batched = (
+        fanned.withColumn(
+            "_bid",
+            F.floor((F.row_number().over(wr) - 1) / F.lit(int(batch_size))).cast("long"),
+        )
+        .withColumn("_blen", F.max(size_col).over(wb).cast("long"))
+    )
+    stats = batched.groupBy("width").agg(
+        F.countDistinct("_lb", "_bid").alias("n_batches"),
+        F.count("*").alias("n_rows"),
+        F.sum(size_col).cast("long").alias("real_tok"),
+        F.sum("_blen").cast("long").alias("padded_tok"),
+        F.round(
+            (F.sum("_blen") - F.sum(size_col))
+            / F.sum("_blen").cast("double"), 6
+        ).alias("waste_frac"),
+    )
+    wmin = Window.partitionBy()
+    return stats.withColumn(
+        "is_best", F.col("waste_frac") == F.min("waste_frac").over(wmin)
     )
 
 

@@ -939,3 +939,34 @@ def test_cell_prototypes_hand_check_and_modes(spark):
         assert 1 <= r["proto_rank"] <= 2
     with pytest.raises(ValueError):
         cell_prototypes(df, cents, k=2, mode="middle")
+
+
+def test_padding_sweep_matches_per_width_stats(spark):
+    # the one-pass sweep must reproduce each width's padding_stats
+    # ROLLUP-total row, and is_best must mark the min-waste width
+    from gbdc_spark.operators.packing import (
+        length_batches, padding_stats, padding_sweep,
+    )
+
+    rng = random.Random(37)
+    rows = [(f"d{i:04d}", rng.randint(1, 400)) for i in range(700)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    sweep = {r["width"]: r for r in
+             padding_sweep(df, widths=(16, 64, 256), batch_size=8).collect()}
+    assert set(sweep) == {16, 64, 256}
+    for w in (16, 64, 256):
+        total = [
+            r for r in padding_stats(
+                length_batches(df, batch_size=8, bucket_width=w)
+            ).collect()
+            if r["len_bucket"] is None
+        ][0]
+        got = sweep[w]
+        for c in ("n_batches", "n_rows", "real_tok", "padded_tok",
+                  "waste_frac"):
+            assert got[c] == total[c], (w, c)
+    best = min(sweep.values(), key=lambda r: r["waste_frac"])
+    for r in sweep.values():
+        assert r["is_best"] == (r["waste_frac"] == best["waste_frac"])
+    with pytest.raises(ValueError):
+        padding_sweep(df, widths=(), batch_size=8)

@@ -99,6 +99,10 @@ CHECKS = {
         ("size-value offsets broadcast back (no single global rank window)", r"BroadcastHashJoin"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "padding_sweep": [
+        ("per-width totals are one map-side-combined aggregate", r"partial"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "loader_prep": [
         ("both two-phase offset tables broadcast back", r"BroadcastHashJoin"),
         ("no Python workers end-to-end", r"^(?!.*ArrowEvalPython)"),
