@@ -785,7 +785,11 @@ def padding_stats(
     return (
         batched.rollup(bucket_col)
         .agg(
-            F.countDistinct(bucket_col, batch_col).alias("n_batches"),
+            # struct arg: countDistinct over bare (bucket, batch) cols
+            # EXCLUDES rows where either is NULL, silently dropping the
+            # NULL-size bucket's batches from the count; a struct with
+            # a null field is itself non-null, so every batch counts
+            F.countDistinct(F.struct(bucket_col, batch_col)).alias("n_batches"),
             F.count("*").alias("n_rows"),
             F.sum(size_col).cast("long").alias("real_tok"),
             F.sum(len_col).cast("long").alias("padded_tok"),
@@ -969,7 +973,8 @@ def padding_sweep(
         .withColumn("_blen", F.max(size_col).over(wb).cast("long"))
     )
     stats = batched.groupBy("width").agg(
-        F.countDistinct("_lb", "_bid").alias("n_batches"),
+        # struct arg for the same NULL-bucket reason as padding_stats
+        F.countDistinct(F.struct("_lb", "_bid")).alias("n_batches"),
         F.count("*").alias("n_rows"),
         F.sum(size_col).cast("long").alias("real_tok"),
         F.sum("_blen").cast("long").alias("padded_tok"),

@@ -970,3 +970,18 @@ def test_padding_sweep_matches_per_width_stats(spark):
         assert r["is_best"] == (r["waste_frac"] == best["waste_frac"])
     with pytest.raises(ValueError):
         padding_sweep(df, widths=(), batch_size=8)
+
+
+def test_padding_stats_counts_null_size_batches(spark):
+    # countDistinct over bare (bucket, batch) would skip the NULL-size
+    # bucket entirely; the struct form counts its batches
+    from gbdc_spark.operators.packing import length_batches, padding_stats
+
+    rows = [(f"d{i}", 10) for i in range(4)] + [(f"n{i}", None) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    st = padding_stats(length_batches(df, batch_size=2, bucket_width=8)).collect()
+    total = [r for r in st if r["len_bucket"] is None and r["n_rows"] == 7]
+    assert len(total) == 1
+    # 2 batches of real sizes (4 rows / 2) + 2 batches of nulls (3 rows / 2)
+    assert total[0]["n_batches"] == 4
+
