@@ -2486,6 +2486,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return legs[0].unionByName(legs[1])
 
+    def q_hard_negatives(spark, sf_dir):
+        # semi-hard negative mining (gbdc_spark/operators/
+        # similarity.py hard_negatives): per anchor the 5 most similar
+        # other vectors with cosine in [0.3, 0.9) — candidates from
+        # shared 2-probe IVF cells, ranked on the rounded cosine
+        e = _emb(spark, sf_dir)
+        cents = similarity.centroids_from_rows(e, list(range(8)))
+        return similarity.hard_negatives(
+            e, cents, k=5, lo=0.3, hi=0.9, n_probe=2
+        )
+
     def q_semantic_dedup(spark, sf_dir):
         # SemDeDup keep-first semantic dedup: first-8-rows centroids
         # (same deterministic cells as ivf_assign), tau=0.4 drops the
@@ -3022,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_prototypes": q_cell_prototypes,
         "loader_prep": q_loader_prep,
         "padding_sweep": q_padding_sweep,
+        "hard_negatives": q_hard_negatives,
         "pack_concat_chunks": q_pack_concat_chunks,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -7587,6 +7599,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, cell, cell_cosine, edge_rank AS proto_rank,
                'edge' AS mode
         FROM p WHERE edge_rank <= 10
+    """
+    # semi-hard negatives: 2-probe cell assignment unrolled in SQL
+    # (the ivfpq-oracle device), shared-cell candidate pairs, rounded
+    # cosine band + per-anchor quantized-order top-k
+    oracles["hard_negatives"] = """
+        WITH c AS (SELECT vec_id AS cell,
+                          CAST(embedding AS DOUBLE[]) AS centroid
+                   FROM embeddings WHERE vec_id < 8),
+        s AS (SELECT e.vec_id, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(
+                             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(e.embedding AS DOUBLE[])))
+                                * sqrt(list_dot_product(c.centroid, c.centroid))), 6)
+                             DESC, c.cell) AS rn
+              FROM embeddings e, c),
+        p AS (SELECT vec_id, cell FROM s WHERE rn <= 2),
+        cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+                 FROM p a JOIN p b USING (cell)
+                 WHERE a.vec_id <> b.vec_id),
+        sc AS (SELECT qid, nid,
+                      round(
+                          list_dot_product(CAST(eq.embedding AS DOUBLE[]),
+                                           CAST(en.embedding AS DOUBLE[]))
+                          / (sqrt(list_dot_product(CAST(eq.embedding AS DOUBLE[]),
+                                                   CAST(eq.embedding AS DOUBLE[])))
+                             * sqrt(list_dot_product(CAST(en.embedding AS DOUBLE[]),
+                                                     CAST(en.embedding AS DOUBLE[])))),
+                          6) AS cosine
+               FROM cand
+               JOIN embeddings eq ON eq.vec_id = cand.qid
+               JOIN embeddings en ON en.vec_id = cand.nid),
+        r AS (SELECT qid, nid, cosine,
+                     CAST(row_number() OVER (PARTITION BY qid
+                          ORDER BY cosine DESC, nid) AS BIGINT) AS neg_rank
+              FROM sc WHERE cosine >= 0.3 AND cosine < 0.9)
+        SELECT qid AS vec_id, nid AS neg_id, cosine, neg_rank
+        FROM r WHERE neg_rank <= 5
     """
     # width sweep: per-width totals = the padding_stats ROLLUP-total
     # row computed per candidate width; is_best = argmin over the W

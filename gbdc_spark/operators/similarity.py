@@ -21,6 +21,7 @@ __all__ = [
     "cosine_topk",
     "ivf_assign",
     "cell_prototypes",
+    "hard_negatives",
     "ivf_multiprobe_assign",
     "ivf_topk",
     "ivf_index_write",
@@ -821,5 +822,77 @@ def cell_prototypes(
         .select(
             key, "cell", r.alias("cell_cosine"),
             F.col("proto_rank").cast("long").alias("proto_rank"),
+        )
+    )
+
+
+def hard_negatives(
+    df: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    lo: float = 0.5,
+    hi: float = 0.95,
+    n_probe: int = 2,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Semi-hard negative mining for contrastive training: for every
+    anchor, the ``k`` most similar OTHER vectors whose cosine lies in
+    [``lo``, ``hi``) — similar enough to be informative negatives,
+    below the near-duplicate band where a "negative" is really a
+    positive (the standard semi-hard criterion).  Candidates come from
+    shared :func:`ivf_multiprobe_assign` cells (``n_probe`` probes per
+    side, so boundary pairs meet in their overlap), ranked on the
+    ROUNDED cosine with ``key`` ties — the IVF oracles'
+    quantized-ordering contract, so any engine reproduces the exact
+    row set.
+
+    Returns (key, neg_id, cosine rounded, neg_rank), ≤ ``k`` rows per
+    anchor.  Like every IVF candidate generator here, recall is
+    bounded by the probe overlap — raise ``n_probe`` for recall, at
+    linear candidate cost.
+
+    Scale: centroid broadcast for both assign passes, one equi-join on
+    cell (candidates only within cells, never all-pairs), a distinct
+    over (anchor, candidate) bounded by probe overlap, and a per-anchor
+    rank window over ≤ cell-sized candidate lists.  Like
+    :func:`~gbdc_spark.operators.dedup.semantic_dedup`, the candidate
+    cost is Σ_cells (n_probe × cell_size)² and a cell is one join
+    partition — grow the centroid count ∝ corpus size (cells of
+    roughly constant size) or the per-cell quadratic dominates; a
+    fixed-8-cell config is for small-corpus oracle checks only.
+    """
+    a = ivf_multiprobe_assign(
+        df, centroids, n_probe=n_probe, key=key, vec_col=vec_col
+    ).select(F.col(key).alias("_qid"), "cell")
+    b = ivf_multiprobe_assign(
+        df, centroids, n_probe=n_probe, key=key, vec_col=vec_col
+    ).select(F.col(key).alias("_nid"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("_qid") != F.col("_nid"))
+        .select("_qid", "_nid")
+        .distinct()
+    )
+    vecs = df.select(F.col(key), _to_double(F.col(vec_col)).alias("_v"))
+    scored = (
+        pairs.join(vecs.select(F.col(key).alias("_qid"),
+                               F.col("_v").alias("_vq")), "_qid")
+        .join(vecs.select(F.col(key).alias("_nid"),
+                          F.col("_v").alias("_vn")), "_nid")
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("_vq"), F.col("_vn")),
+                              decimals)
+        )
+        .filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.col("_nid"))
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            F.col("_qid").alias(key), F.col("_nid").alias("neg_id"),
+            "cosine", "neg_rank",
         )
     )

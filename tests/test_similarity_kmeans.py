@@ -209,3 +209,37 @@ def test_embedding_decontam_empty_eval(spark):
     row = embedding_decontam(corpus, evals).collect()[0]
     assert row["contaminated"] is False
     assert row["max_eval_cosine"] is None and row["nearest_eval_id"] is None
+
+
+def test_hard_negatives_band_and_rank(spark):
+    # anchors get their most-similar OTHER vectors inside [lo, hi):
+    # near-duplicates (cos >= hi) and dissimilar vectors (< lo) never
+    # appear, ranks are contiguous from 1, capped at k
+    from gbdc_spark.operators.similarity import (
+        centroids_from_rows, hard_negatives,
+    )
+
+    # one tight cluster (near-dups of each other), one spread fan
+    rows = [(0, [10.0, 0.0]), (1, [10.0, 0.01]),      # near-dup pair
+            (2, [10.0, 3.0]), (3, [10.0, 6.0]),       # semi-hard band
+            (4, [0.0, 10.0])]                          # dissimilar
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = centroids_from_rows(df, [0, 4])
+    out = hard_negatives(df, cents, k=3, lo=0.5, hi=0.999, n_probe=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["vec_id"], []).append(r)
+        assert 0.5 <= r["cosine"] < 0.999
+        assert r["neg_id"] != r["vec_id"]
+    # the near-dup pair excludes each other (cos ~ 1 >= hi) but keeps
+    # the semi-hard fan members
+    ids0 = {r["neg_id"] for r in got[0]}
+    assert 1 not in ids0 and 2 in ids0
+    for anchor, lst in got.items():
+        ranks = sorted(r["neg_rank"] for r in lst)
+        assert ranks == list(range(1, len(lst) + 1))
+        assert len(lst) <= 3
+        # rank order follows descending cosine
+        by_rank = sorted(lst, key=lambda r: r["neg_rank"])
+        cosines = [r["cosine"] for r in by_rank]
+        assert cosines == sorted(cosines, reverse=True)

@@ -99,6 +99,11 @@ CHECKS = {
         ("size-value offsets broadcast back (no single global rank window)", r"BroadcastHashJoin"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "hard_negatives": [
+        ("centroid table broadcast for both assign passes", r"Broadcast"),
+        ("candidates only within shared cells (no all-pairs cross)", r"^(?!.*CartesianProduct)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "padding_sweep": [
         ("per-width totals are one map-side-combined aggregate", r"partial"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
