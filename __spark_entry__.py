@@ -7532,7 +7532,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(realtok) AS BIGINT) AS real_tok,
                    CAST(sum(c * mx) AS BIGINT) AS padded_tok,
                    round((sum(c * mx) - sum(realtok))
-                         / CAST(sum(c * mx) AS DOUBLE), 6) AS waste_frac
+                         / CAST(sum(c * mx) AS DOUBLE), 6) AS waste_frac,
+                   GROUPING(len_bucket) = 1 AS is_total
             FROM per GROUP BY ROLLUP(len_bucket)
         """
 
@@ -7646,7 +7647,7 @@ def oracle_sql() -> dict[str, str]:
         f"""SELECT {w} AS width, n_batches, n_rows, real_tok,
                    padded_tok, waste_frac
             FROM ({_duck_padding_stats(f"n_tok // {w}")})
-            WHERE len_bucket IS NULL"""
+            WHERE is_total"""
         for w in (16, 32, 64, 128)
     )
     oracles["padding_sweep"] = f"""

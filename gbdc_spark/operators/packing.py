@@ -383,6 +383,63 @@ def _md5_uniform(key: Column) -> Column:
     return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
 
 
+def _two_phase_ranked(
+    df: DataFrame,
+    part_col: str,
+    key: str,
+    salt: str,
+    buckets: int,
+    rank_col: str,
+) -> DataFrame:
+    """The shared two-phase sub-bucketed rank device (one
+    implementation for :func:`label_balance`, :func:`length_batches`
+    and :func:`interleave_sources` — the NULL-join-back lesson lives
+    in exactly one place): per ``part_col`` group, the 1-based rank of
+    each row in (md5-uniform(``salt``:``key``), ``key``) order,
+    WITHOUT a per-group global window.  Rows sub-bucket by the leading
+    hex of the SAME md5 the rank orders on (power-of-16 bucket count,
+    so sub-bucket order IS the coarse hash order), a tiny per-(group,
+    sub-bucket) count aggregate broadcasts cumulative offsets, and
+    each sub-bucket ranks independently; ties inside a sub-bucket
+    resolve by (uniform, key) — exactly the one-window total order.
+    The offset join-back is eqNullSafe on ``part_col`` so NULL-group
+    rows survive identically to a NULL window partition.
+
+    Returns ``df``'s columns plus ``rank_col``.
+    """
+    from pyspark.sql import Window
+
+    prefix = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(buckets)
+    if prefix is None:
+        raise ValueError("buckets must be one of 16, 256, 4096, 65536")
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string")))
+    u = _md5_uniform(
+        F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
+    )
+    sub = df.withColumn(
+        "_b", F.conv(F.substring(h, 1, prefix), 16, 10).cast("int")
+    )
+    counts = sub.groupBy(part_col, "_b").agg(F.count("*").alias("_c"))
+    wc = Window.partitionBy(part_col).orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(wc), F.lit(0))
+    ).select(
+        F.col(part_col).alias("_opart"), F.col("_b").alias("_ob"), "_off"
+    )
+    wr = Window.partitionBy(part_col, "_b").orderBy(u, F.col(key))
+    return (
+        sub.join(
+            F.broadcast(offsets),
+            F.col(part_col).eqNullSafe(F.col("_opart"))
+            & (F.col("_b") == F.col("_ob")),
+        )
+        .withColumn(rank_col, F.col("_off") + F.row_number().over(wr))
+        .select(*df.columns, rank_col)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict,
@@ -585,41 +642,11 @@ def label_balance(
         w = Window.partitionBy(label_col).orderBy(u, F.col(key))
         ranked = df.withColumn("_rn", F.row_number().over(w))
     else:
-        prefix = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(buckets)
-        if prefix is None:
-            raise ValueError("buckets must be one of 16, 256, 4096, 65536")
-        h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string")))
-        # bucket = leading hex of the SAME hash u is parsed from, so
-        # bucket order is exactly the coarse order of u; ties inside a
-        # bucket resolve by (u, key) — the plain path's total order
-        scored = df.withColumn(
-            "_b", F.conv(F.substring(h, 1, prefix), 16, 10).cast("int")
-        )
-        counts = scored.groupBy(label_col, "_b").agg(F.count("*").alias("_c"))
-        wc = Window.partitionBy(label_col).orderBy("_b").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        # NULL-label rows form their own group in the window path; the
-        # join-back must match them too, so the label equality is
-        # null-safe (a plain inner join would silently drop them and
-        # the auto gate would change output with data size)
-        offsets = counts.withColumn(
-            "_off", F.coalesce(F.sum("_c").over(wc), F.lit(0))
-        ).select(
-            F.col(label_col).alias("_olbl"),
-            F.col("_b").alias("_ob"),
-            "_off",
-        )
-        wr = Window.partitionBy(label_col, "_b").orderBy(u, F.col(key))
-        ranked = (
-            scored.join(
-                F.broadcast(offsets),
-                F.col(label_col).eqNullSafe(F.col("_olbl"))
-                & (F.col("_b") == F.col("_ob")),
-            )
-            .withColumn("_rn", F.col("_off") + F.row_number().over(wr))
-            .select(*df.columns, "_rn")  # join reordered keys first
-        )
+        # shared device (NULL-label join-back lesson lives there):
+        # sub-bucket by the leading hex of the SAME hash u is parsed
+        # from, offsets broadcast, in-bucket ties by (u, key) — the
+        # plain path's total order
+        ranked = _two_phase_ranked(df, label_col, key, salt, buckets, "_rn")
     if per_class is not None:
         return ranked.filter(F.col("_rn") <= per_class).drop("_rn")
     target = (
@@ -728,35 +755,9 @@ def length_batches(
         w = Window.partitionBy(bucket_out).orderBy(u, F.col(key))
         ranked = scored.withColumn("_rn", F.row_number().over(w))
     else:
-        prefix = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(buckets)
-        if prefix is None:
-            raise ValueError("buckets must be one of 16, 256, 4096, 65536")
-        h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string")))
-        # sub-bucket = leading hex of the SAME hash u parses, so
-        # sub-bucket order is exactly the coarse order of u; ties
-        # inside resolve by (u, key) — the plain path's total order
-        sub = scored.withColumn(
-            "_b", F.conv(F.substring(h, 1, prefix), 16, 10).cast("int")
-        )
-        counts = sub.groupBy(bucket_out, "_b").agg(F.count("*").alias("_c"))
-        wc = Window.partitionBy(bucket_out).orderBy("_b").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offsets = counts.withColumn(
-            "_off", F.coalesce(F.sum("_c").over(wc), F.lit(0))
-        ).select(
-            F.col(bucket_out).alias("_olb"), F.col("_b").alias("_ob"), "_off"
-        )
-        wr = Window.partitionBy(bucket_out, "_b").orderBy(u, F.col(key))
-        ranked = (
-            sub.join(
-                F.broadcast(offsets),
-                F.col(bucket_out).eqNullSafe(F.col("_olb"))
-                & (F.col("_b") == F.col("_ob")),
-            )
-            .withColumn("_rn", F.col("_off") + F.row_number().over(wr))
-            .select(*scored.columns, "_rn")
-        )
+        # shared two-phase device — in-bucket ties by (u, key), the
+        # plain path's total order; NULL buckets survive the join-back
+        ranked = _two_phase_ranked(scored, bucket_out, key, salt, buckets, "_rn")
     wb = Window.partitionBy(bucket_out, batch_out)
     return (
         ranked.withColumn(
@@ -781,6 +782,10 @@ def padding_stats(
     fraction — the number that justifies (or kills) a bucketing
     config.  One map-side-combined aggregate; ``padded_tok`` sums the
     per-row ``batch_len`` so no second batch-level pass is needed.
+    ``is_total`` marks the ROLLUP grand-total row — with NULL sizes in
+    the input the NULL-size bucket's own row ALSO has a NULL
+    ``bucket_col``, so ``bucket IS NULL`` cannot identify the total;
+    the grouping flag can.
     """
     return (
         batched.rollup(bucket_col)
@@ -797,6 +802,7 @@ def padding_stats(
                 (F.sum(len_col) - F.sum(size_col))
                 / F.sum(len_col).cast("double"), 6
             ).alias("waste_frac"),
+            (F.grouping(bucket_col) == 1).alias("is_total"),
         )
     )
 
@@ -895,35 +901,10 @@ def interleave_sources(
         w = Window.partitionBy(source_col).orderBy(u, F.col(key))
         ranked = df.withColumn(rank_out, F.row_number().over(w).cast("long"))
     else:
-        prefix = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(buckets)
-        if prefix is None:
-            raise ValueError("buckets must be one of 16, 256, 4096, 65536")
-        h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string")))
-        sub = df.withColumn(
-            "_b", F.conv(F.substring(h, 1, prefix), 16, 10).cast("int")
-        )
-        counts = sub.groupBy(source_col, "_b").agg(F.count("*").alias("_c"))
-        wc = Window.partitionBy(source_col).orderBy("_b").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offsets = counts.withColumn(
-            "_off", F.coalesce(F.sum("_c").over(wc), F.lit(0))
-        ).select(
-            F.col(source_col).alias("_osrc"), F.col("_b").alias("_ob"), "_off"
-        )
-        wr = Window.partitionBy(source_col, "_b").orderBy(u, F.col(key))
-        ranked = (
-            sub.join(
-                F.broadcast(offsets),
-                F.col(source_col).eqNullSafe(F.col("_osrc"))
-                & (F.col("_b") == F.col("_ob")),
-            )
-            .withColumn(
-                rank_out,
-                (F.col("_off") + F.row_number().over(wr)).cast("long"),
-            )
-            .select(*df.columns, rank_out)
-        )
+        # shared two-phase device — same (u, key) total order
+        ranked = _two_phase_ranked(
+            df, source_col, key, salt, buckets, rank_out
+        ).withColumn(rank_out, F.col(rank_out).cast("long"))
     return ranked.withColumn(
         out, (F.col(rank_out).cast("double") - F.lit(0.5)) / wexpr
     )

@@ -800,8 +800,8 @@ def test_padding_stats_accounting_and_bucketing_saves(spark):
     st = padding_stats(
         length_batches(df, batch_size=16, bucket_width=64)
     ).collect()
-    total = [r for r in st if r["len_bucket"] is None]
-    per = [r for r in st if r["len_bucket"] is not None]
+    total = [r for r in st if r["is_total"]]
+    per = [r for r in st if not r["is_total"]]
     assert len(total) == 1
     t = total[0]
     assert t["n_rows"] == 600 == sum(r["n_rows"] for r in per)
@@ -814,7 +814,7 @@ def test_padding_stats_accounting_and_bucketing_saves(spark):
     base = padding_stats(
         length_batches(df, batch_size=16, bucket_width=None)
     ).collect()
-    base_total = [r for r in base if r["len_bucket"] is None][0]
+    base_total = [r for r in base if r["is_total"]][0]
     assert t["waste_frac"] < base_total["waste_frac"]
 
 
@@ -959,7 +959,7 @@ def test_padding_sweep_matches_per_width_stats(spark):
             r for r in padding_stats(
                 length_batches(df, batch_size=8, bucket_width=w)
             ).collect()
-            if r["len_bucket"] is None
+            if r["is_total"]
         ][0]
         got = sweep[w]
         for c in ("n_batches", "n_rows", "real_tok", "padded_tok",
@@ -980,8 +980,12 @@ def test_padding_stats_counts_null_size_batches(spark):
     rows = [(f"d{i}", 10) for i in range(4)] + [(f"n{i}", None) for i in range(3)]
     df = spark.createDataFrame(rows, "doc_id string, n_tok int")
     st = padding_stats(length_batches(df, batch_size=2, bucket_width=8)).collect()
-    total = [r for r in st if r["len_bucket"] is None and r["n_rows"] == 7]
-    assert len(total) == 1
+    # the grouping flag disambiguates the total from the NULL-size
+    # bucket row (both have len_bucket NULL)
+    total = [r for r in st if r["is_total"]]
+    assert len(total) == 1 and total[0]["n_rows"] == 7
+    null_bucket = [r for r in st if r["len_bucket"] is None and not r["is_total"]]
+    assert len(null_bucket) == 1 and null_bucket[0]["n_rows"] == 3
     # 2 batches of real sizes (4 rows / 2) + 2 batches of nulls (3 rows / 2)
     assert total[0]["n_batches"] == 4
 

@@ -15,11 +15,12 @@ Usage: python tools/campaign_watchdog.py [log_path] [max_polls]
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
 
-REPO = __file__.rsplit("/", 2)[0]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOOR8 = 8000.0
 
 
@@ -46,16 +47,25 @@ def main() -> None:
         log.write(f"{stamp} poll {i}: local[8] leg {rps} rows/s\n")
         if rps is not None and rps >= FLOOR8:
             log.write(f"{stamp} calm window — launching campaign\n")
-            proc = subprocess.run(
-                [sys.executable, f"{REPO}/tools/run_scaling.py",
-                 "150000", "6", "14", "2400", "8000"],
-                capture_output=True, text=True, timeout=7200,
-            )
-            log.write(proc.stdout + "\n")
+            try:
+                proc = subprocess.run(
+                    [sys.executable, f"{REPO}/tools/run_scaling.py",
+                     "150000", "6", "14", "2400", "8000"],
+                    capture_output=True, text=True, timeout=7200,
+                )
+                out = proc.stdout
+            except subprocess.TimeoutExpired as err:
+                # a hung campaign must not kill the watchdog — log,
+                # clean up stranded probe children, resume polling
+                out = (err.stdout or b"").decode("utf-8", "replace") \
+                    if isinstance(err.stdout, bytes) else (err.stdout or "")
+                subprocess.run(["pkill", "-f", "scaling_probe"], check=False)
+                log.write(f"{stamp} campaign timed out after 2h — resuming polls\n")
+            log.write(out + "\n")
             # Count pairs actually pooled; if the window closed early,
             # resume polling for another window.
             counted = 0
-            for line in proc.stdout.splitlines():
+            for line in out.splitlines():
                 try:
                     rec = json.loads(line)
                 except (json.JSONDecodeError, ValueError):
