@@ -960,6 +960,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return balanced_shards(sel, n_shards=4)
 
+    def q_interleave_temperature(spark, sf_dir):
+        # data-derived mixture → loader order: mT5 T=2 temperature
+        # weights (p_sampled, pre-rounded to 6) broadcast-joined as the
+        # stride weights — the full "decide the mixture, then lay out
+        # the epoch" composition with no driver round-trip
+        from gbdc_spark.operators.packing import interleave_sources
+        from gbdc_spark.operators.quality import temperature_weights
+
+        docs = _docs(spark, sf_dir).select("doc_id", "source")
+        w = temperature_weights(docs, temperature=2.0).select(
+            "source", F.col("p_sampled").alias("weight")
+        )
+        return interleave_sources(docs, weights_df=w).select(
+            "doc_id", "source", "src_rank",
+            F.round("position", 6).alias("position"),
+        )
+
     def q_pack_concat_chunks(spark, sf_dir):
         # GPT-style concat-and-chunk: the corpus token stream (EOS 0
         # after every doc, doc_id order) cut into 256-token blocks;
@@ -3034,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loader_prep": q_loader_prep,
         "padding_sweep": q_padding_sweep,
         "hard_negatives": q_hard_negatives,
+        "interleave_temperature": q_interleave_temperature,
         "pack_concat_chunks": q_pack_concat_chunks,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -7653,6 +7671,22 @@ def oracle_sql() -> dict[str, str]:
     oracles["padding_sweep"] = f"""
         SELECT *, waste_frac = min(waste_frac) OVER () AS is_best
         FROM ({_sweep_legs})
+    """
+    # temperature-weighted interleave: the source_temperature oracle's
+    # ROUNDED p_sampled is the stride weight, so both engines derive
+    # bit-identical positions
+    oracles["interleave_temperature"] = f"""
+        WITH w AS ({oracles["source_temperature"]}),
+        u AS (SELECT doc_id, source,
+                     {_duck_md5_u32("concat('mix:', doc_id)")} AS hv
+              FROM documents),
+        r AS (SELECT doc_id, source,
+                     CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY hv, doc_id) AS BIGINT) AS src_rank
+              FROM u)
+        SELECT r.doc_id, r.source, r.src_rank,
+               round((r.src_rank - 0.5) / w.p_sampled, 6) AS position
+        FROM r JOIN w ON r.source = w.source
     """
     # composed loader prep: the snake sharding applied to the budget
     # selection's output — oracle composed from the same two verified

@@ -871,6 +871,7 @@ def interleave_sources(
     buckets: int = 256,
     rank_out: str = "src_rank",
     out: str = "position",
+    weights_df: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic stride-scheduled source interleaving — the data-
     loader ORDER counterpart of :func:`temperature_weights` /
@@ -882,11 +883,23 @@ def interleave_sources(
     weight-1 source, evenly spread — no long single-source runs, no
     RNG state, bit-stable across engines and re-runs.
 
+    Weights come from the ``weights`` dict (compiled into the plan) or
+    from ``weights_df`` — a (``source_col``, ``weight``) table such as
+    :func:`~gbdc_spark.operators.quality.temperature_weights`'s
+    ``p_sampled`` column, broadcast-joined so data-derived mixtures
+    drive the order with no driver round-trip; sources absent from the
+    table fall back to ``default_weight``.  Pass PRE-ROUNDED weights
+    (temperature_weights already rounds to 6) so any engine derives
+    bit-identical positions.
+
     Scale: one rank per source partition (``bucketed=False``) or the
     two-phase sub-bucketed rank (``bucketed=True``, the
     :func:`epoch_shuffle` device) when a single source holds 10⁹+
-    rows; position is a pure projection on top.
+    rows; position is a pure projection on top (plus one broadcast
+    join when ``weights_df`` is used).
     """
+    if weights is not None and weights_df is not None:
+        raise ValueError("pass weights or weights_df, not both")
     from pyspark.sql import Window
 
     u = _md5_uniform(
@@ -905,6 +918,24 @@ def interleave_sources(
         ranked = _two_phase_ranked(
             df, source_col, key, salt, buckets, rank_out
         ).withColumn(rank_out, F.col(rank_out).cast("long"))
+    if weights_df is not None:
+        wtab = weights_df.select(
+            F.col(source_col).alias("_wsrc"),
+            F.col("weight").cast("double").alias("_w"),
+        )
+        return (
+            ranked.join(
+                F.broadcast(wtab),
+                F.col(source_col).eqNullSafe(F.col("_wsrc")),
+                "left",
+            )
+            .withColumn(
+                out,
+                (F.col(rank_out).cast("double") - F.lit(0.5))
+                / F.coalesce(F.col("_w"), F.lit(float(default_weight))),
+            )
+            .drop("_wsrc", "_w")
+        )
     return ranked.withColumn(
         out, (F.col(rank_out).cast("double") - F.lit(0.5)) / wexpr
     )

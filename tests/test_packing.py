@@ -989,3 +989,23 @@ def test_padding_stats_counts_null_size_batches(spark):
     # 2 batches of real sizes (4 rows / 2) + 2 batches of nulls (3 rows / 2)
     assert total[0]["n_batches"] == 4
 
+
+
+def test_interleave_sources_weights_df_and_validation(spark):
+    # a (source, weight) table drives the stride exactly like the dict
+    # path; unknown sources fall back to default_weight; both at once
+    # is an error
+    from gbdc_spark.operators.packing import interleave_sources
+
+    rows = [(f"d{i:03d}", ["a", "b", "c"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    wdf = spark.createDataFrame(
+        [("a", 2.0), ("b", 0.5)], "source string, weight double"
+    )
+    via_df = sorted(map(tuple, interleave_sources(
+        df, weights_df=wdf, default_weight=1.0).collect()))
+    via_dict = sorted(map(tuple, interleave_sources(
+        df, weights={"a": 2.0, "b": 0.5}, default_weight=1.0).collect()))
+    assert via_df == via_dict
+    with pytest.raises(ValueError):
+        interleave_sources(df, weights={"a": 1.0}, weights_df=wdf)

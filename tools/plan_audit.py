@@ -99,6 +99,10 @@ CHECKS = {
         ("size-value offsets broadcast back (no single global rank window)", r"BroadcastHashJoin"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "interleave_temperature": [
+        ("derived weight table broadcast to the ranked corpus", r"BroadcastHashJoin"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "hard_negatives": [
         ("centroid table broadcast for both assign passes", r"Broadcast"),
         ("candidates only within shared cells (no all-pairs cross)", r"^(?!.*CartesianProduct)"),
