@@ -833,7 +833,11 @@ def budget_select(
     and each bucket runs its own exact (score desc, key) cumulative
     window in parallel — the :func:`epoch_shuffle` two-phase device
     applied to running SUMS instead of ranks.  The budget filter then
-    prunes whole buckets below the frontier.
+    prunes whole buckets below the frontier.  Parallelism follows the
+    score spread: near-constant scores collapse into few quantization
+    buckets (few rank partitions) — scale ``levels`` to the score
+    granularity, or pre-normalize scores to [0, 1], so buckets stay
+    small.
     """
     from pyspark.sql import Window
 
