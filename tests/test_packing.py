@@ -1009,3 +1009,49 @@ def test_interleave_sources_weights_df_and_validation(spark):
     assert via_df == via_dict
     with pytest.raises(ValueError):
         interleave_sources(df, weights={"a": 1.0}, weights_df=wdf)
+
+
+def test_length_batches_bucketed_on_million_row_bucket(spark):
+    # the regime the two-phase path exists for: 10^6 rows collapsing
+    # into ONE length bucket (constant sizes — the worst case for the
+    # plain per-bucket window).  Aggregate-only assertions: no collect
+    # of the corpus.
+    from gbdc_spark.operators.packing import length_batches
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.concat(F.lit("d"), F.lpad(F.col("id").cast("string"), 8, "0")
+                 ).alias("doc_id"),
+        F.lit(100).alias("n_tok"),
+    )
+    out = length_batches(df, batch_size=1024, bucket_width=64, bucketed=True)
+    per = out.groupBy("len_bucket", "batch_id").count().collect()
+    assert sum(r["count"] for r in per) == n
+    assert max(r["count"] for r in per) <= 1024
+    # exactly n // 1024 full batches + one remainder batch
+    full = [r for r in per if r["count"] == 1024]
+    assert len(full) == n // 1024
+    assert len(per) == n // 1024 + (1 if n % 1024 else 0)
+    # constant sizes -> every batch pads to exactly 100 (zero waste)
+    pads = out.agg(F.max("pad_tok"), F.min("batch_len"), F.max("batch_len")
+                   ).first()
+    assert tuple(pads) == (0, 100, 100)
+
+
+def test_balanced_shards_on_million_rows(spark):
+    from gbdc_spark.operators.packing import balanced_shards
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, 900) + 1).cast("int").alias("n_tok"),
+    )
+    sums = (
+        balanced_shards(df, 16)
+        .groupBy("shard")
+        .agg(F.count("*").alias("c"), F.sum("n_tok").alias("s"))
+        .collect()
+    )
+    assert len(sums) == 16 and sum(r["c"] for r in sums) == n
+    spread = max(r["s"] for r in sums) - min(r["s"] for r in sums)
+    assert spread <= 900  # within one max-doc of perfectly balanced
