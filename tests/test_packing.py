@@ -1055,3 +1055,30 @@ def test_balanced_shards_on_million_rows(spark):
     assert len(sums) == 16 and sum(r["c"] for r in sums) == n
     spread = max(r["s"] for r in sums) - min(r["s"] for r in sums)
     assert spread <= 900  # within one max-doc of perfectly balanced
+
+
+def test_session_operators_invariant_under_partitioning(spark):
+    # the north-rule determinism contract: identical output whatever
+    # the physical partitioning of the input — md5-derived orders and
+    # two-phase ranks never depend on partition layout
+    from gbdc_spark.operators.packing import (
+        balanced_shards, budget_select, interleave_sources,
+        length_batches,
+    )
+
+    rng = random.Random(41)
+    rows = [(f"d{i:04d}", ["a", "b", "c"][i % 3], rng.randint(1, 300),
+             round(rng.random(), 3)) for i in range(2000)]
+    base = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tok int, score double"
+    )
+    for op in (
+        lambda d: length_batches(d, batch_size=16, bucket_width=32,
+                                 bucketed=True),
+        lambda d: balanced_shards(d, 8),
+        lambda d: budget_select(d, budget=50_000),
+        lambda d: interleave_sources(d, weights={"a": 2.0}),
+    ):
+        a = sorted(map(tuple, op(base.repartition(3)).collect()))
+        b = sorted(map(tuple, op(base.repartition(31, "source")).collect()))
+        assert a == b
