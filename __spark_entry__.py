@@ -753,6 +753,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir).select("doc_id", "source"), temperature=2.0
         )
 
+    def q_unimax_mix(spark, sf_dir):
+        # UniMax epoch-capped budget mixing (Chung et al. ICLR 2023)
+        # over the skewed lang axis, budgeted in characters: at
+        # budget = 1.5x corpus chars and a 2-epoch cap the four
+        # low-resource langs bind their cap (full 2 epochs) and 'en'
+        # is truncated — the published alternative to temperature
+        # sampling.  The budget probe is one map-side-combined sum
+        # (the documented auto-probe pattern).
+        from gbdc_spark.operators.quality import unimax_mix
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        tot = docs.agg(F.sum("n_chars")).first()[0]
+        return unimax_mix(
+            docs, budget=(3 * int(tot)) // 2, max_epochs=2,
+            source_col="lang", size_col="n_chars",
+        )
+
+    def q_ngram_containment(spark, sf_dir):
+        # asymmetric doc-in-doc verify metric (Broder containment) on
+        # the same adjacent-id candidate pairs the jaccard query uses
+        docs = _docs(spark, sf_dir)
+        pairs = docs.select(F.col("doc_id").alias("a")).join(
+            docs.select(F.col("doc_id").alias("b")), F.col("a") + 1 == F.col("b")
+        )
+        return dedup.ngram_containment_pairs(
+            docs, pairs, key="doc_id", shingle_n=2
+        )
+
     def q_dsir_weights(spark, sf_dir):
         # DSIR data selection: source 'src0' docs are the target set,
         # the rest are the raw corpus; hashed-unigram log-likelihood
@@ -3082,6 +3110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "span_corrupt": q_span_corrupt,
         "temperature_mix": q_temperature_mix,
+        "unimax_mix": q_unimax_mix,
+        "ngram_containment": q_ngram_containment,
         "source_temperature": q_source_temperature,
         "chunk_sequences": q_chunk_sequences,
         "stream_asof": q_stream_asof,
@@ -5475,6 +5505,69 @@ def oracle_sql() -> dict[str, str]:
                        {_duck_md5_u32("concat('tmix:', CAST(d.doc_id AS VARCHAR))")}
                        < e.thr THEN 1 ELSE 0 END AS INTEGER) AS n_copies
             FROM documents d JOIN e USING (source)
+        """,
+        "unimax_mix": f"""
+            WITH c AS (
+                SELECT lang, sum(n_chars)::BIGINT AS sz
+                FROM documents GROUP BY lang),
+            b AS (
+                SELECT (3 * sum(sz)) // 2 AS budget FROM c),
+            r AS (
+                SELECT lang, sz, 2 * sz AS capacity,
+                       row_number() OVER (ORDER BY 2 * sz, lang) AS i,
+                       coalesce(sum(2 * sz) OVER (
+                           ORDER BY 2 * sz, lang
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cumb,
+                       count(*) OVER () AS k
+                FROM c),
+            f AS (
+                SELECT r.*, b.budget,
+                       (capacity * (k - i + 1) <= budget - cumb)
+                           AS is_capped
+                FROM r CROSS JOIN b),
+            agg AS (
+                SELECT sum(CASE WHEN is_capped THEN capacity
+                                ELSE 0 END) AS csum,
+                       sum(CASE WHEN is_capped THEN 0 ELSE 1 END) AS nunc,
+                       any_value(budget) AS budget
+                FROM f),
+            alloc AS (
+                SELECT f.lang, f.sz,
+                       CASE WHEN f.is_capped THEN f.capacity
+                            ELSE CAST(floor((agg.budget - agg.csum)
+                                 / greatest(agg.nunc, 1)) AS BIGINT)
+                       END AS allocated
+                FROM f CROSS JOIN agg),
+            e AS (
+                SELECT lang,
+                       round(allocated / CAST(sz AS DOUBLE), 6) AS epochs
+                FROM alloc),
+            t AS (
+                SELECT lang, epochs,
+                       CAST(floor(epochs) AS INTEGER) AS base,
+                       CAST(floor((epochs - floor(epochs)) * 4294967296.0)
+                            AS BIGINT) AS thr
+                FROM e)
+            SELECT d.doc_id, d.lang, d.n_chars, t.epochs,
+                   CAST(t.base + CASE WHEN
+                       {_duck_md5_u32("concat('unimax:', CAST(d.doc_id AS VARCHAR))")}
+                       < t.thr THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+            FROM documents d JOIN t USING (lang)
+        """,
+        "ngram_containment": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(words) - 1, 1) + 1),
+                           i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS s
+                FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents))
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(a.s), 6) AS containment_a,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(b.s), 6) AS containment_b
+            FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
         """,
         "dsir_weights": f"""
             WITH w AS (

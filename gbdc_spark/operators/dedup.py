@@ -33,6 +33,7 @@ __all__ = [
     "with_simhash",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "jaccard_join",
     "winnow_overlap_pairs",
     "line_dedup",
@@ -498,6 +499,45 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     union = F.size(F.array_union("sh_a", "sh_b"))
     return out.select(
         "a", "b", F.round(inter / union, 6).cast("double").alias("jaccard")
+    )
+
+
+def ngram_containment_pairs(df: DataFrame, pairs: DataFrame,
+                            key: str = "doc_id", text_col: str = "text",
+                            shingle_n: int = 2) -> DataFrame:
+    """ASYMMETRIC containment on word-shingle sets for given candidate
+    pairs (a, b): ``containment_a = |A∩B| / |A|`` and the mirror
+    ``containment_b = |A∩B| / |B|`` (Broder 1997's resemblance vs
+    containment distinction).  The doc-in-doc verify stage Jaccard
+    structurally misses: a page quoted whole inside a 100×-longer page
+    has Jaccard ≈ 0.01 but containment_a = 1.0, so subset/quotation
+    relations survive only under this metric (the LSH-Ensemble problem
+    setting, Zhu et al. VLDB 2016).
+
+    Candidate generation is the caller's: MinHash bands
+    (:func:`minhash_candidate_pairs`) catch high-Jaccard subsets;
+    shared winnowing fingerprints (:func:`winnow_overlap_pairs`) catch
+    small-in-large quotations whose Jaccard is too low to band — for
+    asymmetric recall feed this verifier from the fingerprint pairs.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — two
+    equi-joins of the candidate list against the per-doc shingle-set
+    table; cost follows the candidate count, never the corpus square.
+    """
+    sh = df.select(
+        F.col(key), F.array_distinct(_shingles(text_col, shingle_n)).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(key, "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed(key, "b").withColumnRenamed("sh", "sh_b"), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return out.select(
+        "a", "b",
+        F.round(inter / F.size("sh_a"), 6).cast("double")
+        .alias("containment_a"),
+        F.round(inter / F.size("sh_b"), 6).cast("double")
+        .alias("containment_b"),
     )
 
 

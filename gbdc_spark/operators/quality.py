@@ -33,6 +33,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "token_lm_perplexity", "kn_perplexity", "domain_weights",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
            "temperature_weights", "ccnet_buckets", "temperature_mix",
+           "unimax_weights", "unimax_mix",
            "percentile_gate"]
 
 # Redaction rules: name -> (regex, replacement token).  Patterns are
@@ -1691,6 +1692,163 @@ def temperature_mix(
         )
         .withColumn("boost", F.col("_boost"))
         .select(*df.columns, "boost", "n_copies")
+    )
+
+
+def unimax_weights(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    size_col: str | None = None,
+) -> DataFrame:
+    """UniMax source budget allocation (Chung et al., ICLR 2023): split
+    a total training budget across sources as UNIFORMLY as possible
+    subject to a per-source repeat cap — no source is visited more than
+    ``max_epochs`` times.  This is the published alternative to
+    temperature sampling (:func:`temperature_weights`): temperature
+    still lets a huge source dominate and still over-repeats the tiny
+    ones; UniMax gives every source the same share until its cap binds.
+
+    Water-filling closed form (no driver loop): sort sources ascending
+    by capacity ``c_i = max_epochs * size_i``.  Source ``i`` (rank i of
+    K) is CAPPED iff ``c_i * (K - i + 1) <= budget - C_{i-1}`` where
+    ``C_{i-1}`` is the prefix sum of capacities — the condition is
+    provably monotone along the ascending order (if it fails at i it
+    fails at i+1, substitute and cancel), so the capped set is exactly
+    the rows where this integer inequality holds; capped sources get
+    ``c_i`` and the rest split the remainder evenly.  All quantities up
+    to the final division are exact integers, so Spark and a SQL oracle
+    derive the identical capped set; ``epochs`` is rounded to 6
+    decimals (same cross-engine contract as :func:`temperature_mix`).
+
+    ``size_col=None`` measures sources in documents; name an integer
+    column (``n_tok``, ``n_chars``) to budget in tokens/characters —
+    the paper budgets in characters.
+
+    Returns one row per source: (source, size, capacity, is_capped,
+    allocated, epochs).  ``sum(allocated)`` never exceeds
+    ``min(budget, sum(capacity))`` and is within #uncapped units of it
+    (the even split floors to integer units so every engine agrees).
+
+    Scale shape: one map-side-combined count/sum per source (the only
+    corpus shuffle, output cardinality = #sources), then windows over
+    the K-row source table (bounded by source cardinality, the
+    :func:`temperature_weights` contract) and a 1-row broadcast total.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    size = (
+        F.count("*") if size_col is None
+        else F.sum(F.col(size_col).cast("long"))
+    )
+    counts = df.groupBy(source_col).agg(size.cast("long").alias("size"))
+    cap = counts.withColumn(
+        "capacity", (F.lit(int(max_epochs)) * F.col("size")).cast("long")
+    )
+    w = Window.orderBy("capacity", source_col)
+    ranked = (
+        cap.withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            "_cum_before",
+            F.coalesce(
+                F.sum("capacity").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_k", F.count("*").over(Window.partitionBy()))
+        .withColumn(
+            "is_capped",
+            F.col("capacity") * (F.col("_k") - F.col("_i") + 1)
+            <= F.lit(int(budget)) - F.col("_cum_before"),
+        )
+    )
+    rem = ranked.agg(
+        F.sum(F.when(F.col("is_capped"), F.col("capacity"))
+              .otherwise(0)).alias("_capped_sum"),
+        F.sum(F.when(F.col("is_capped"), 0).otherwise(1)).alias("_n_unc"),
+    )
+    share = F.floor(
+        (F.lit(int(budget)) - F.col("_capped_sum"))
+        / F.greatest(F.col("_n_unc"), F.lit(1))
+    ).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(rem))
+        .withColumn(
+            "allocated",
+            F.when(F.col("is_capped"), F.col("capacity")).otherwise(share),
+        )
+        .withColumn(
+            "epochs",
+            F.round(F.col("allocated") / F.col("size"), 6),
+        )
+        .select(source_col, "size", "capacity", "is_capped",
+                "allocated", "epochs")
+    )
+
+
+def unimax_mix(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    key: str = "doc_id",
+    size_col: str | None = None,
+    salt: str = "unimax",
+) -> DataFrame:
+    """APPLY the UniMax allocation to the corpus: each doc gets
+    ``n_copies`` = how many times the budgeted mixture visits it —
+    ``floor(epochs)`` copies for everyone in the source plus one more
+    for the deterministic md5-uniform fraction ``frac(epochs)`` of its
+    docs, exactly :func:`temperature_mix`'s determinism contract
+    (epochs rounded to 6 decimals BEFORE the floor/frac split, the
+    fractional keep compared against the integer threshold
+    ``floor(frac * 2^32)``).  Rows with ``n_copies = 0`` are KEPT and
+    flagged; repeats-expansion downstream is one
+    ``explode(sequence(1, n_copies))``.
+
+    Scale shape: :func:`unimax_weights`'s source-table windows plus one
+    broadcast join of the K-row epochs table back onto the corpus — the
+    corpus never reshuffles and never crosses into Python.
+    """
+    from .packing import _md5_uniform
+
+    wts = (
+        unimax_weights(df, budget, max_epochs, source_col, size_col)
+        .select(
+            F.col(source_col).alias("_usrc"),
+            F.col("epochs").alias("_epochs"),
+        )
+        .withColumn("_base", F.floor("_epochs").cast("int"))
+        .withColumn(
+            "_thr",
+            F.floor(
+                (F.col("_epochs") - F.floor("_epochs"))
+                * F.lit(float(1 << 32))
+            ).cast("long"),
+        )
+    )
+    u = _md5_uniform(
+        F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
+    )
+    return (
+        df.join(
+            F.broadcast(wts),
+            F.col(source_col).eqNullSafe(F.col("_usrc")),
+        )
+        .withColumn(
+            "n_copies",
+            (F.col("_base") + F.when(u < F.col("_thr"), 1).otherwise(0))
+            .cast("int"),
+        )
+        .withColumn("epochs", F.col("_epochs"))
+        .select(*df.columns, "epochs", "n_copies")
     )
 
 

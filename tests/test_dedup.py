@@ -1117,3 +1117,60 @@ def test_hits_unit_weight_default(spark):
     a = sorted(map(tuple, hits(df, iters=4).collect()))
     b = sorted(map(tuple, hits(dfw, weight="w", iters=4).collect()))
     assert a == b
+
+
+def test_ngram_containment_detects_subset_jaccard_misses(spark):
+    from pyspark.sql import functions as F
+
+    from gbdc_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    host = quote + " " + " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, quote), (2, host)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    cont = ngram_containment_pairs(df, pairs).collect()[0]
+    jac = ngram_jaccard_pairs(df, pairs).collect()[0]
+    # every shingle of the quote appears in the host
+    assert cont["containment_a"] == 1.0
+    assert cont["containment_b"] < 0.1
+    assert jac["jaccard"] < 0.1  # Jaccard structurally dilutes the subset
+
+
+def test_ngram_containment_matches_python_sets(spark):
+    from gbdc_spark.operators.dedup import ngram_containment_pairs
+
+    docs = {
+        1: "a b c d e",
+        2: "c d e f g h",
+        3: "x y z",
+        4: "a b c d e",
+    }
+
+    def sh(t, n=2):
+        w = t.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "a long, b long"
+    )
+    out = {(r["a"], r["b"]): r for r in
+           ngram_containment_pairs(df, pairs).collect()}
+    for (a, b), r in out.items():
+        inter = len(sh(docs[a]) & sh(docs[b]))
+        assert r["containment_a"] == pytest.approx(
+            round(inter / len(sh(docs[a])), 6)
+        )
+        assert r["containment_b"] == pytest.approx(
+            round(inter / len(sh(docs[b])), 6)
+        )
+    assert out[(1, 4)]["containment_a"] == 1.0
+    assert out[(1, 4)]["containment_b"] == 1.0
+    assert out[(1, 3)]["containment_a"] == 0.0

@@ -1177,3 +1177,151 @@ def test_token_lm_perplexity_plan_is_jvm_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEval" not in plan and "BatchEval" not in plan
+
+
+def _unimax_greedy(sizes: dict, budget: int, max_epochs: int) -> dict:
+    """Reference greedy water-filling loop (the paper's shape):
+    ascending-capacity scan decides which sources bind their repeat
+    cap (exact integer comparison cap*left <= remaining); the
+    survivors split the remainder evenly, floored to integer units —
+    the operator's documented quantization."""
+    import math
+
+    caps = sorted(((max_epochs * n, s) for s, n in sizes.items()))
+    out = {}
+    remaining = budget
+    left = len(caps)
+    uncapped = []
+    for cap, s in caps:
+        # once the even share can't cover a cap, no later (>=) cap
+        # binds either: water-filling caps a PREFIX of the ascending
+        # order, so the first failure ends the capping scan
+        if not uncapped and cap * left <= remaining:
+            out[s] = cap
+            remaining -= cap
+        else:
+            uncapped.append(s)
+        left -= 1
+    for s in uncapped:
+        out[s] = math.floor(remaining / len(uncapped))
+    return out
+
+
+def test_unimax_weights_matches_greedy_loop(spark):
+    from gbdc_spark.operators.quality import unimax_weights
+
+    sizes = {"a": 100, "b": 10, "c": 1, "d": 40}
+    rows = [(f"{s}{i}", s) for s, n in sizes.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    budget, me = 120, 4
+    exp = _unimax_greedy(sizes, budget, me)
+    got = {
+        r["source"]: r
+        for r in unimax_weights(df, budget=budget, max_epochs=me).collect()
+    }
+    for s, n in sizes.items():
+        assert got[s]["size"] == n
+        assert got[s]["capacity"] == me * n
+        assert got[s]["allocated"] == exp[s], (s, got[s], exp[s])
+        assert got[s]["epochs"] == pytest.approx(
+            round(exp[s] / n, 6), abs=1e-9
+        )
+    total = sum(r["allocated"] for r in got.values())
+    assert total <= min(budget, me * sum(sizes.values()))
+
+
+def test_unimax_weights_all_capped_when_budget_exceeds_capacity(spark):
+    from gbdc_spark.operators.quality import unimax_weights
+
+    rows = [(i, "a") for i in range(5)] + [(i, "b") for i in range(5, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in
+           unimax_weights(df, budget=10_000, max_epochs=2).collect()}
+    assert all(r["is_capped"] for r in out.values())
+    assert out["a"]["allocated"] == 10 and out["b"]["allocated"] == 6
+    assert out["a"]["epochs"] == 2.0 and out["b"]["epochs"] == 2.0
+
+
+def test_unimax_weights_uniform_when_no_cap_binds(spark):
+    from gbdc_spark.operators.quality import unimax_weights
+
+    rows = [(i, "a") for i in range(50)] + [(i, "b") for i in range(50, 150)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in
+           unimax_weights(df, budget=60, max_epochs=4).collect()}
+    assert not any(r["is_capped"] for r in out.values())
+    assert out["a"]["allocated"] == 30 and out["b"]["allocated"] == 30
+
+
+def test_unimax_weights_size_col_budgets_in_tokens(spark):
+    from gbdc_spark.operators.quality import unimax_weights
+
+    rows = [(1, "a", 70), (2, "a", 30), (3, "b", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = {r["source"]: r for r in
+           unimax_weights(df, budget=60, max_epochs=2,
+                          size_col="n_tok").collect()}
+    # capacities: a=200, b=20; b capped (20*2=40 <= 60), a gets 40
+    assert out["b"]["is_capped"] and out["b"]["allocated"] == 20
+    assert not out["a"]["is_capped"] and out["a"]["allocated"] == 40
+    assert out["b"]["epochs"] == 2.0
+    assert out["a"]["epochs"] == pytest.approx(0.4)
+
+
+def test_unimax_weights_property_vs_greedy(spark):
+    from gbdc_spark.operators.quality import unimax_weights
+
+    import itertools
+
+    cases = [
+        ({"a": 1, "b": 1, "c": 1}, 2, 3),
+        ({"a": 7, "b": 7, "c": 3}, 21, 2),
+        ({"a": 13, "b": 2, "c": 2, "d": 90, "e": 5}, 77, 3),
+        ({"a": 4, "b": 4}, 8, 1),
+        ({"a": 1000, "b": 1}, 500, 10),
+    ]
+    for sizes, budget, me in cases:
+        rows = [(f"{s}{i}", s) for s, n in sizes.items() for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id string, source string")
+        exp = _unimax_greedy(sizes, budget, me)
+        got = {r["source"]: r["allocated"] for r in
+               unimax_weights(df, budget=budget, max_epochs=me).collect()}
+        assert got == exp, (sizes, budget, me, got, exp)
+
+
+def test_unimax_mix_copy_counts_follow_contract(spark):
+    import hashlib
+    import math
+
+    from gbdc_spark.operators.quality import unimax_mix, unimax_weights
+
+    sizes = {"a": 8, "b": 2}
+    rows = [(f"{s}{i}", s) for s, n in sizes.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    budget, me = 12, 4
+    eps = {r["source"]: r["epochs"] for r in
+           unimax_weights(df, budget=budget, max_epochs=me).collect()}
+    out = {r["doc_id"]: r for r in
+           unimax_mix(df, budget=budget, max_epochs=me).collect()}
+
+    def u32(k):
+        return int(hashlib.md5(f"unimax:{k}".encode()).hexdigest()[:8], 16)
+
+    for doc, src in rows:
+        e = eps[src]
+        base = math.floor(e)
+        thr = math.floor((e - base) * (1 << 32))
+        exp = base + (1 if u32(doc) < thr else 0)
+        assert out[doc]["n_copies"] == exp, (doc, e)
+        assert out[doc]["epochs"] == pytest.approx(e)
+    assert set(out) == {d for d, _ in rows}
+
+
+def test_unimax_rejects_nonpositive_budget(spark):
+    from gbdc_spark.operators.quality import unimax_weights
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        unimax_weights(df, budget=0)
+    with pytest.raises(ValueError):
+        unimax_weights(df, budget=10, max_epochs=0)

@@ -273,6 +273,20 @@ CHECKS = {
         ("boost table broadcast back to the corpus", r"BroadcastHashJoin"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "unimax_mix": [
+        ("epochs table broadcast back to the corpus",
+         r"BroadcastHashJoin"),
+        ("per-source size is a map-side-combined partial agg",
+         r"partial_(sum|count)"),
+        ("no cartesian product", r"^(?!.*CartesianProduct)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
+    "ngram_containment": [
+        ("candidate x shingle-set joins are real equi-joins (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no cartesian product", r"^(?!.*CartesianProduct)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "dedup_keep_best": [
         ("per-cluster argmax is a map-side-combined partial agg",
          r"partial_min"),
