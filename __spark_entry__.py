@@ -2473,6 +2473,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.count("*") / F.lit(5.0)).alias("recall_at_5")
         )
 
+    def q_sq8_topk(spark, sf_dir):
+        # 8-bit scalar-quantized ANN: min/max calibration (bounded
+        # d-row probe), per-row SQ8 encode, bin-center dequantized L2
+        # top-5 — the 1-byte/dim member of the compression family
+        from gbdc_spark.operators import similarity as S
+
+        e = _emb(spark, sf_dir)
+        lo, hi = S.sq8_bounds_lists(e)
+        return S.sq8_topk(
+            S.sq8_encode(e, lo, hi), lo, hi, _query_vec(spark, sf_dir), k=5
+        )
+
+    def q_sq8_recall(spark, sf_dir):
+        # recall@5 of the SQ8 path vs exact L2 — same contract as
+        # pq_recall/ivfpq_recall
+        from gbdc_spark.operators import similarity as S
+
+        e = _emb(spark, sf_dir)
+        lo, hi = S.sq8_bounds_lists(e)
+        qv = _query_vec(spark, sf_dir)
+        ann = S.sq8_topk(
+            S.sq8_encode(e, lo, hi), lo, hi, qv, k=5
+        ).select("vec_id")
+        return _l2_recall_at_5(e, ann, qv)
+
     def q_embedding_decontam(spark, sf_dir):
         # semantic eval-set decontamination: vec_id%29==0 plays the
         # benchmark set, the rest is the corpus; flag cosine >= 0.4
@@ -3209,6 +3234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
         "pq_recall": q_pq_recall,
+        "sq8_topk": q_sq8_topk,
+        "sq8_recall": q_sq8_recall,
         "pq_trained_recall": q_pq_trained_recall,
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_recall": q_ivfpq_recall,
@@ -7040,6 +7067,85 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": f"""
             WITH {_DUCK_PQ_CODES}
             SELECT vec_id, adist FROM adc ORDER BY adist, vec_id LIMIT 5
+        """,
+        "sq8_topk": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            e AS (SELECT vec_id, generate_subscripts(v, 1) AS i,
+                         unnest(v) AS x FROM v),
+            b AS (SELECT i, min(x) AS lo, max(x) AS hi FROM e GROUP BY i),
+            enc AS (
+                SELECT e.vec_id, e.i,
+                       CASE WHEN b.hi = b.lo THEN 0
+                            ELSE CAST(least(greatest(floor(((e.x - b.lo)
+                                 * 256.0) / (b.hi - b.lo)), 0), 255)
+                                 AS BIGINT)
+                       END AS code,
+                       b.lo AS lo, b.hi AS hi
+                FROM e JOIN b USING (i)),
+            deq AS (
+                SELECT vec_id, i,
+                       lo + (code + 0.5) * ((hi - lo) / 256.0) AS xhat
+                FROM enc),
+            dl AS (SELECT vec_id, list(xhat ORDER BY i) AS xh
+                   FROM deq GROUP BY vec_id),
+            qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS q
+                   FROM embeddings WHERE vec_id = 0),
+            d AS (
+                SELECT vec_id,
+                       round(list_sum(list_transform(range(1, 65),
+                             i -> (xh[i] - q[i]) * (xh[i] - q[i]))), 6)
+                           AS adist
+                FROM dl, qv)
+            SELECT vec_id, adist FROM d ORDER BY adist, vec_id LIMIT 5
+        """,
+        "sq8_recall": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            e AS (SELECT vec_id, generate_subscripts(v, 1) AS i,
+                         unnest(v) AS x FROM v),
+            b AS (SELECT i, min(x) AS lo, max(x) AS hi FROM e GROUP BY i),
+            enc AS (
+                SELECT e.vec_id, e.i,
+                       CASE WHEN b.hi = b.lo THEN 0
+                            ELSE CAST(least(greatest(floor(((e.x - b.lo)
+                                 * 256.0) / (b.hi - b.lo)), 0), 255)
+                                 AS BIGINT)
+                       END AS code,
+                       b.lo AS lo, b.hi AS hi
+                FROM e JOIN b USING (i)),
+            deq AS (
+                SELECT vec_id, i,
+                       lo + (code + 0.5) * ((hi - lo) / 256.0) AS xhat
+                FROM enc),
+            dl AS (SELECT vec_id, list(xhat ORDER BY i) AS xh
+                   FROM deq GROUP BY vec_id),
+            qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS q
+                   FROM embeddings WHERE vec_id = 0),
+            anntop AS (
+                SELECT vec_id FROM (
+                    SELECT vec_id,
+                           round(list_sum(list_transform(range(1, 65),
+                                 i -> (xh[i] - q[i]) * (xh[i] - q[i]))), 6)
+                               AS adist
+                    FROM dl, qv)
+                ORDER BY adist, vec_id LIMIT 5),
+            exact AS (
+                SELECT vec_id FROM (
+                    SELECT vec_id,
+                           round(list_sum(list_transform(range(1, 65),
+                                 i -> (v[i] - q[i]) * (v[i] - q[i]))), 6)
+                               AS d
+                    FROM v, qv)
+                ORDER BY d, vec_id LIMIT 5)
+            SELECT count(*) / 5.0 AS recall_at_5
+            FROM exact SEMI JOIN anntop ON exact.vec_id = anntop.vec_id
         """,
         "pq_trained_recall": f"""
             WITH {_DUCK_PQ_CODES},

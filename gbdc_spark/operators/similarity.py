@@ -28,6 +28,10 @@ __all__ = [
     "ivf_probe",
     "centroids_from_rows",
     "kmeans_fit",
+    "sq8_bounds",
+    "sq8_bounds_lists",
+    "sq8_encode",
+    "sq8_topk",
     "pq_codebook_from_rows",
     "pq_encode",
     "pq_adc_topk",
@@ -199,6 +203,103 @@ def _subvectors(v: Column, m: int, sub: int) -> Column:
             )
             for j in range(m)
         ]
+    )
+
+
+def sq8_bounds(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (i, lo, hi) training bounds for 8-bit scalar
+    quantization — the min/max calibration pass of the SQ8 codec (the
+    classical scalar-quantizer member of the vector-compression family
+    next to PQ: 1 byte/dim instead of 1 byte/subspace, no codebook).
+
+    Scale shape: one posexplode + groupBy(dim) with map-side-combined
+    partial min/max — the shuffle carries d rows per map partition, so
+    the pass is one corpus scan regardless of corpus size.  min/max of
+    doubles are exact picks of existing values, so any engine derives
+    bit-identical bounds from the same table.
+    """
+    return (
+        df.select(
+            F.posexplode(_to_double(F.col(vec_col))).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+
+
+def sq8_bounds_lists(df: DataFrame,
+                     vec_col: str = "embedding") -> tuple[list, list]:
+    """Collect :func:`sq8_bounds` as (lo, hi) Python lists in dimension
+    order — a bounded d-row driver action (the centroid-probe pattern),
+    the literal form :func:`sq8_encode` / :func:`sq8_topk` bake into
+    their per-row expressions."""
+    rows = sq8_bounds(df, vec_col=vec_col).orderBy("i").collect()
+    return ([r["lo"] for r in rows], [r["hi"] for r in rows])
+
+
+def sq8_encode(df: DataFrame, lo: list[float], hi: list[float],
+               key: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """SQ8-encode every vector against literal training bounds:
+    ``code_i = clamp(floor((x_i - lo_i) * 256 / (hi_i - lo_i)), 0,
+    255)`` (degenerate dims with ``hi == lo`` encode as 0) — 1 byte per
+    dimension, 4× smaller than float32 with no codebook to train.  The
+    expression is written with the exact operation order the DuckDB
+    oracles replicate ``((x - lo) * 256.0) / (hi - lo)``, so both
+    engines land every boundary case on the same code.
+
+    Returns (key, codes array<int>).  Scale shape: a pure per-row JVM
+    projection over the scan — no shuffle, no Python.
+    """
+    lo_a = F.array(*[F.lit(float(x)) for x in lo])
+    # span baked per-dim; hi==lo dims get span 0 -> code 0 below
+    span_a = F.array(*[F.lit(float(h) - float(l)) for h, l in zip(hi, lo)])
+    v = _to_double(F.col(vec_col))
+    diff = F.zip_with(v, lo_a, lambda x, l: x - l)
+    codes = F.zip_with(
+        diff, span_a,
+        lambda d, s: F.when(s == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((d * F.lit(256.0)) / s), F.lit(0).cast("long")
+                ),
+                F.lit(255).cast("long"),
+            )
+        ).cast("int"),
+    )
+    return df.select(F.col(key), codes.alias("codes"))
+
+
+def sq8_topk(codes: DataFrame, lo: list[float], hi: list[float],
+             query: list[float], k: int = 5,
+             key: str = "vec_id") -> DataFrame:
+    """Asymmetric top-k over SQ8 codes: each code dequantizes to its
+    bin center ``lo_i + (code_i + 0.5) * (hi_i - lo_i) / 256`` (the
+    /256 is a power-of-two division, exact in binary, so every engine
+    reconstructs identical doubles) and is scored by squared L2 to the
+    full-precision query — approximate distances ascending, ties to
+    the smallest key, the :func:`pq_adc_topk` contract at 1 byte/dim.
+
+    Scale shape: per-row dequantize + fold (JVM, no shuffle) into a
+    TakeOrdered top-k — no global sort materializes.
+    """
+    lo_a = F.array(*[F.lit(float(x)) for x in lo])
+    scale_a = F.array(
+        *[F.lit((float(h) - float(l)) / 256.0) for h, l in zip(hi, lo)]
+    )
+    q = F.array(*[F.lit(float(x)) for x in query])
+    centered = F.zip_with(
+        F.transform(F.col("codes"), lambda c: c.cast("double")),
+        scale_a,
+        lambda c, s: (c + F.lit(0.5)) * s,
+    )
+    xhat = F.zip_with(centered, lo_a, lambda c, l: l + c)
+    return (
+        codes.select(
+            F.col(key), F.round(_l2sq(xhat, q), 6).alias("adist")
+        )
+        .orderBy(F.col("adist"), F.col(key))
+        .limit(k)
     )
 
 

@@ -243,3 +243,106 @@ def test_hard_negatives_band_and_rank(spark):
         by_rank = sorted(lst, key=lambda r: r["neg_rank"])
         cosines = [r["cosine"] for r in by_rank]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_sq8_encode_matches_numpy_reference(spark):
+    import numpy as np
+
+    from gbdc_spark.operators.similarity import (
+        sq8_bounds_lists,
+        sq8_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.uniform(-2.0, 3.0, size=(20, 6)).astype(np.float32)
+    vecs[:, 4] = 1.25  # degenerate dim: hi == lo
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    lo, hi = sq8_bounds_lists(df)
+    v64 = vecs.astype(np.float64)
+    assert lo == pytest.approx(v64.min(axis=0), abs=0)
+    assert hi == pytest.approx(v64.max(axis=0), abs=0)
+
+    out = {r["vec_id"]: r["codes"] for r in sq8_encode(df, lo, hi).collect()}
+    for i in range(len(vecs)):
+        for d in range(6):
+            span = hi[d] - lo[d]
+            if span == 0.0:
+                exp = 0
+            else:
+                exp = int(
+                    min(max(np.floor((v64[i, d] - lo[d]) * 256.0 / span), 0), 255)
+                )
+            assert out[i][d] == exp, (i, d)
+    # max value must clamp to 255, min to 0
+    flat = [c for cs in out.values() for c in cs]
+    assert max(flat) == 255 and 0 in flat
+
+
+def test_sq8_dequantization_error_within_half_bin(spark):
+    import numpy as np
+
+    from gbdc_spark.operators.similarity import (
+        sq8_bounds_lists,
+        sq8_encode,
+        sq8_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lo, hi = sq8_bounds_lists(df)
+    codes = {r["vec_id"]: r["codes"] for r in sq8_encode(df, lo, hi).collect()}
+    v64 = vecs.astype(np.float64)
+    for i in range(len(vecs)):
+        for d in range(8):
+            span = hi[d] - lo[d]
+            xhat = lo[d] + (codes[i][d] + 0.5) * (span / 256.0)
+            assert abs(xhat - v64[i, d]) <= span / 512.0 + 1e-12
+
+
+def test_sq8_topk_recovers_exact_neighbors_on_separated_data(spark):
+    import numpy as np
+
+    from gbdc_spark.operators.similarity import (
+        _l2sq,
+        _to_double,
+        sq8_bounds_lists,
+        sq8_encode,
+        sq8_topk,
+    )
+    from pyspark.sql import functions as F
+
+    # three well-separated clusters: quantization error << cluster gap,
+    # so the SQ8 top-5 equals the exact top-5
+    rng = np.random.default_rng(3)
+    centers = np.array([[0.0] * 8, [10.0] * 8, [-10.0] * 8])
+    vecs = np.concatenate(
+        [c + rng.normal(scale=0.05, size=(10, 8)) for c in centers]
+    ).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lo, hi = sq8_bounds_lists(df)
+    query = [float(x) for x in vecs[0]]
+    ann = sq8_topk(sq8_encode(df, lo, hi), lo, hi, query, k=5).collect()
+    q = F.array(*[F.lit(x) for x in query])
+    exact = (
+        df.select(
+            "vec_id",
+            F.round(_l2sq(_to_double(F.col("embedding")), q), 6).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .collect()
+    )
+    # the 0.04/dim quantization error is on par with the 0.05-sigma
+    # intra-cluster spread, so exact intra-cluster ORDER is not
+    # preserved — cluster membership and the self-match are
+    assert ann[0]["vec_id"] == 0
+    assert {r["vec_id"] for r in ann} <= set(range(10))
+    assert {r["vec_id"] for r in exact} <= set(range(10))
+    # approximate distances are monotone non-decreasing
+    dists = [r["adist"] for r in ann]
+    assert dists == sorted(dists)

@@ -273,6 +273,13 @@ CHECKS = {
         ("boost table broadcast back to the corpus", r"BroadcastHashJoin"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "sq8_topk": [
+        ("top-k is TakeOrdered, not a global sort",
+         r"TakeOrderedAndProject"),
+        ("no hash/range shuffle (per-row dequantize + fold)",
+         r"^(?!.*(hashpartitioning|rangepartitioning))"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "unimax_mix": [
         ("epochs table broadcast back to the corpus",
          r"BroadcastHashJoin"),
