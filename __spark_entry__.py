@@ -781,6 +781,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, pairs, key="doc_id", shingle_n=2
         )
 
+    def q_score_norm_minmax(spark, sf_dir):
+        # per-source min-max score normalization over the integer
+        # n_chars score — min/max are exact value picks, so the
+        # normalized doubles are bit-identical across engines
+        from gbdc_spark.operators.quality import normalize_scores
+
+        return normalize_scores(
+            _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+            "n_chars", by="source", method="minmax",
+        )
+
+    def q_score_norm_zscore(spark, sf_dir):
+        # per-source z-score normalization; integer scores make the
+        # mean exact, stddev_pop agrees to ~1e-12 across engines and
+        # the 6-decimal rounding absorbs it
+        from gbdc_spark.operators.quality import normalize_scores
+
+        return normalize_scores(
+            _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+            "n_chars", by="source", method="zscore",
+        )
+
     def q_dsir_weights(spark, sf_dir):
         # DSIR data selection: source 'src0' docs are the target set,
         # the rest are the raw corpus; hashed-unigram log-likelihood
@@ -3137,6 +3159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "unimax_mix": q_unimax_mix,
         "ngram_containment": q_ngram_containment,
+        "score_norm_minmax": q_score_norm_minmax,
+        "score_norm_zscore": q_score_norm_zscore,
         "source_temperature": q_source_temperature,
         "chunk_sequences": q_chunk_sequences,
         "stream_asof": q_stream_asof,
@@ -5581,6 +5605,31 @@ def oracle_sql() -> dict[str, str]:
                        {_duck_md5_u32("concat('unimax:', CAST(d.doc_id AS VARCHAR))")}
                        < t.thr THEN 1 ELSE 0 END AS INTEGER) AS n_copies
             FROM documents d JOIN t USING (lang)
+        """,
+        "score_norm_minmax": """
+            WITH s AS (
+                SELECT source,
+                       min(CAST(n_chars AS DOUBLE)) AS lo,
+                       max(CAST(n_chars AS DOUBLE)) AS hi
+                FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source, d.n_chars,
+                   round(CASE WHEN s.hi > s.lo
+                              THEN (CAST(d.n_chars AS DOUBLE) - s.lo)
+                                   / (s.hi - s.lo)
+                              ELSE 0.0 END, 6) AS score_norm
+            FROM documents d JOIN s USING (source)
+        """,
+        "score_norm_zscore": """
+            WITH s AS (
+                SELECT source,
+                       avg(CAST(n_chars AS DOUBLE)) AS mu,
+                       stddev_pop(CAST(n_chars AS DOUBLE)) AS sd
+                FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source, d.n_chars,
+                   round(CASE WHEN s.sd > 0
+                              THEN (CAST(d.n_chars AS DOUBLE) - s.mu) / s.sd
+                              ELSE 0.0 END, 6) AS score_norm
+            FROM documents d JOIN s USING (source)
         """,
         "ngram_containment": """
             WITH sh AS (

@@ -33,7 +33,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "token_lm_perplexity", "kn_perplexity", "domain_weights",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
            "temperature_weights", "ccnet_buckets", "temperature_mix",
-           "unimax_weights", "unimax_mix",
+           "unimax_weights", "unimax_mix", "normalize_scores",
            "percentile_gate"]
 
 # Redaction rules: name -> (regex, replacement token).  Patterns are
@@ -1693,6 +1693,68 @@ def temperature_mix(
         .withColumn("boost", F.col("_boost"))
         .select(*df.columns, "boost", "n_copies")
     )
+
+
+def normalize_scores(
+    df: DataFrame,
+    score_col: str,
+    by: str | None = None,
+    method: str = "zscore",
+    out: str = "score_norm",
+) -> DataFrame:
+    """Normalize a quality score per group (``by``, e.g. source or
+    language) or globally (``by=None``) so heterogeneous scorers
+    become comparable before thresholding/mixing — the step a
+    percentile gate skips but a weighted-mixture design needs when
+    scores from different scorers (perplexity, classifier logits,
+    heuristics) share one pipeline.
+
+    ``method``:
+
+    * ``zscore`` — ``(x - mean) / stddev_pop``; degenerate groups
+      (zero variance) normalize to 0.0;
+    * ``minmax`` — ``(x - min) / (max - min)`` into [0, 1]; degenerate
+      groups normalize to 0.0.
+
+    Output is rounded to 6 decimals.  On INTEGER score columns every
+    moment (sum, sum of squares, min/max) is exactly representable, so
+    any engine derives bit-identical results; on float scores the
+    rounding absorbs engine summation-order noise (the repo-wide
+    oracle contract).
+
+    Scale shape: one map-side-combined moment aggregate per group
+    (output cardinality = #groups), broadcast-joined back — the corpus
+    never reshuffles and never crosses into Python.
+    """
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"unknown method {method!r}")
+    x = F.col(score_col).cast("double")
+    gb = df.groupBy(*([by] if by else []))
+    if method == "zscore":
+        stats = gb.agg(
+            F.avg(x).alias("_mu"),
+            F.stddev_pop(x).alias("_sd"),
+        )
+        norm = F.when(
+            F.col("_sd") > 0.0, (x - F.col("_mu")) / F.col("_sd")
+        ).otherwise(F.lit(0.0))
+        drop = ["_mu", "_sd"]
+    else:
+        stats = gb.agg(F.min(x).alias("_lo"), F.max(x).alias("_hi"))
+        norm = F.when(
+            F.col("_hi") > F.col("_lo"),
+            (x - F.col("_lo")) / (F.col("_hi") - F.col("_lo")),
+        ).otherwise(F.lit(0.0))
+        drop = ["_lo", "_hi"]
+    if by:
+        stats = stats.withColumnRenamed(by, "_nsg")
+        joined = df.join(
+            F.broadcast(stats), F.col(by).eqNullSafe(F.col("_nsg"))
+        )
+        drop.append("_nsg")
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
+    return joined.withColumn(out, F.round(norm, 6)).drop(*drop)
 
 
 def unimax_weights(

@@ -1325,3 +1325,62 @@ def test_unimax_rejects_nonpositive_budget(spark):
         unimax_weights(df, budget=0)
     with pytest.raises(ValueError):
         unimax_weights(df, budget=10, max_epochs=0)
+
+
+def test_normalize_scores_zscore_matches_numpy(spark):
+    import numpy as np
+
+    from gbdc_spark.operators.quality import normalize_scores
+
+    rows = [(i, "a" if i < 6 else "b", float(v))
+            for i, v in enumerate([1, 2, 3, 4, 5, 6, 10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, s double")
+    out = {r["doc_id"]: r["score_norm"] for r in
+           normalize_scores(df, "s", by="source").collect()}
+    for grp in ("a", "b"):
+        vals = np.array([v for i, g, v in rows if g == grp])
+        mu, sd = vals.mean(), vals.std()
+        for i, g, v in rows:
+            if g == grp:
+                assert out[i] == pytest.approx(
+                    round((v - mu) / sd, 6), abs=1e-9
+                )
+
+
+def test_normalize_scores_minmax_and_degenerate(spark):
+    from gbdc_spark.operators.quality import normalize_scores
+
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 15.0),
+            (4, "b", 7.0), (5, "b", 7.0)]  # b is degenerate
+    df = spark.createDataFrame(rows, "doc_id long, source string, s double")
+    out = {r["doc_id"]: r["score_norm"] for r in
+           normalize_scores(df, "s", by="source", method="minmax").collect()}
+    assert out[1] == 0.0 and out[2] == 1.0 and out[3] == 0.5
+    assert out[4] == 0.0 and out[5] == 0.0
+    z = {r["doc_id"]: r["score_norm"] for r in
+         normalize_scores(df, "s", by="source").collect()}
+    assert z[4] == 0.0 and z[5] == 0.0  # zero-variance group -> 0
+
+
+def test_normalize_scores_global_and_schema(spark):
+    from gbdc_spark.operators.quality import normalize_scores
+
+    rows = [(1, 0.0), (2, 10.0)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = normalize_scores(df, "s", method="minmax")
+    assert out.columns == ["doc_id", "s", "score_norm"]
+    got = {r["doc_id"]: r["score_norm"] for r in out.collect()}
+    assert got == {1: 0.0, 2: 1.0}
+    with pytest.raises(ValueError):
+        normalize_scores(df, "s", method="rank")
+
+
+def test_normalize_scores_null_group_kept(spark):
+    from gbdc_spark.operators.quality import normalize_scores
+
+    rows = [(1, None, 1.0), (2, None, 3.0), (3, "a", 5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, s double")
+    out = {r["doc_id"]: r["score_norm"] for r in
+           normalize_scores(df, "s", by="source", method="minmax").collect()}
+    assert len(out) == 3  # eqNullSafe keeps the NULL group
+    assert out[1] == 0.0 and out[2] == 1.0 and out[3] == 0.0

@@ -273,6 +273,12 @@ CHECKS = {
         ("boost table broadcast back to the corpus", r"BroadcastHashJoin"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "score_norm_minmax": [
+        ("group stats broadcast back to the corpus", r"BroadcastHashJoin"),
+        ("per-group moments are map-side-combined partial aggs",
+         r"partial_(min|max|avg)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "sq8_topk": [
         ("top-k is TakeOrdered, not a global sort",
          r"TakeOrderedAndProject"),
