@@ -803,6 +803,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_chars", by="source", method="zscore",
         )
 
+    def q_minhash_lsh_eval(spark, sf_dir):
+        # LSH operating point: precision/recall of the 8-perm/4-band
+        # word-set MinHash candidates vs exact PPJoin Jaccard truth at
+        # 0.95 — the dedup family's recall-evaluation loop
+        return dedup.minhash_lsh_eval(
+            _docs(spark, sf_dir).select("doc_id", "text"), threshold=0.95
+        )
+
     def q_dsir_weights(spark, sf_dir):
         # DSIR data selection: source 'src0' docs are the target set,
         # the rest are the raw corpus; hashed-unigram log-likelihood
@@ -3161,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "score_norm_minmax": q_score_norm_minmax,
         "score_norm_zscore": q_score_norm_zscore,
+        "minhash_lsh_eval": q_minhash_lsh_eval,
         "source_temperature": q_source_temperature,
         "chunk_sequences": q_chunk_sequences,
         "stream_asof": q_stream_asof,
@@ -5630,6 +5639,61 @@ def oracle_sql() -> dict[str, str]:
                               THEN (CAST(d.n_chars AS DOUBLE) - s.mu) / s.sd
                               ELSE 0.0 END, 6) AS score_norm
             FROM documents d JOIN s USING (source)
+        """,
+        "minhash_lsh_eval": """
+            WITH w AS (SELECT doc_id, str_split(text, ' ') AS words
+                       FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(len(words), 1) + 1),
+                           i -> array_to_string(list_slice(words, i, i),
+                                                ' ')) AS shingles
+                FROM w),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 8), j ->
+                           list_min(list_transform(shingles,
+                               s -> md5(concat(CAST(j AS VARCHAR), ':',
+                                               s))))) AS mh
+                FROM sh),
+            banded AS (
+                SELECT doc_id, b.band,
+                       concat(mh[b.band * 2 + 1], '|',
+                              mh[b.band * 2 + 2]) AS bkey
+                FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM banded l JOIN banded r
+                  ON l.band = r.band AND l.bkey = r.bkey
+                 AND l.doc_id < r.doc_id),
+            tw AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           str_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS ts
+                FROM documents),
+            p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       len(list_intersect(a.ts, b.ts)) AS i,
+                       len(a.ts) + len(b.ts)
+                           - len(list_intersect(a.ts, b.ts)) AS u
+                FROM tw a JOIN tw b ON a.doc_id < b.doc_id),
+            truth AS (SELECT a, b FROM p WHERE i / u >= 0.95),
+            nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates
+                   FROM cand),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+            nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+                   FROM cand SEMI JOIN truth
+                     ON cand.a = truth.a AND cand.b = truth.b)
+            SELECT n_candidates, n_truth, n_hits,
+                   round(CASE WHEN n_candidates > 0
+                              THEN n_hits / CAST(n_candidates AS DOUBLE)
+                         END, 6) AS precision,
+                   round(CASE WHEN n_truth > 0
+                              THEN n_hits / CAST(n_truth AS DOUBLE)
+                         END, 6) AS recall
+            FROM nc, nt, nh
         """,
         "ngram_containment": """
             WITH sh AS (

@@ -35,6 +35,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
     "jaccard_join",
+    "minhash_lsh_eval",
     "winnow_overlap_pairs",
     "line_dedup",
     "substring_dedup",
@@ -158,6 +159,57 @@ def minhash_candidate_pairs(
         ensure_parallelism(df), text_col, num_perm, shingle_n
     ).select(key, "minhash")
     return _band_pairs(sig, key, num_perm, bands)
+
+
+def minhash_lsh_eval(
+    df: DataFrame, threshold: float = 0.95, num_perm: int = 8,
+    bands: int = 4, key: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Operating-point evaluation of the MinHash-LSH candidate
+    generator against EXACT word-set Jaccard ground truth — the dedup
+    family's counterpart of the ANN ``*_recall`` queries: candidates
+    from :func:`minhash_candidate_pairs` at ``shingle_n=1`` (word
+    sets), truth from :func:`jaccard_join` (prefix-filtered, exact by
+    the PPJoin guarantee) at ``threshold``, both in the same
+    similarity space.  Returns ONE row: (n_candidates, n_truth,
+    n_hits, precision, recall) — recall is what the banding scheme
+    promises (1-(1-J^r)^b), precision is what band collisions cost;
+    measuring both in-engine is how a deployment picks num_perm/bands
+    before a corpus-scale run.  Zero denominators yield NULL.
+
+    Scale shape: the candidate side is the band equi-join, the truth
+    side the rare-first prefix join — no all-pairs anywhere; the three
+    1-row counts cross-join at the end (broadcast, trivial).
+    """
+    cand = minhash_candidate_pairs(
+        df, key, text_col, num_perm=num_perm, bands=bands, shingle_n=1
+    )
+    truth = jaccard_join(df, key, text_col, threshold).select("a", "b")
+    hits = cand.join(truth, ["a", "b"], "left_semi")
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_candidates", "n_truth", "n_hits",
+            F.round(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_hits") / F.col("n_candidates"),
+                ),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_hits") / F.col("n_truth"),
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )
 
 
 def _token_shingles(tokens_col: str, n: int) -> Column:

@@ -1174,3 +1174,41 @@ def test_ngram_containment_matches_python_sets(spark):
     assert out[(1, 4)]["containment_a"] == 1.0
     assert out[(1, 4)]["containment_b"] == 1.0
     assert out[(1, 3)]["containment_a"] == 0.0
+
+
+def test_minhash_lsh_eval_counts_and_perfect_recall_on_clones(spark):
+    import itertools
+
+    from gbdc_spark.operators.dedup import (
+        jaccard_join,
+        minhash_candidate_pairs,
+        minhash_lsh_eval,
+    )
+
+    # 3 exact clones (J=1), one unrelated doc — truth = 3 clone pairs
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_eval(df, threshold=0.95).collect()[0]
+    assert out["n_truth"] == 3
+    # identical word sets share every band -> all 3 clone pairs found
+    assert out["n_hits"] == 3
+    assert out["recall"] == 1.0
+    # cross-check counts against the constituent operators
+    nc = minhash_candidate_pairs(df, shingle_n=1).count()
+    assert out["n_candidates"] == nc
+    assert out["precision"] == pytest.approx(round(3 / nc, 6))
+
+
+def test_minhash_lsh_eval_null_on_zero_truth(spark):
+    from gbdc_spark.operators.dedup import minhash_lsh_eval
+
+    rows = [(1, "a b c"), (2, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_eval(df, threshold=0.95).collect()[0]
+    assert out["n_truth"] == 0
+    assert out["recall"] is None

@@ -579,6 +579,13 @@ CHECKS = {
         ("doc-frequency fold is map-side combined", r"partial_count"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "minhash_lsh_eval": [
+        ("band + prefix + verify joins are real equi-joins (the "
+         "1-row count tables may broadcast-nested-loop)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no cartesian product", r"^(?!.*CartesianProduct)"),
+        ("no Python workers", r"^(?!.*ArrowEvalPython)"),
+    ],
     "textrank_words": [
         ("top-k keywords via TakeOrderedAndProject (no full sort)",
          r"TakeOrderedAndProject"),
