@@ -811,6 +811,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir).select("doc_id", "text"), threshold=0.95
         )
 
+    def q_unimax_expand(spark, sf_dir):
+        # composed mixture prep over the session's pieces: per-lang
+        # min-max score gate (keep score_norm >= 0.2) -> UniMax
+        # epoch-capped allocation over the SURVIVORS (budget = 1.5x
+        # surviving chars, 2-epoch cap) -> repeats expansion via
+        # explode(sequence(1, n_copies)) — the downstream shape the
+        # unimax_mix docstring promises is one explode away
+        from gbdc_spark.operators.quality import (
+            normalize_scores,
+            unimax_mix,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        kept = normalize_scores(
+            docs, "n_chars", by="lang", method="minmax"
+        ).filter(F.col("score_norm") >= 0.2)
+        tot = kept.agg(F.sum("n_chars")).first()[0]
+        mixed = unimax_mix(
+            kept.select("doc_id", "lang", "n_chars"),
+            budget=(3 * int(tot)) // 2, max_epochs=2,
+            source_col="lang", size_col="n_chars",
+        )
+        return mixed.filter(F.col("n_copies") > 0).select(
+            "doc_id", "lang", "n_copies",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_copies"))
+            ).alias("copy_idx"),
+        )
+
     def q_dsir_weights(spark, sf_dir):
         # DSIR data selection: source 'src0' docs are the target set,
         # the rest are the raw corpus; hashed-unigram log-likelihood
@@ -3170,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_norm_minmax": q_score_norm_minmax,
         "score_norm_zscore": q_score_norm_zscore,
         "minhash_lsh_eval": q_minhash_lsh_eval,
+        "unimax_expand": q_unimax_expand,
         "source_temperature": q_source_temperature,
         "chunk_sequences": q_chunk_sequences,
         "stream_asof": q_stream_asof,
@@ -5565,6 +5595,72 @@ def oracle_sql() -> dict[str, str]:
                        {_duck_md5_u32("concat('tmix:', CAST(d.doc_id AS VARCHAR))")}
                        < e.thr THEN 1 ELSE 0 END AS INTEGER) AS n_copies
             FROM documents d JOIN e USING (source)
+        """,
+        "unimax_expand": f"""
+            WITH n AS (
+                SELECT lang,
+                       min(CAST(n_chars AS DOUBLE)) AS lo,
+                       max(CAST(n_chars AS DOUBLE)) AS hi
+                FROM documents GROUP BY lang),
+            kept AS (
+                SELECT d.doc_id, d.lang, d.n_chars
+                FROM documents d JOIN n USING (lang)
+                WHERE round(CASE WHEN n.hi > n.lo
+                                 THEN (CAST(d.n_chars AS DOUBLE) - n.lo)
+                                      / (n.hi - n.lo)
+                                 ELSE 0.0 END, 6) >= 0.2),
+            c AS (
+                SELECT lang, sum(n_chars)::BIGINT AS sz
+                FROM kept GROUP BY lang),
+            b AS (
+                SELECT (3 * sum(sz)) // 2 AS budget FROM c),
+            r AS (
+                SELECT lang, sz, 2 * sz AS capacity,
+                       row_number() OVER (ORDER BY 2 * sz, lang) AS i,
+                       coalesce(sum(2 * sz) OVER (
+                           ORDER BY 2 * sz, lang
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cumb,
+                       count(*) OVER () AS k
+                FROM c),
+            f AS (
+                SELECT r.*, b.budget,
+                       (capacity * (k - i + 1) <= budget - cumb)
+                           AS is_capped
+                FROM r CROSS JOIN b),
+            agg AS (
+                SELECT sum(CASE WHEN is_capped THEN capacity
+                                ELSE 0 END) AS csum,
+                       sum(CASE WHEN is_capped THEN 0 ELSE 1 END) AS nunc,
+                       any_value(budget) AS budget
+                FROM f),
+            alloc AS (
+                SELECT f.lang, f.sz,
+                       CASE WHEN f.is_capped THEN f.capacity
+                            ELSE CAST(floor((agg.budget - agg.csum)
+                                 / greatest(agg.nunc, 1)) AS BIGINT)
+                       END AS allocated
+                FROM f CROSS JOIN agg),
+            e AS (
+                SELECT lang,
+                       round(allocated / CAST(sz AS DOUBLE), 6) AS epochs
+                FROM alloc),
+            t AS (
+                SELECT lang,
+                       CAST(floor(epochs) AS INTEGER) AS base,
+                       CAST(floor((epochs - floor(epochs)) * 4294967296.0)
+                            AS BIGINT) AS thr
+                FROM e),
+            m AS (
+                SELECT kept.doc_id, kept.lang,
+                       CAST(t.base + CASE WHEN
+                           {_duck_md5_u32("concat('unimax:', CAST(kept.doc_id AS VARCHAR))")}
+                           < t.thr THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+                FROM kept JOIN t USING (lang))
+            SELECT doc_id, lang, n_copies,
+                   CAST(unnest(range(1, n_copies + 1)) AS INTEGER)
+                       AS copy_idx
+            FROM m WHERE n_copies > 0
         """,
         "unimax_mix": f"""
             WITH c AS (

@@ -286,6 +286,14 @@ CHECKS = {
          r"^(?!.*(hashpartitioning|rangepartitioning))"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "unimax_expand": [
+        ("gate stats + epochs tables broadcast back",
+         r"BroadcastHashJoin"),
+        ("repeats expansion is a per-row explode (no extra key "
+         "shuffle beyond the source aggs)", r"Generate"),
+        ("no cartesian product", r"^(?!.*CartesianProduct)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "unimax_mix": [
         ("epochs table broadcast back to the corpus",
          r"BroadcastHashJoin"),
