@@ -840,6 +840,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("copy_idx"),
         )
 
+    def q_rank_fuse(spark, sf_dir):
+        # RRF fusion of two cheap corpus-wide rankers (char length and
+        # word count) — rank-only combination in integer micro-units,
+        # so both engines derive the identical fused order
+        from gbdc_spark.operators.text import rank_fuse
+
+        docs = _docs(spark, sf_dir)
+        a = docs.select(
+            "doc_id", F.lit("chars").alias("ranker"),
+            F.col("n_chars").cast("double").alias("score"),
+        )
+        b = docs.select(
+            "doc_id", F.lit("words").alias("ranker"),
+            F.size(F.split(F.col("text"), " ")).cast("double").alias("score"),
+        )
+        return rank_fuse(a.unionByName(b), k=60)
+
     def q_dsir_weights(spark, sf_dir):
         # DSIR data selection: source 'src0' docs are the target set,
         # the rest are the raw corpus; hashed-unigram log-likelihood
@@ -3200,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_norm_zscore": q_score_norm_zscore,
         "minhash_lsh_eval": q_minhash_lsh_eval,
         "unimax_expand": q_unimax_expand,
+        "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
         "chunk_sequences": q_chunk_sequences,
         "stream_asof": q_stream_asof,
@@ -5595,6 +5613,27 @@ def oracle_sql() -> dict[str, str]:
                        {_duck_md5_u32("concat('tmix:', CAST(d.doc_id AS VARCHAR))")}
                        < e.thr THEN 1 ELSE 0 END AS INTEGER) AS n_copies
             FROM documents d JOIN e USING (source)
+        """,
+        "rank_fuse": """
+            WITH s AS (
+                SELECT doc_id, 'chars' AS ranker,
+                       CAST(n_chars AS DOUBLE) AS score
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'words',
+                       CAST(len(str_split(text, ' ')) AS DOUBLE)
+                FROM documents),
+            r AS (
+                SELECT doc_id, ranker,
+                       row_number() OVER (PARTITION BY ranker
+                                          ORDER BY score DESC, doc_id) AS rn
+                FROM s WHERE score IS NOT NULL)
+            SELECT doc_id,
+                   CAST(sum(1000000000 // (60 + rn)) AS BIGINT) AS rrf_micro,
+                   CAST(count(*) AS BIGINT) AS n_rankers,
+                   sum(1000000000 // (60 + rn)) / 1000000000.0
+                       AS rrf_score
+            FROM r GROUP BY doc_id
         """,
         "unimax_expand": f"""
             WITH n AS (

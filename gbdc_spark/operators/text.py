@@ -29,6 +29,7 @@ __all__ = [
     "word_burstiness",
     "heaps_fit",
     "source_ngram_overlap",
+    "rank_fuse",
 ]
 
 # fixed marker set for the n-gram/stopword language heuristic
@@ -252,6 +253,66 @@ def source_divergence(df: DataFrame, text_col: str = "text",
         )
         .groupBy(group, "n_tokens", "n_terms")
         .agg(F.round(F.sum("term_kl"), 6).alias("kl_to_corpus"))
+    )
+
+
+def rank_fuse(
+    df: DataFrame,
+    key: str = "doc_id",
+    ranker_col: str = "ranker",
+    score_col: str = "score",
+    k: int = 60,
+    bucketed: bool | None = None,
+    quant: float = 1e6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    over a LONG-form score table (key, ranker, score): each ranker
+    contributes ``1 / (k + rank)`` to every doc it scored, and docs
+    are fused by the sum — the standard way to combine BM25, embedding
+    cosine and heuristic rankings without calibrating their score
+    scales (only ranks matter).
+
+    Determinism contract: the contribution is computed in INTEGER
+    micro-units ``floor(1e9 / (k + rank))`` so the fused sum is an
+    associative integer sum — engine- and partition-order-exact (a
+    float 1/(k+rank) sum would differ in the last ulp with summation
+    order).  ``rrf_score`` = micro-units / 1e9 as the UNROUNDED
+    correctly-rounded double — identical in every IEEE engine because
+    the dividend is the shared integer (a decimal re-round here would
+    reintroduce half-tie divergence: Spark rounds the decimal string,
+    DuckDB the binary double).  Ranks are per-ranker
+    (score desc, key asc); NULL scores contribute nothing but the doc
+    row survives with ``n_rankers`` counting only real contributions.
+
+    Scale shape: per-ranker ranking via the shared two-phase
+    score-bucketed rank (no single-partition window over a
+    corpus-sized ranker, ``bucketed``/``quant`` as in
+    :func:`~gbdc_spark.operators.quality.ccnet_buckets`), then one
+    map-side-combined sum per key.
+    """
+    from .quality import _group_rank_sizes
+
+    ranked = _group_rank_sizes(
+        df.select(key, ranker_col, score_col),
+        score_col, ranker_col, key,
+        ascending=False, bucketed=bucketed,
+        bucket_threshold=2_000_000, quant=quant,
+        max_group_rows=None,
+    )
+    micro = F.when(
+        F.col("_rn").isNotNull(),
+        F.floor(
+            F.lit(1_000_000_000) / (F.lit(int(k)) + F.col("_rn"))
+        ).cast("long"),
+    )
+    return (
+        ranked.groupBy(key)
+        .agg(
+            F.coalesce(F.sum(micro), F.lit(0).cast("long"))
+            .alias("rrf_micro"),
+            F.count(F.col("_rn")).alias("n_rankers"),
+        )
+        .withColumn("rrf_score", F.col("rrf_micro") / F.lit(1e9))
     )
 
 

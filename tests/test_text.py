@@ -374,3 +374,67 @@ def test_source_ngram_overlap_hand_computed(spark):
     assert (ac["grams_a"], ac["grams_b"], ac["shared_grams"]) == (3, 0, 0)
     assert ac["jaccard"] == 0.0  # 0 / (3+0-0)
     assert ac["containment"] is None  # min side has no grams: undefined
+
+
+def test_rank_fuse_matches_python_reference(spark):
+    import math
+
+    from gbdc_spark.operators.text import rank_fuse
+
+    # two rankers with different orders over 5 docs
+    scores = {
+        "r1": {1: 9.0, 2: 7.0, 3: 5.0, 4: 3.0, 5: 1.0},
+        "r2": {1: 1.0, 2: 2.0, 3: 9.0, 4: 8.0, 5: 7.0},
+    }
+    rows = [(d, r, s) for r, m in scores.items() for d, s in m.items()]
+    df = spark.createDataFrame(rows, "doc_id long, ranker string, score double")
+    out = {r["doc_id"]: r for r in rank_fuse(df, k=60).collect()}
+
+    for d in range(1, 6):
+        micro = 0
+        for r, m in scores.items():
+            rank = 1 + sum(
+                1 for d2, s2 in m.items()
+                if s2 > m[d] or (s2 == m[d] and d2 < d)
+            )
+            micro += math.floor(1_000_000_000 / (60 + rank))
+        assert out[d]["rrf_micro"] == micro, d
+        assert out[d]["n_rankers"] == 2
+        assert out[d]["rrf_score"] == micro / 1e9
+
+
+def test_rank_fuse_identical_rankers_double_single(spark):
+    from gbdc_spark.operators.text import rank_fuse
+
+    rows = [(d, r, float(10 - d)) for r in ("a", "b") for d in range(1, 4)]
+    single = [(d, "a", float(10 - d)) for d in range(1, 4)]
+    df2 = spark.createDataFrame(rows, "doc_id long, ranker string, score double")
+    df1 = spark.createDataFrame(single, "doc_id long, ranker string, score double")
+    two = {r["doc_id"]: r["rrf_micro"] for r in rank_fuse(df2).collect()}
+    one = {r["doc_id"]: r["rrf_micro"] for r in rank_fuse(df1).collect()}
+    assert two == {d: 2 * v for d, v in one.items()}
+
+
+def test_rank_fuse_null_scores_contribute_nothing(spark):
+    from gbdc_spark.operators.text import rank_fuse
+
+    rows = [(1, "a", 5.0), (2, "a", 3.0), (1, "b", None), (2, "b", 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, ranker string, score double")
+    out = {r["doc_id"]: r for r in rank_fuse(df).collect()}
+    assert out[1]["n_rankers"] == 1  # null row ignored
+    assert out[2]["n_rankers"] == 2
+    import math
+    assert out[1]["rrf_micro"] == math.floor(1e9 / 61)
+    # doc 2: rank 2 in a, rank 1 in b
+    assert out[2]["rrf_micro"] == math.floor(1e9 / 62) + math.floor(1e9 / 61)
+
+
+def test_rank_fuse_bucketed_path_identical(spark):
+    from gbdc_spark.operators.text import rank_fuse
+
+    rows = [(d, r, float((d * 37) % 101) + (0.5 if r == "x" else 0.0))
+            for r in ("x", "y", "z") for d in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, ranker string, score double")
+    plain = sorted(map(tuple, rank_fuse(df, bucketed=False).collect()))
+    buck = sorted(map(tuple, rank_fuse(df, bucketed=True).collect()))
+    assert plain == buck

@@ -587,6 +587,14 @@ CHECKS = {
         ("doc-frequency fold is map-side combined", r"partial_count"),
         ("no Python workers", r"^(?!.*ArrowEvalPython)"),
     ],
+    "rank_fuse": [
+        ("per-key fusion is a map-side-combined partial agg",
+         r"partial_sum"),
+        ("rank offsets broadcast back (two-phase rank path available)",
+         r"(BroadcastHashJoin|RunningWindowFunction|Window)"),
+        ("no cartesian product", r"^(?!.*CartesianProduct)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "minhash_lsh_eval": [
         ("band + prefix + verify joins are real equi-joins (the "
          "1-row count tables may broadcast-nested-loop)",
