@@ -2549,6 +2549,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.count("*") / F.lit(5.0)).alias("recall_at_5")
         )
 
+    def q_mmr_topk(spark, sf_dir):
+        # MMR diversified top-5 (Carbonell & Goldstein '98): cosine
+        # top-20 pool (distributed TakeOrdered) + driver-side greedy
+        # rerank over the bounded pool; the oracle unrolls all 5
+        # argmax steps in chained CTEs
+        return similarity.mmr_topk(
+            _emb(spark, sf_dir), _query_vec(spark, sf_dir),
+            k=5, lam=0.7, pool=20,
+        )
+
     def q_sq8_topk(spark, sf_dir):
         # 8-bit scalar-quantized ANN: min/max calibration (bounded
         # d-row probe), per-row SQ8 encode, bin-center dequantized L2
@@ -3317,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "sq8_topk": q_sq8_topk,
         "sq8_recall": q_sq8_recall,
+        "mmr_topk": q_mmr_topk,
         "pq_trained_recall": q_pq_trained_recall,
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_recall": q_ivfpq_recall,
@@ -4336,6 +4347,68 @@ def _duck_bpe_sql(mode: str = "merges", n_merges: int = 12) -> str:
         LEFT JOIN (SELECT doc_id, flatten(list(ts ORDER BY pos)) AS fl
                    FROM occ GROUP BY doc_id) f
         USING (doc_id)
+        """
+    )
+
+
+def _duck_mmr_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled MMR greedy selection (similarity.mmr_topk): cosine
+    top-`pool` candidates, then k chained argmax steps — each step's
+    penalty is max(rounded cosine to the already-selected set), the
+    score `lam*rel - (1-lam)*pen` compared DESC with key ties.  The
+    lam literals use repr() so SQL parses the IDENTICAL doubles the
+    Python rerank multiplies with."""
+    la, lb = repr(float(lam)), repr(1.0 - float(lam))
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, 65), "
+            f"i -> {a}.vec[i] * {b}.vec[i])) / "
+            f"(sqrt(list_sum(list_transform(range(1, 65), "
+            f"i -> {a}.vec[i] * {a}.vec[i]))) * "
+            f"sqrt(list_sum(list_transform(range(1, 65), "
+            f"i -> {b}.vec[i] * {b}.vec[i])))), 6)"
+        )
+
+    parts = [f"""
+            vv AS (SELECT vec_id,
+                          list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE)) AS vec
+                   FROM embeddings),
+            qq AS (SELECT vec AS q FROM vv WHERE vec_id = 0),
+            cand AS (
+                SELECT vec_id, vec,
+                       round(list_sum(list_transform(range(1, 65),
+                             i -> vec[i] * q[i]))
+                             / (sqrt(list_sum(list_transform(range(1, 65),
+                                    i -> vec[i] * vec[i])))
+                                * sqrt(list_sum(list_transform(range(1, 65),
+                                    i -> q[i] * q[i])))), 6) AS rel
+                FROM vv, qq ORDER BY rel DESC, vec_id LIMIT {pool}),
+            sel1 AS (
+                SELECT vec_id, 1 AS mmr_rank, rel AS relevance,
+                       {la} * rel - {lb} * 0.0 AS mmr_score, vec
+                FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+            acc1 AS (SELECT * FROM sel1)"""]
+    for t in range(2, k + 1):
+        parts.append(f"""
+            pen{t} AS (
+                SELECT c.vec_id, c.rel, c.vec,
+                       max({cos('c', 's')}) AS pen
+                FROM cand c CROSS JOIN acc{t - 1} s
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM acc{t - 1})
+                GROUP BY c.vec_id, c.rel, c.vec),
+            sel{t} AS (
+                SELECT vec_id, {t} AS mmr_rank, rel AS relevance,
+                       {la} * rel - {lb} * pen AS mmr_score, vec
+                FROM pen{t}
+                ORDER BY {la} * rel - {lb} * pen DESC, vec_id LIMIT 1),
+            acc{t} AS (SELECT * FROM acc{t - 1}
+                       UNION ALL SELECT * FROM sel{t})""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+            SELECT vec_id, mmr_rank, relevance, mmr_score FROM acc{k}
         """
     )
 
@@ -7316,6 +7389,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DUCK_PQ_CODES}
             SELECT vec_id, adist FROM adc ORDER BY adist, vec_id LIMIT 5
         """,
+        "mmr_topk": _duck_mmr_sql(k=5, pool=20, lam=0.7),
         "sq8_topk": """
             WITH v AS (
                 SELECT vec_id,

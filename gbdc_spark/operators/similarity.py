@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine_topk",
+    "mmr_topk",
     "ivf_assign",
     "cell_prototypes",
     "hard_negatives",
@@ -69,6 +70,108 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 5,
     v = _to_double(F.col(vec_col))
     scored = df.select(F.col(key), cosine_similarity(v, q).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.col(key)).limit(k)
+
+
+def _seq_dot(a: list, b: list) -> float:
+    """Sequential left-fold dot product in index order — the SAME
+    summation order as :func:`_dot`'s F.aggregate fold and the DuckDB
+    oracles' list_sum, so a driver-side rerank reproduces the engine
+    cosines bit-for-bit."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _round_away(x: float, decimals: int = 6) -> float:
+    """Mirror of the engines' scale-then-round-half-away-from-zero on
+    the BINARY double (DuckDB round(); C std::round semantics) — NOT
+    Python's banker's round and NOT Spark's decimal-string HALF_UP,
+    both of which can flip a half-tie the other way."""
+    import math
+
+    y = x * (10.0 ** decimals)
+    t = math.floor(abs(y))
+    m = t + 1 if abs(y) - t >= 0.5 else t
+    return (m if y >= 0 else -m) / (10.0 ** decimals)
+
+
+def mmr_topk(df: DataFrame, query: list[float], k: int = 5,
+             lam: float = 0.7, pool: int = 20,
+             key: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    ``lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)`` — the
+    standard rerank that stops a near-dup cluster from filling every
+    retrieval slot.
+
+    Two-stage shape: the DISTRIBUTED stage is an exact cosine top-
+    ``pool`` (TakeOrdered — no global sort); the greedy rerank then
+    runs driver-side over that bounded pool (<= ``pool`` rows — the
+    centroid-probe pattern: rerankers operate on candidate sets by
+    construction, so shipping the k x pool quadratic loop to
+    executors would buy nothing and cost a join per step).  All
+    similarities are sequential-fold cosines rounded 6 decimals with
+    the engines' binary half-away rule (:func:`_round_away`), and ties
+    break to the smallest key, so a SQL oracle unrolling the k greedy
+    steps derives the identical selection.
+
+    Returns (key, mmr_rank 1..k, relevance, mmr_score) in selection
+    order; ``mmr_score`` is the unrounded double of the scoring
+    expression over rounded inputs (identical in any IEEE engine).
+    """
+    q = [float(x) for x in query]
+    qa = F.array(*[F.lit(x) for x in q])
+    v = _to_double(F.col(vec_col))
+    rows = (
+        df.select(
+            F.col(key),
+            cosine_similarity(v, qa).alias("rel"),
+            v.alias("_v"),
+        )
+        .orderBy(F.desc("rel"), F.col(key))
+        .limit(pool)
+        .collect()
+    )
+    cands = [
+        (r[key], float(r["rel"]), [float(x) for x in r["_v"]])
+        for r in rows
+    ]
+    norms = {c[0]: _seq_dot(c[2], c[2]) ** 0.5 for c in cands}
+    selected: list[tuple] = []
+    chosen: set = set()
+    while len(selected) < min(k, len(cands)):
+        best = None
+        for ckey, rel, vec in cands:
+            if ckey in chosen:
+                continue
+            # strict MMR: pen = max sim over selected (CAN be
+            # negative — no clamp, mirroring the oracle's max())
+            pen = max(
+                (
+                    _round_away(
+                        _seq_dot(vec, svec)
+                        / (norms[ckey] * norms[skey])
+                    )
+                    for skey, _, _, _, svec in selected
+                ),
+                default=0.0,
+            )
+            score = lam * rel - (1.0 - lam) * pen
+            if best is None or score > best[0] or (
+                score == best[0] and ckey < best[1]
+            ):
+                best = (score, ckey, rel, vec)
+        score, ckey, rel, vec = best
+        chosen.add(ckey)
+        selected.append((ckey, len(selected) + 1, rel, score, vec))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(s[0], s[1], s[2], s[3]) for s in selected],
+        f"{key} long, mmr_rank int, relevance double, mmr_score double",
+    )
+    return out
 
 
 def centroids_from_rows(df: DataFrame, ids: list[int], key: str = "vec_id",

@@ -346,3 +346,59 @@ def test_sq8_topk_recovers_exact_neighbors_on_separated_data(spark):
     # approximate distances are monotone non-decreasing
     dists = [r["adist"] for r in ann]
     assert dists == sorted(dists)
+
+
+def test_mmr_topk_diversifies_cluster_dominated_pool(spark):
+    import numpy as np
+
+    from gbdc_spark.operators.similarity import cosine_topk, mmr_topk
+
+    # 6 near-clones of the query direction + 3 docs in other directions
+    rng = np.random.default_rng(5)
+    base = np.ones(8)
+    clones = [base + rng.normal(scale=0.01, size=8) for _ in range(6)]
+    others = [
+        np.array([1, 1, 1, 1, -1, -1, -1, -1.0]),
+        np.array([1, -1, 1, -1, 1, -1, 1, -1.0]),
+        np.array([-1, 1, 1, 1, 1, 1, 1, 1.0]),
+    ]
+    vecs = clones + others
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = [1.0] * 8
+
+    plain = [r["vec_id"] for r in cosine_topk(df, query, k=5).collect()]
+    assert set(plain) <= set(range(6)) | {8}  # clones (+ the near doc) dominate
+
+    mmr = mmr_topk(df, query, k=5, lam=0.5, pool=9).collect()
+    picked = [r["vec_id"] for r in mmr]
+    # rank 1 is pure relevance; diversification pulls in the
+    # orthogonal-ish docs that plain top-5 locks out
+    assert mmr[0]["mmr_rank"] == 1
+    assert len(set(picked) & {6, 7, 8}) >= 2
+    # scores are monotone non-increasing (penalties only grow)
+    scores = [r["mmr_score"] for r in mmr]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    assert [r["mmr_rank"] for r in mmr] == [1, 2, 3, 4, 5]
+
+
+def test_mmr_topk_k_exceeding_pool_returns_pool(spark):
+    from gbdc_spark.operators.similarity import mmr_topk
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_topk(df, [1.0, 0.5], k=10, pool=5).collect()
+    assert len(out) == 3
+    assert sorted(r["vec_id"] for r in out) == [0, 1, 2]
+
+
+def test_mmr_topk_lam_one_equals_relevance_order(spark):
+    from gbdc_spark.operators.similarity import cosine_topk, mmr_topk
+
+    rows = [(i, [float((i * 7) % 5 + 1), float(i % 3 + 1), 1.0])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [0.3, 0.9, 0.2]
+    mmr = [r["vec_id"] for r in mmr_topk(df, q, k=5, lam=1.0, pool=10).collect()]
+    plain = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    assert mmr == plain  # lam=1 disables the diversity penalty
