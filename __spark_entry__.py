@@ -803,6 +803,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_chars", by="source", method="zscore",
         )
 
+    def q_weighted_minhash_pairs(spark, sf_dir):
+        # TF-weighted MinHash bands via the exact integer-weight
+        # virtual-element reduction — collision follows sum-min/
+        # sum-max similarity, not set Jaccard
+        return dedup.weighted_minhash_pairs(
+            _docs(spark, sf_dir).select("doc_id", "text")
+        )
+
+    def q_weighted_jaccard(spark, sf_dir):
+        # exact weighted Jaccard verify on the adjacent-id candidates
+        docs = _docs(spark, sf_dir)
+        pairs = docs.select(F.col("doc_id").alias("a")).join(
+            docs.select(F.col("doc_id").alias("b")), F.col("a") + 1 == F.col("b")
+        )
+        return dedup.weighted_jaccard_pairs(docs, pairs)
+
     def q_minhash_lsh_eval(spark, sf_dir):
         # LSH operating point: precision/recall of the 8-perm/4-band
         # word-set MinHash candidates vs exact PPJoin Jaccard truth at
@@ -3226,6 +3242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_norm_minmax": q_score_norm_minmax,
         "score_norm_zscore": q_score_norm_zscore,
         "minhash_lsh_eval": q_minhash_lsh_eval,
+        "weighted_minhash_pairs": q_weighted_minhash_pairs,
+        "weighted_jaccard": q_weighted_jaccard,
         "unimax_expand": q_unimax_expand,
         "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
@@ -5847,6 +5865,60 @@ def oracle_sql() -> dict[str, str]:
                               THEN (CAST(d.n_chars AS DOUBLE) - s.mu) / s.sd
                               ELSE 0.0 END, 6) AS score_norm
             FROM documents d JOIN s USING (source)
+        """,
+        "weighted_minhash_pairs": """
+            WITH w AS (SELECT doc_id, str_split(text, ' ') AS words
+                       FROM documents),
+            ve AS (
+                SELECT doc_id,
+                       flatten(list_transform(
+                           list_transform(list_distinct(words),
+                               t -> struct_pack(w := t,
+                                    c := len(list_filter(words,
+                                             x -> x = t)))),
+                           s -> list_transform(range(1, s.c + 1),
+                               i -> concat(s.w, '#',
+                                           CAST(i AS VARCHAR))))) AS virt
+                FROM w),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 8), j ->
+                           list_min(list_transform(virt,
+                               s -> md5(concat(CAST(j AS VARCHAR), ':',
+                                               s))))) AS mh
+                FROM ve),
+            banded AS (
+                SELECT doc_id, b.band,
+                       concat(mh[b.band * 2 + 1], '|',
+                              mh[b.band * 2 + 2]) AS bkey
+                FROM sig, (SELECT unnest(range(0, 4)) AS band) b)
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bkey = r.bkey
+             AND l.doc_id < r.doc_id
+        """,
+        "weighted_jaccard": """
+            WITH w AS (SELECT doc_id, str_split(text, ' ') AS words
+                       FROM documents),
+            p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       a.words AS wa, b.words AS wb
+                FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id),
+            u AS (
+                SELECT a, b, wa, wb,
+                       list_distinct(list_concat(list_distinct(wa),
+                                                 list_distinct(wb))) AS ut
+                FROM p)
+            SELECT a, b,
+                   round(CAST(list_sum(list_transform(ut,
+                             t -> least(len(list_filter(wa, x -> x = t)),
+                                        len(list_filter(wb, x -> x = t)))))
+                         AS DOUBLE)
+                         / list_sum(list_transform(ut,
+                             t -> greatest(len(list_filter(wa, x -> x = t)),
+                                           len(list_filter(wb, x -> x = t))))),
+                         6) AS weighted_jaccard
+            FROM u
         """,
         "minhash_lsh_eval": """
             WITH w AS (SELECT doc_id, str_split(text, ' ') AS words

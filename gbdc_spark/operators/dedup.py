@@ -36,6 +36,8 @@ __all__ = [
     "ngram_containment_pairs",
     "jaccard_join",
     "minhash_lsh_eval",
+    "weighted_minhash_pairs",
+    "weighted_jaccard_pairs",
     "winnow_overlap_pairs",
     "line_dedup",
     "substring_dedup",
@@ -159,6 +161,114 @@ def minhash_candidate_pairs(
         ensure_parallelism(df), text_col, num_perm, shingle_n
     ).select(key, "minhash")
     return _band_pairs(sig, key, num_perm, bands)
+
+
+def _virtual_elements(text_col: str) -> Column:
+    """Integer-weight multiset expansion: word w with term frequency c
+    becomes the c virtual elements ``w#1 .. w#c``.  Plain MinHash /
+    plain Jaccard over these expanded sets EQUALS weighted MinHash /
+    weighted Jaccard over the TF-weighted sets (the exact
+    integer-weight reduction: min(a,b) of two multiplicities is the
+    size of the virtual-element intersection, max is the union) — no
+    real-valued CWS sampling needed, so the md5-order determinism
+    trick keeps working and a SQL oracle reproduces every signature."""
+
+    def body(words: Column) -> Column:
+        wc = F.transform(
+            F.array_distinct(words),
+            lambda w: F.struct(
+                w.alias("w"),
+                F.size(F.filter(words, lambda x: x == w)).alias("c"),
+            ),
+        )
+        return F.flatten(
+            F.transform(
+                wc,
+                lambda s: F.transform(
+                    F.sequence(F.lit(1), s["c"]),
+                    lambda i: F.concat_ws("#", s["w"], i.cast("string")),
+                ),
+            )
+        )
+
+    return _bind(F.split(F.col(text_col), " "), body)
+
+
+def weighted_minhash_pairs(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    num_perm: int = 8, bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs under WEIGHTED (term-frequency)
+    Jaccard: collision probability follows sum-min/sum-max similarity
+    instead of set Jaccard, so a doc that repeats a phrase 50 times is
+    near a doc repeating it 45 times — unweighted set MinHash sees
+    both as one shingle and calls them equal to a doc using the phrase
+    once.  Uses the exact integer-weight virtual-element reduction
+    (:func:`_virtual_elements`) over the shared band join.
+
+    Scale shape: identical to :func:`minhash_candidate_pairs` — the
+    expansion is per-row (total virtual elements = doc token count),
+    signatures are JVM folds, candidates come from the band equi-join.
+    """
+    def perm(j: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    sig = _bind(
+        _virtual_elements(text_col),
+        lambda ve: F.array(
+            *[F.array_min(F.transform(ve, perm(j))) for j in range(num_perm)]
+        ),
+    )
+    frame = ensure_parallelism(df).withColumn("minhash", sig).select(
+        key, "minhash"
+    )
+    return _band_pairs(frame, key, num_perm, bands)
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact weighted (term-frequency) Jaccard for given candidate
+    pairs (a, b): ``sum_t min(tf_a(t), tf_b(t)) / sum_t max(tf_a(t),
+    tf_b(t))`` — the verify stage after :func:`weighted_minhash_pairs`
+    (Jaccard over multisets; equals plain Jaccard of the
+    virtual-element expansion).  Cost follows the candidate count."""
+    words = df.select(
+        F.col(key), F.split(F.col(text_col), " ").alias("ws")
+    )
+    out = (
+        pairs.join(
+            words.withColumnRenamed(key, "a").withColumnRenamed("ws", "wa"),
+            "a",
+        )
+        .join(
+            words.withColumnRenamed(key, "b").withColumnRenamed("ws", "wb"),
+            "b",
+        )
+    )
+    union_tokens = F.array_union(
+        F.array_distinct(F.col("wa")), F.array_distinct(F.col("wb"))
+    )
+    counts = F.transform(
+        union_tokens,
+        lambda t: F.struct(
+            F.size(F.filter(F.col("wa"), lambda x: x == t)).alias("ca"),
+            F.size(F.filter(F.col("wb"), lambda x: x == t)).alias("cb"),
+        ),
+    )
+    inter = F.aggregate(
+        counts, F.lit(0).cast("long"),
+        lambda acc, s: acc + F.least(s["ca"], s["cb"]).cast("long"),
+    )
+    union = F.aggregate(
+        counts, F.lit(0).cast("long"),
+        lambda acc, s: acc + F.greatest(s["ca"], s["cb"]).cast("long"),
+    )
+    return out.select(
+        "a", "b",
+        F.round(inter / union, 6).cast("double").alias("weighted_jaccard"),
+    )
 
 
 def minhash_lsh_eval(

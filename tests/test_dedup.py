@@ -1212,3 +1212,74 @@ def test_minhash_lsh_eval_null_on_zero_truth(spark):
     out = minhash_lsh_eval(df, threshold=0.95).collect()[0]
     assert out["n_truth"] == 0
     assert out["recall"] is None
+
+
+def _py_weighted_jaccard(a: str, b: str) -> float:
+    from collections import Counter
+
+    ca, cb = Counter(a.split(" ")), Counter(b.split(" "))
+    toks = set(ca) | set(cb)
+    inter = sum(min(ca[t], cb[t]) for t in toks)
+    union = sum(max(ca[t], cb[t]) for t in toks)
+    return round(inter / union, 6)
+
+
+def test_weighted_jaccard_matches_python_counter(spark):
+    from gbdc_spark.operators.dedup import weighted_jaccard_pairs
+
+    docs = {
+        1: "spam spam spam spam eggs",
+        2: "spam spam spam eggs eggs",
+        3: "ham ham eggs",
+        4: "spam eggs",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "a long, b long"
+    )
+    out = {(r["a"], r["b"]): r["weighted_jaccard"]
+           for r in weighted_jaccard_pairs(df, pairs).collect()}
+    for ab in out:
+        assert out[ab] == pytest.approx(
+            _py_weighted_jaccard(docs[ab[0]], docs[ab[1]])
+        ), ab
+
+
+def test_weighted_minhash_separates_repetition_levels(spark):
+    from gbdc_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        weighted_jaccard_pairs,
+    )
+
+    # same word SET, very different multiplicities: set Jaccard = 1.0
+    # but weighted Jaccard is low — the case TF weighting exists for
+    docs = {
+        1: " ".join(["boiler"] * 50 + ["plate"]),
+        2: "boiler plate",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    wj = weighted_jaccard_pairs(df, pairs).collect()[0]["weighted_jaccard"]
+    assert wj == pytest.approx(round(2 / 51, 6))
+    # unweighted word-set candidates see identical sets (every band
+    # collides); the weighted verify is what tells them apart
+    cand = minhash_candidate_pairs(df, shingle_n=1).collect()
+    assert {(r["a"], r["b"]) for r in cand} == {(1, 2)}
+
+
+def test_weighted_minhash_collision_tracks_weighted_jaccard(spark):
+    import hashlib
+
+    from gbdc_spark.operators.dedup import weighted_minhash_pairs
+
+    # identical multisets (shuffled order) MUST collide in every band;
+    # disjoint docs must not collide at all
+    docs = {
+        1: "x x y z z z",
+        2: "z z x y z x",   # same Counter as 1
+        3: "p q r s t u",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    out = {(r["a"], r["b"]) for r in weighted_minhash_pairs(df).collect()}
+    assert (1, 2) in out
+    assert not any(3 in p for p in out)

@@ -595,6 +595,12 @@ CHECKS = {
         ("no cartesian product", r"^(?!.*CartesianProduct)"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "weighted_minhash_pairs": [
+        ("band equi-join is a real join (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no cartesian product", r"^(?!.*CartesianProduct)"),
+        ("signature fold is all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "minhash_lsh_eval": [
         ("band + prefix + verify joins are real equi-joins (the "
          "1-row count tables may broadcast-nested-loop)",
