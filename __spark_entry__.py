@@ -803,6 +803,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_chars", by="source", method="zscore",
         )
 
+    def q_cluster_agreement(spark, sf_dir):
+        # ARI between the lang and source partitionings of documents —
+        # exercises the exact pair-count machinery on a known-domain
+        # comparison (near-zero agreement expected: lang and source
+        # are independent axes in the synth tables)
+        docs = _docs(spark, sf_dir)
+        return dedup.clustering_agreement(
+            docs.select("doc_id", F.col("lang").alias("cluster")),
+            docs.select("doc_id", F.col("source").alias("cluster")),
+        )
+
     def q_weighted_minhash_pairs(spark, sf_dir):
         # TF-weighted MinHash bands via the exact integer-weight
         # virtual-element reduction — collision follows sum-min/
@@ -3244,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_eval": q_minhash_lsh_eval,
         "weighted_minhash_pairs": q_weighted_minhash_pairs,
         "weighted_jaccard": q_weighted_jaccard,
+        "cluster_agreement": q_cluster_agreement,
         "unimax_expand": q_unimax_expand,
         "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
@@ -5865,6 +5877,45 @@ def oracle_sql() -> dict[str, str]:
                               THEN (CAST(d.n_chars AS DOUBLE) - s.mu) / s.sd
                               ELSE 0.0 END, 6) AS score_norm
             FROM documents d JOIN s USING (source)
+        """,
+        "cluster_agreement": """
+            WITH j AS (SELECT doc_id, lang AS ca, source AS cb
+                       FROM documents),
+            cells AS (SELECT ca, cb, count(*) AS c FROM j GROUP BY ca, cb),
+            s1 AS (SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT)
+                       AS sum_comb_ij,
+                       CAST(sum(c) AS BIGINT) AS n
+                   FROM cells),
+            am AS (SELECT ca, count(*) AS c FROM j GROUP BY ca),
+            s2 AS (SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT)
+                       AS sum_comb_a FROM am),
+            bm AS (SELECT cb, count(*) AS c FROM j GROUP BY cb),
+            s3 AS (SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT)
+                       AS sum_comb_b FROM bm)
+            SELECT n, sum_comb_ij, sum_comb_a, sum_comb_b,
+                   round((CAST((n * (n - 1)) // 2 AS DOUBLE)
+                          + 2.0 * CAST(sum_comb_ij AS DOUBLE)
+                          - CAST(sum_comb_a AS DOUBLE)
+                          - CAST(sum_comb_b AS DOUBLE))
+                         / ((n * (n - 1)) // 2), 6) AS rand_index,
+                   round(CASE WHEN
+                             (CAST(sum_comb_a AS DOUBLE)
+                              + CAST(sum_comb_b AS DOUBLE)) / 2.0
+                             - CAST(sum_comb_a AS DOUBLE)
+                               * CAST(sum_comb_b AS DOUBLE)
+                               / ((n * (n - 1)) // 2) = 0.0
+                         THEN 1.0
+                         ELSE (CAST(sum_comb_ij AS DOUBLE)
+                               - CAST(sum_comb_a AS DOUBLE)
+                                 * CAST(sum_comb_b AS DOUBLE)
+                                 / ((n * (n - 1)) // 2))
+                              / ((CAST(sum_comb_a AS DOUBLE)
+                                  + CAST(sum_comb_b AS DOUBLE)) / 2.0
+                                 - CAST(sum_comb_a AS DOUBLE)
+                                   * CAST(sum_comb_b AS DOUBLE)
+                                   / ((n * (n - 1)) // 2))
+                         END, 6) AS ari
+            FROM s1, s2, s3
         """,
         "weighted_minhash_pairs": """
             WITH w AS (SELECT doc_id, str_split(text, ' ') AS words

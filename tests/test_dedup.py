@@ -1283,3 +1283,67 @@ def test_weighted_minhash_collision_tracks_weighted_jaccard(spark):
     out = {(r["a"], r["b"]) for r in weighted_minhash_pairs(df).collect()}
     assert (1, 2) in out
     assert not any(3 in p for p in out)
+
+
+def _py_ari(pairs):
+    """Reference ARI from (label_a, label_b) tuples."""
+    from collections import Counter
+
+    n = len(pairs)
+    cij = Counter(pairs)
+    ca = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    comb = lambda c: c * (c - 1) // 2
+    idx = sum(comb(c) for c in cij.values())
+    sa = sum(comb(c) for c in ca.values())
+    sb = sum(comb(c) for c in cb.values())
+    c2n = comb(n)
+    exp = sa * sb / c2n
+    mx = (sa + sb) / 2
+    return (idx - exp) / (mx - exp)
+
+
+def test_clustering_agreement_matches_reference(spark):
+    from gbdc_spark.operators.dedup import clustering_agreement
+
+    # the classic 2-vs-3 cluster example
+    la = ["x", "x", "x", "y", "y", "y"]
+    lb = ["p", "p", "q", "q", "r", "r"]
+    a = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(la)], "doc_id long, cluster string"
+    )
+    b = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lb)], "doc_id long, cluster string"
+    )
+    out = clustering_agreement(a, b).collect()[0]
+    assert out["n"] == 6
+    ref = _py_ari(list(zip(la, lb)))
+    assert out["ari"] == pytest.approx(round(ref, 6), abs=1e-9)
+
+
+def test_clustering_agreement_identical_is_one(spark):
+    from gbdc_spark.operators.dedup import clustering_agreement
+
+    rows = [(i, f"c{i % 4}") for i in range(40)]
+    a = spark.createDataFrame(rows, "doc_id long, cluster string")
+    # same partition under permuted label NAMES — ARI is label-invariant
+    b = spark.createDataFrame(
+        [(i, f"z{(int(c[1]) + 2) % 4}") for i, c in rows],
+        "doc_id long, cluster string",
+    )
+    out = clustering_agreement(a, b).collect()[0]
+    assert out["ari"] == 1.0 and out["rand_index"] == 1.0
+
+
+def test_clustering_agreement_inner_join_domain(spark):
+    from gbdc_spark.operators.dedup import clustering_agreement
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, cluster string"
+    )
+    b = spark.createDataFrame(
+        [(1, "p"), (2, "p")], "doc_id long, cluster string"
+    )
+    out = clustering_agreement(a, b).collect()[0]
+    assert out["n"] == 2  # key 3 dropped: agreement over the common domain
+    assert out["ari"] == 1.0

@@ -595,6 +595,13 @@ CHECKS = {
         ("no cartesian product", r"^(?!.*CartesianProduct)"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "cluster_agreement": [
+        ("contingency + marginals are map-side-combined partial aggs",
+         r"partial_count"),
+        ("one equi-join on the key (never cross on data)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "weighted_minhash_pairs": [
         ("band equi-join is a real join (never cross)",
          r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
