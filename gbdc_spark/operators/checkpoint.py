@@ -319,6 +319,7 @@ def compact(
     base: str,
     target_partitions: int | None = None,
     hash_cols: list[str] | None = None,
+    target_file_bytes: int | None = None,
 ) -> dict | None:
     """Rewrite every live snapshot into ONE — the small-files compaction
     an append-only checkpoint table needs at scale (10^4 incremental
@@ -345,9 +346,22 @@ def compact(
     Returns the new manifest entry, or None when there is nothing to
     compact.  With a real Iceberg catalog this maps onto
     ``rewrite_data_files`` + snapshot expiry.
+
+    ``target_file_bytes`` sizes the output by BYTES instead of a fixed
+    partition count (Iceberg's ``target-file-size-bytes`` knob): the
+    live snapshots' on-disk parquet bytes are summed with a local
+    directory walk (no Spark job) and ``n_out = ceil(bytes /
+    target)`` — the small-files story in reverse, keeping rewritten
+    files near the scan-friendly size (~128-512 MB at cluster scale)
+    instead of inheriting whatever the session's shuffle parallelism
+    happens to be.  Compressed input bytes proxy for output bytes
+    (same codec/schema, so the error is second-order).  Overrides
+    ``target_partitions`` when both are given.
     """
     import shutil
 
+    if target_file_bytes is not None and target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
     entries = manifest(spark, base)
     if len(entries) <= 1:
         return None
@@ -356,10 +370,27 @@ def compact(
     expected_hash = sum(e["content_hash"] for e in entries) % _FOLD_MOD
 
     df = spark.read.parquet(*[e["data_dir"] for e in entries])
-    n_out = target_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    df = df.coalesce(n_out)
+    if target_file_bytes is not None:
+        total = 0
+        for e in entries:
+            for root, _, files in os.walk(e["data_dir"]):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        n_out = max(1, -(-total // int(target_file_bytes)))
+    else:
+        n_out = target_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    # coalesce can only MERGE partitions; splitting up to the byte
+    # target needs a real repartition (Iceberg's rewrite shuffles for
+    # the same reason).  Only pay that shuffle when actually growing.
+    if n_out > df.rdd.getNumPartitions():
+        df = df.repartition(n_out)
+    else:
+        df = df.coalesce(n_out)
     sid = old_ids[-1] + 1
     data_dir = os.path.join(base, "data", f"snapshot={sid}-{uuid.uuid4().hex[:12]}")
     df.write.mode("errorifexists").parquet(data_dir)

@@ -392,3 +392,44 @@ def test_incremental_read_across_compaction_expires(spark, base):
     )
     assert got == sorted(r["doc_id"] for r in _mkdf(spark, 25, 33).collect())
     assert e4["snapshot_id"] == comp["snapshot_id"] + 1
+
+
+def test_compact_target_file_bytes_sizes_output(spark, base):
+    import glob
+
+    # three snapshots of moderate rows; compact with a tiny byte
+    # target -> many output files; with a huge target -> exactly one
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(i * 1000 + j, "x" * 200) for j in range(500)],
+            "k long, v string",
+        )
+        cp.commit(df, base, keys=["k"])
+
+    total = 0
+    for e in cp.manifest(spark, base):
+        for root, _, files in os.walk(e["data_dir"]):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files if f.endswith(".parquet")
+            )
+    assert total > 0
+
+    entry = cp.compact(spark, base, target_file_bytes=max(total // 4, 1))
+    assert entry is not None and entry["n_rows"] == 1500
+    files = glob.glob(os.path.join(entry["data_dir"], "*.parquet"))
+    assert len(files) >= 2  # quarter-of-total target -> multiple files
+
+    # recommit two more and compact again with an effectively
+    # unbounded target -> single file
+    cp.commit(
+        spark.createDataFrame([(9001, "y")], "k long, v string"),
+        base, keys=["k"],
+    )
+    entry2 = cp.compact(spark, base, target_file_bytes=1 << 40)
+    files2 = glob.glob(os.path.join(entry2["data_dir"], "*.parquet"))
+    assert len(files2) == 1
+    assert entry2["n_rows"] == 1501
+
+    with pytest.raises(ValueError):
+        cp.compact(spark, base, target_file_bytes=0)
