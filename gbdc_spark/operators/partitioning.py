@@ -30,6 +30,7 @@ __all__ = [
     "salted_join",
     "size_bucketed",
     "maybe_size_rebalance",
+    "write_bucketed",
 ]
 
 
@@ -312,3 +313,36 @@ def maybe_size_rebalance(
     if cache_key is not None:
         _PROBE_CACHE[cache_key] = cuts
     return size_bucketed(df, size_col, key, partitions, strata, cuts=cuts)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a BUCKETED (and optionally sorted) table —
+    Spark's persisted co-location: rows hash into ``buckets`` files by
+    ``key`` at write time, so every later equi-join or aggregation on
+    ``key`` between tables bucketed the same way runs WITHOUT a
+    shuffle exchange (and without the sort, when ``sort=True``).  This
+    is the storage-layout half of the skew/shuffle story: salting
+    fixes one hot join at runtime; bucketing removes the exchange from
+    EVERY downstream join against the table — the right trade for a
+    10^12-row fact table joined every day.
+
+    Bucketing requires the table catalog (``saveAsTable``; plain
+    ``.parquet(path)`` silently drops bucket metadata — Spark would
+    re-shuffle).  Bucket count is fixed at write time; pick it like a
+    shuffle partition count for the JOIN-time data (128-1024 at
+    cluster scale) and keep both join sides on the SAME count, or
+    Spark falls back to exchanging the mismatched side.
+    """
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

@@ -173,3 +173,46 @@ def test_maybe_size_rebalance_noop_when_key_absent(spark):
         F.when(F.col("id") < 10, 100000).otherwise(5).alias("n_tok"),
     )
     assert maybe_size_rebalance(df, sample_frac=1.0) is df
+
+
+def test_write_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gbdc_spark.operators.partitioning import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        write_bucketed(a, "bkt_a", "k", 8)
+        write_bucketed(b, "bkt_b", "k", 8)
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        j = ta.join(tb, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: NO shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        got = {(r["k"], r["va"], r["vb"]) for r in j.collect()}
+        assert got == {(i, 2 * i, 3 * i) for i in range(2000)}
+
+        # per-key aggregation on the bucket key also skips the exchange
+        agg = ta.groupBy("k").agg(F.sum("va"))
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in aplan
+
+        # a mismatched bucket count would re-shuffle one side: document
+        # the contract by writing 4 buckets and checking the join of
+        # 8-vs-4 still returns correct rows (Spark exchanges one side)
+        write_bucketed(b, "bkt_b4", "k", 4)
+        j2 = ta.join(spark.table("bkt_b4"), "k")
+        assert j2.count() == 2000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("bkt_a", "bkt_b", "bkt_b4"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    with pytest.raises(ValueError):
+        write_bucketed(a, "bkt_bad", "k", 0)
