@@ -803,6 +803,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_chars", by="source", method="zscore",
         )
 
+    def q_platt_scale(spark, sf_dir):
+        # trained calibrator: min-max-normalize n_chars globally (an
+        # exact, deterministic base score), fit sigma(A*s+B) to the
+        # lang=='en' label for 3 full-batch GD epochs, emit calibrated
+        # probabilities — the oracle replays the whole trajectory
+        from gbdc_spark.operators.quality import (
+            normalize_scores,
+            platt_scale,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        scored = normalize_scores(docs, "n_chars", method="minmax")
+        return platt_scale(
+            scored, "score_norm", "lang", positive="en",
+            epochs=3, lr=1.0,
+        )
+
     def q_cluster_agreement(spark, sf_dir):
         # ARI between the lang and source partitionings of documents —
         # exercises the exact pair-count machinery on a known-domain
@@ -3256,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_minhash_pairs": q_weighted_minhash_pairs,
         "weighted_jaccard": q_weighted_jaccard,
         "cluster_agreement": q_cluster_agreement,
+        "platt_scale": q_platt_scale,
         "unimax_expand": q_unimax_expand,
         "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
@@ -4377,6 +4395,50 @@ def _duck_bpe_sql(mode: str = "merges", n_merges: int = 12) -> str:
         LEFT JOIN (SELECT doc_id, flatten(list(ts ORDER BY pos)) AS fl
                    FROM occ GROUP BY doc_id) f
         USING (doc_id)
+        """
+    )
+
+
+def _duck_platt_sql(epochs: int = 3, lr: float = 1.0) -> str:
+    """Unrolled Platt-scaling GD (quality.platt_scale over the global
+    min-max-normalized n_chars score, y = lang=='en'): each epoch's
+    2-double gradient CTE cross-joins the previous 1-row weight table
+    — the logreg-oracle device with a 2-parameter model, so the
+    calibrator's TRAINING loop is value-gated, not just its sigmoid."""
+    lrr = repr(float(lr))
+    parts = ["""
+            mm AS (SELECT min(CAST(n_chars AS DOUBLE)) AS lo,
+                          max(CAST(n_chars AS DOUBLE)) AS hi
+                   FROM documents),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN mm.hi > mm.lo
+                            THEN round((CAST(n_chars AS DOUBLE) - mm.lo)
+                                       / (mm.hi - mm.lo), 6)
+                            ELSE 0.0 END AS s,
+                       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                FROM documents CROSS JOIN mm),
+            w0 AS (SELECT 0.0 AS a, 0.0 AS b)"""]
+    for t in range(1, epochs + 1):
+        parts.append(f"""
+            g{t} AS (
+                SELECT avg((1.0 / (1.0 + exp(-(w.a * s.s + w.b))) - s.y)
+                           * s.s) AS ga,
+                       avg(1.0 / (1.0 + exp(-(w.a * s.s + w.b))) - s.y)
+                           AS gb
+                FROM s CROSS JOIN w{t - 1} w),
+            w{t} AS (SELECT w.a - {lrr} * g.ga AS a,
+                            w.b - {lrr} * g.gb AS b
+                     FROM w{t - 1} w CROSS JOIN g{t} g)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+            SELECT s.doc_id, s.s AS score_norm,
+                   round(1.0 / (1.0 + exp(-(w.a * s.s + w.b))), 6)
+                       AS calibrated,
+                   round(1.0 / (1.0 + exp(-(w.a * s.s + w.b))), 6) >= 0.5
+                       AS pred
+            FROM s CROSS JOIN w{epochs} w
         """
     )
 
@@ -5878,6 +5940,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS score_norm
             FROM documents d JOIN s USING (source)
         """,
+        "platt_scale": _duck_platt_sql(epochs=3, lr=1.0),
         "cluster_agreement": """
             WITH j AS (SELECT doc_id, lang AS ca, source AS cb
                        FROM documents),

@@ -34,6 +34,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
            "temperature_weights", "ccnet_buckets", "temperature_mix",
            "unimax_weights", "unimax_mix", "normalize_scores",
+           "platt_scale",
            "percentile_gate"]
 
 # Redaction rules: name -> (regex, replacement token).  Patterns are
@@ -2006,6 +2007,67 @@ def logreg_langid(
         # (single-scan) feature lineage if evaluated later; the
         # epochs' training work lives in the literal weights
         std.unpersist()
+
+
+def platt_scale(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    positive=None,
+    key: str = "doc_id",
+    epochs: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Platt scaling (Platt 1999) — the sigmoid calibration step that
+    turns an UNCALIBRATED ranking score into a probability: fit
+    ``sigma(A*s + B)`` to binary labels by full-batch gradient descent
+    (A = B = 0 init, so the first prediction is 0.5 everywhere), then
+    emit the calibrated probability per row.  The companion of
+    :func:`calibration_bins` (which measures miscalibration) and
+    :func:`binary_auc` (which calibration cannot change — the sigmoid
+    is monotone in s).
+
+    ``positive`` names the positive class in ``label_col``; when None
+    the column is cast to 0/1 directly.
+
+    Returns (key, score_col, calibrated, pred) with ``calibrated``
+    rounded to 6 decimals and ``pred = calibrated >= 0.5``.
+
+    Scale shape per epoch: ONE map-side-combined avg aggregate (two
+    doubles travel — the :func:`logreg_langid` device); A/B are driver
+    scalars folded into the next epoch's expression as literals.  The
+    (s, y) frame is persisted across epochs + the scoring pass.
+    """
+    y = (
+        F.when(F.col(label_col) == positive, 1.0).otherwise(0.0)
+        if positive is not None
+        else F.col(label_col).cast("double")
+    )
+    base = df.select(
+        F.col(key),
+        F.col(score_col).cast("double").alias("_s"),
+        y.alias("_y"),
+    ).persist()
+    try:
+        a, b = 0.0, 0.0
+        for _ in range(int(epochs)):
+            z = F.lit(a) * F.col("_s") + F.lit(b)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            g = base.agg(
+                F.avg((p - F.col("_y")) * F.col("_s")).alias("ga"),
+                F.avg(p - F.col("_y")).alias("gb"),
+            ).first()
+            a, b = a - lr * g["ga"], b - lr * g["gb"]
+        z = F.lit(a) * F.col("_s") + F.lit(b)
+        cal = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        return base.select(
+            F.col(key),
+            F.col("_s").alias(score_col),
+            cal.alias("calibrated"),
+            (cal >= 0.5).alias("pred"),
+        )
+    finally:
+        base.unpersist()
 
 
 def binary_auc(

@@ -595,6 +595,16 @@ CHECKS = {
         ("no cartesian product", r"^(?!.*CartesianProduct)"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "platt_scale": [
+        # the per-epoch gradient aggs ran at plan-BUILD time (weights
+        # fold back as literals), so the returned plan is the scoring
+        # pass: base-score stats + one sigmoid projection
+        ("base-score stats are map-side-combined partial aggs",
+         r"partial_(min|max)"),
+        ("no cartesian product on data (1-row weight folds are "
+         "literals)", r"^(?!.*CartesianProduct)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "cluster_agreement": [
         ("contingency + marginals are map-side-combined partial aggs",
          r"partial_count"),
