@@ -820,6 +820,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             epochs=3, lr=1.0,
         )
 
+    def q_platt_metrics(spark, sf_dir):
+        # proper-scoring summary of the trained calibrator: Brier,
+        # eps-clamped log loss, accuracy@0.5 over platt_scale's output
+        from gbdc_spark.operators.quality import (
+            normalize_scores,
+            platt_scale,
+            scoring_metrics,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        scored = platt_scale(
+            normalize_scores(docs, "n_chars", method="minmax"),
+            "score_norm", "lang", positive="en", epochs=3, lr=1.0,
+        )
+        joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
+        return scoring_metrics(joined, "calibrated", "lang", positive="en")
+
     def q_cluster_agreement(spark, sf_dir):
         # ARI between the lang and source partitionings of documents —
         # exercises the exact pair-count machinery on a known-domain
@@ -3274,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard": q_weighted_jaccard,
         "cluster_agreement": q_cluster_agreement,
         "platt_scale": q_platt_scale,
+        "platt_metrics": q_platt_metrics,
         "unimax_expand": q_unimax_expand,
         "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
@@ -5941,6 +5959,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN s USING (source)
         """,
         "platt_scale": _duck_platt_sql(epochs=3, lr=1.0),
+        "platt_metrics": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   round(avg((b.calibrated - y.y) * (b.calibrated - y.y)),
+                         6) AS brier,
+                   round(-avg(y.y * ln(least(greatest(b.calibrated,
+                                                      0.000000001),
+                                             0.999999999))
+                              + (1.0 - y.y)
+                                * ln(1.0 - least(greatest(b.calibrated,
+                                                          0.000000001),
+                                                 0.999999999))), 6)
+                       AS log_loss,
+                   round(avg(CASE WHEN (b.calibrated >= 0.5)
+                                       = (y.y = 1.0)
+                                  THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+            FROM ({_duck_platt_sql(epochs=3, lr=1.0)}) b
+            JOIN (SELECT doc_id,
+                         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                  FROM documents) y USING (doc_id)
+        """,
         "cluster_agreement": """
             WITH j AS (SELECT doc_id, lang AS ca, source AS cb
                        FROM documents),

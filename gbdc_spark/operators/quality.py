@@ -34,7 +34,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
            "temperature_weights", "ccnet_buckets", "temperature_mix",
            "unimax_weights", "unimax_mix", "normalize_scores",
-           "platt_scale",
+           "platt_scale", "scoring_metrics",
            "percentile_gate"]
 
 # Redaction rules: name -> (regex, replacement token).  Patterns are
@@ -2068,6 +2068,44 @@ def platt_scale(
         )
     finally:
         base.unpersist()
+
+
+def scoring_metrics(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    positive=None,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Proper-scoring-rule summary for a probabilistic scorer: Brier
+    score ``avg((p - y)^2)``, log loss ``-avg(y ln p + (1-y) ln(1-p))``
+    (probabilities clamped to [eps, 1-eps] so a confident wrong 0/1
+    doesn't yield infinity), and accuracy at the 0.5 cut — the
+    aggregate companions of :func:`binary_auc` (ranking),
+    :func:`calibration_bins` (reliability) and :func:`platt_scale`
+    (the fix when these numbers are bad).  Returns ONE row: (n, brier,
+    log_loss, accuracy), rounded to 6 decimals.
+
+    Scale shape: one map-side-combined avg aggregate — nothing else.
+    """
+    y = (
+        F.when(F.col(label_col) == positive, 1.0).otherwise(0.0)
+        if positive is not None
+        else F.col(label_col).cast("double")
+    )
+    p = F.col(prob_col).cast("double")
+    pc = F.least(F.greatest(p, F.lit(float(eps))), F.lit(1.0 - float(eps)))
+    return df.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg((p - y) * (p - y)), 6).alias("brier"),
+        F.round(
+            -F.avg(y * F.log(pc) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - pc)),
+            6,
+        ).alias("log_loss"),
+        F.round(
+            F.avg(F.when((p >= 0.5) == (y == 1.0), 1.0).otherwise(0.0)), 6
+        ).alias("accuracy"),
+    )
 
 
 def binary_auc(

@@ -1455,3 +1455,41 @@ def test_platt_scale_positive_class_mapping(spark):
     out = platt_scale(df, "s", "lang", positive="en", epochs=2).collect()
     assert {r["doc_id"] for r in out} == {1, 2, 3}
     assert set(out[0].asDict()) == {"doc_id", "s", "calibrated", "pred"}
+
+
+def test_scoring_metrics_hand_computed(spark):
+    import math
+
+    from gbdc_spark.operators.quality import scoring_metrics
+
+    rows = [(1, 0.9, 1.0), (2, 0.2, 0.0), (3, 0.6, 0.0), (4, 0.4, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, p double, y double")
+    out = scoring_metrics(df, "p", "y").collect()[0]
+    ps = [(p, y) for _, p, y in rows]
+    brier = sum((p - y) ** 2 for p, y in ps) / 4
+    ll = -sum(y * math.log(p) + (1 - y) * math.log(1 - p) for p, y in ps) / 4
+    assert out["n"] == 4
+    assert out["brier"] == pytest.approx(round(brier, 6))
+    assert out["log_loss"] == pytest.approx(round(ll, 6), abs=1e-6)
+    assert out["accuracy"] == 0.5  # docs 1,2 right; 3,4 wrong
+
+
+def test_scoring_metrics_eps_clamps_confident_wrong(spark):
+    from gbdc_spark.operators.quality import scoring_metrics
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 1.0), (2, 1.0, 0.0)], "doc_id long, p double, y double"
+    )
+    out = scoring_metrics(df, "p", "y").collect()[0]
+    assert out["log_loss"] == pytest.approx(round(-__import__("math").log(1e-9), 6))
+    assert out["brier"] == 1.0
+
+
+def test_scoring_metrics_positive_class(spark):
+    from gbdc_spark.operators.quality import scoring_metrics
+
+    df = spark.createDataFrame(
+        [(1, 0.8, "en"), (2, 0.3, "de")], "doc_id long, p double, lang string"
+    )
+    out = scoring_metrics(df, "p", "lang", positive="en").collect()[0]
+    assert out["accuracy"] == 1.0

@@ -605,6 +605,13 @@ CHECKS = {
          "literals)", r"^(?!.*CartesianProduct)"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "platt_metrics": [
+        ("metric summary is one map-side-combined partial avg",
+         r"partial_avg"),
+        ("label join-back is a real equi-join (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "cluster_agreement": [
         ("contingency + marginals are map-side-combined partial aggs",
          r"partial_count"),
