@@ -837,6 +837,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
         return scoring_metrics(joined, "calibrated", "lang", positive="en")
 
+    def q_isotonic_calibrate(spark, sf_dir):
+        # non-parametric (PAV) calibration of the raw n_chars score
+        # against the lang=='en' label, via the minimax identity over
+        # distinct scores — every block average is an exact integer
+        # ratio, so the SQL twin derives identical fitted values
+        from gbdc_spark.operators.quality import isotonic_calibrate
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        return isotonic_calibrate(
+            docs, "n_chars", "lang", positive="en"
+        )
+
     def q_cluster_agreement(spark, sf_dir):
         # ARI between the lang and source partitionings of documents —
         # exercises the exact pair-count machinery on a known-domain
@@ -3292,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_agreement": q_cluster_agreement,
         "platt_scale": q_platt_scale,
         "platt_metrics": q_platt_metrics,
+        "isotonic_calibrate": q_isotonic_calibrate,
         "unimax_expand": q_unimax_expand,
         "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
@@ -5978,6 +5991,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT doc_id,
                          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
                   FROM documents) y USING (doc_id)
+        """,
+        "isotonic_calibrate": """
+            WITH r AS (
+                SELECT doc_id,
+                       round(CAST(n_chars AS DOUBLE), 6) AS s,
+                       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                FROM documents),
+            sd AS (SELECT s, count(*) AS n, sum(y) AS sy
+                   FROM r GROUP BY s),
+            pref AS (
+                SELECT s, row_number() OVER (ORDER BY s) AS i,
+                       sum(n) OVER (ORDER BY s) AS cn,
+                       sum(sy) OVER (ORDER BY s) AS cs
+                FROM sd),
+            prev AS (
+                SELECT i AS j,
+                       coalesce(lag(cn) OVER (ORDER BY i), 0) AS np,
+                       coalesce(lag(cs) OVER (ORDER BY i), 0.0) AS sp
+                FROM pref),
+            pairs AS (
+                SELECT prev.j, pk.i AS k,
+                       (pk.cs - prev.sp) / (pk.cn - prev.np) AS a
+                FROM prev JOIN pref pk ON pk.i >= prev.j),
+            mji AS (
+                SELECT j, k AS ii,
+                       min(a) OVER (PARTITION BY j ORDER BY k DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS m
+                FROM pairs),
+            fitted AS (
+                SELECT ii, round(max(m), 6) AS g
+                FROM mji WHERE j <= ii GROUP BY ii),
+            gm AS (SELECT pref.s, fitted.g
+                   FROM pref JOIN fitted ON fitted.ii = pref.i)
+            SELECT r.doc_id, r.s AS n_chars, gm.g AS calibrated
+            FROM r JOIN gm USING (s)
         """,
         "cluster_agreement": """
             WITH j AS (SELECT doc_id, lang AS ca, source AS cb

@@ -34,7 +34,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "PII_PATTERNS", "with_pii_scrub", "dsir_weights",
            "temperature_weights", "ccnet_buckets", "temperature_mix",
            "unimax_weights", "unimax_mix", "normalize_scores",
-           "platt_scale", "scoring_metrics",
+           "platt_scale", "scoring_metrics", "isotonic_calibrate",
            "percentile_gate"]
 
 # Redaction rules: name -> (regex, replacement token).  Patterns are
@@ -2068,6 +2068,108 @@ def platt_scale(
         )
     finally:
         base.unpersist()
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    positive=None,
+    key: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Isotonic (PAV) calibration — the non-parametric sibling of
+    :func:`platt_scale`: fit the least-squares MONOTONE map from score
+    to empirical probability (Zadrozny & Elkan 2002 for calibration;
+    Barlow et al. 1972 for the regression).  Where Platt imposes a
+    sigmoid shape, isotonic only imposes monotonicity, so it fixes
+    any-shaped miscalibration given enough data.
+
+    Computed via the minimax identity over DISTINCT quantized scores:
+    ``g(s_i) = max_{j<=i} min_{k>=i} avg(y over scores j..k)`` (equal
+    to the pool-adjacent-violators solution; property-tested against
+    an explicit PAV loop).  With 0/1 labels every block average is an
+    exact integer ratio, so the min/max comparisons are
+    engine-identical and only the FINAL fitted value rounds (to
+    ``decimals``).
+
+    Scale shape: scores quantize to ``decimals`` and aggregate to m
+    distinct rows (bounded by the quantization — the
+    :func:`binary_auc` model-size contract); the minimax materializes
+    the O(m^2) (j, k) block table with two windows over it (suffix
+    min per j, then max per i) — distributed, but QUADRATIC in
+    distinct scores: coarsen ``decimals`` on corpora where m exceeds
+    a few thousand.
+
+    Returns (key, score_col, calibrated) per input row.
+    """
+    from pyspark.sql import Window
+
+    y = (
+        F.when(F.col(label_col) == positive, 1.0).otherwise(0.0)
+        if positive is not None
+        else F.col(label_col).cast("double")
+    )
+    rows = df.select(
+        F.col(key),
+        F.round(F.col(score_col).cast("double"), decimals).alias("_s"),
+        y.alias("_y"),
+    )
+    sd = (
+        rows.groupBy("_s")
+        .agg(F.count("*").alias("_n"), F.sum("_y").alias("_sy"))
+    )
+    w = Window.orderBy("_s")
+    pref = sd.select(
+        "_s",
+        F.row_number().over(w).alias("_i"),
+        F.sum("_n").over(w).alias("_cn"),
+        F.sum("_sy").over(w).alias("_cs"),
+    )
+    # block average A(j,k) over scores j..k from inclusive prefixes:
+    # (S_k - S_{j-1}) / (N_k - N_{j-1}); the j side carries its
+    # EXCLUSIVE prefix via lag
+    prev = pref.select(
+        F.col("_i").alias("_j"),
+        F.lag("_cn", 1, 0).over(w.orderBy("_i")).alias("_np"),
+        F.lag("_cs", 1, 0.0).over(w.orderBy("_i")).alias("_sp"),
+    )
+    pk = pref.select(
+        F.col("_i").alias("_k"),
+        F.col("_cn").alias("_cnk"),
+        F.col("_cs").alias("_csk"),
+    )
+    pairs = (
+        prev.join(pk, F.col("_k") >= F.col("_j"))
+        .select(
+            "_j", "_k",
+            (
+                (F.col("_csk") - F.col("_sp"))
+                / (F.col("_cnk") - F.col("_np"))
+            ).alias("_a"),
+        )
+    )
+    wsuf = (
+        Window.partitionBy("_j")
+        .orderBy(F.col("_k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m_ji = pairs.select(
+        "_j", F.col("_k").alias("_ii"), F.min("_a").over(wsuf).alias("_m")
+    )
+    fitted = (
+        m_ji.filter(F.col("_j") <= F.col("_ii"))
+        .groupBy("_ii")
+        .agg(F.round(F.max("_m"), decimals).alias("_g"))
+    )
+    gmap = pref.select("_s", "_i").join(
+        fitted, F.col("_i") == F.col("_ii")
+    ).select("_s", "_g")
+    return rows.join(F.broadcast(gmap), "_s").select(
+        F.col(key),
+        F.col("_s").alias(score_col),
+        F.col("_g").alias("calibrated"),
+    )
 
 
 def scoring_metrics(

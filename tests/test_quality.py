@@ -1493,3 +1493,84 @@ def test_scoring_metrics_positive_class(spark):
     )
     out = scoring_metrics(df, "p", "lang", positive="en").collect()[0]
     assert out["accuracy"] == 1.0
+
+
+def _py_pav(pairs):
+    """Explicit pool-adjacent-violators over (score, y) pairs ->
+    {score: fitted}.  Blocks merge while a left block's mean exceeds
+    its right neighbor's."""
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0])
+    for s, y in pairs:
+        agg[s][0] += 1
+        agg[s][1] += y
+    items = sorted(agg.items())
+    blocks = [[n, sy, [s]] for s, (n, sy) in items]
+    merged = True
+    while merged:
+        merged = False
+        out = []
+        for b in blocks:
+            out.append(b)
+            while len(out) >= 2 and (
+                out[-2][1] / out[-2][0] > out[-1][1] / out[-1][0]
+            ):
+                n2, s2, ss2 = out.pop()
+                out[-1][0] += n2
+                out[-1][1] += s2
+                out[-1][2].extend(ss2)
+                merged = True
+        blocks = out
+    fit = {}
+    for n, sy, ss in blocks:
+        for s in ss:
+            fit[s] = sy / n
+    return fit
+
+
+def test_isotonic_matches_pav_reference(spark):
+    from gbdc_spark.operators.quality import isotonic_calibrate
+
+    cases = [
+        [(0.1, 0.0), (0.2, 1.0), (0.3, 0.0), (0.4, 1.0), (0.5, 1.0)],
+        [(0.1, 1.0), (0.2, 0.0), (0.3, 0.0), (0.4, 0.0)],  # all violators
+        [(0.1, 0.0), (0.1, 1.0), (0.2, 0.0), (0.3, 1.0), (0.3, 1.0),
+         (0.4, 0.0), (0.5, 1.0)],
+    ]
+    for case in cases:
+        rows = [(i, s, y) for i, (s, y) in enumerate(case)]
+        df = spark.createDataFrame(rows, "doc_id long, s double, y double")
+        out = {r["doc_id"]: r["calibrated"] for r in
+               isotonic_calibrate(df, "s", "y").collect()}
+        ref = _py_pav(case)
+        for i, (s, y) in enumerate(case):
+            assert out[i] == pytest.approx(round(ref[s], 6), abs=1e-9), (
+                case, i
+            )
+
+
+def test_isotonic_property_random_vs_pav(spark):
+    import random
+
+    from gbdc_spark.operators.quality import isotonic_calibrate
+
+    rng = random.Random(13)
+    for trial in range(3):
+        case = [
+            (round(rng.random(), 2), float(rng.random() < 0.5))
+            for _ in range(60)
+        ]
+        rows = [(i, s, y) for i, (s, y) in enumerate(case)]
+        df = spark.createDataFrame(rows, "doc_id long, s double, y double")
+        out = {r["doc_id"]: r["calibrated"] for r in
+               isotonic_calibrate(df, "s", "y").collect()}
+        ref = _py_pav(case)
+        for i, (s, y) in enumerate(case):
+            assert out[i] == pytest.approx(round(ref[s], 6), abs=1e-9), (
+                trial, i
+            )
+        # monotone in score
+        by_s = sorted((s, out[i]) for i, (s, y) in enumerate(case))
+        vals = [v for _, v in by_s]
+        assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))

@@ -605,6 +605,13 @@ CHECKS = {
          "literals)", r"^(?!.*CartesianProduct)"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "isotonic_calibrate": [
+        ("distinct-score fold is a map-side-combined partial agg",
+         r"partial_count"),
+        ("fitted map broadcast back to the rows", r"BroadcastHashJoin"),
+        ("no cartesian product", r"^(?!.*CartesianProduct)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "platt_metrics": [
         ("metric summary is one map-side-combined partial avg",
          r"partial_avg"),
