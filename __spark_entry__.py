@@ -849,6 +849,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, "n_chars", "lang", positive="en"
         )
 
+    def q_conformal_gate(spark, sf_dir):
+        # Mondrian split-conformal gate per lang: nonconformity =
+        # n_chars (long docs anomalous), alpha=0.1 — the exact-rank
+        # threshold with a per-group coverage guarantee
+        from gbdc_spark.operators.quality import conformal_gate
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        return conformal_gate(docs, "n_chars", alpha=0.1, by="lang")
+
     def q_cluster_agreement(spark, sf_dir):
         # ARI between the lang and source partitionings of documents —
         # exercises the exact pair-count machinery on a known-domain
@@ -3305,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "platt_scale": q_platt_scale,
         "platt_metrics": q_platt_metrics,
         "isotonic_calibrate": q_isotonic_calibrate,
+        "conformal_gate": q_conformal_gate,
         "unimax_expand": q_unimax_expand,
         "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
@@ -5991,6 +6001,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT doc_id,
                          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
                   FROM documents) y USING (doc_id)
+        """,
+        "conformal_gate": """
+            WITH rk AS (
+                SELECT doc_id, lang, n_chars,
+                       CAST(n_chars AS DOUBLE) AS s,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY CAST(n_chars AS DOUBLE),
+                                                   doc_id) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM documents),
+            thr AS (
+                SELECT lang, s AS t FROM rk
+                WHERE rn = CAST(ceil((n + 1) * 0.9) AS BIGINT))
+            SELECT rk.doc_id, rk.lang, rk.n_chars,
+                   thr.t AS conformal_threshold,
+                   CASE WHEN rk.s IS NULL THEN NULL
+                        WHEN thr.t IS NULL THEN TRUE
+                        ELSE rk.s <= thr.t END AS conformal_keep
+            FROM rk LEFT JOIN thr USING (lang)
         """,
         "isotonic_calibrate": """
             WITH r AS (

@@ -35,6 +35,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "temperature_weights", "ccnet_buckets", "temperature_mix",
            "unimax_weights", "unimax_mix", "normalize_scores",
            "platt_scale", "scoring_metrics", "isotonic_calibrate",
+           "conformal_gate",
            "percentile_gate"]
 
 # Redaction rules: name -> (regex, replacement token).  Patterns are
@@ -2170,6 +2171,76 @@ def isotonic_calibrate(
         F.col("_s").alias(score_col),
         F.col("_g").alias("calibrated"),
     )
+
+
+def conformal_gate(
+    df: DataFrame,
+    score_col: str,
+    alpha: float = 0.1,
+    by: str | None = None,
+    key: str = "doc_id",
+    bucketed: bool | None = None,
+    quant: float = 1e6,
+) -> DataFrame:
+    """Split-conformal threshold gate (Vovk et al.; Papadopoulos et al.
+    2002): treat ``score_col`` as a NONCONFORMITY score (higher = more
+    anomalous) and keep rows at or below the ``ceil((n+1)(1-alpha))``-th
+    smallest calibration score — the distribution-free way to set a
+    quality cutoff with a coverage guarantee (at most an alpha
+    fraction of exchangeable in-distribution rows are rejected),
+    instead of an eyeballed percentile.  ``by`` gives Mondrian
+    (per-group) conformal: each source/language carries its own
+    threshold and its own guarantee.
+
+    Rank selection runs on the shared two-phase score-bucketed device
+    (:func:`ccnet_buckets`'s scalable path — no corpus-sized rank
+    window); the rank index k is an exact integer per group, and the
+    threshold is a VALUE from the data, so both engines agree
+    bit-for-bit.  The k = ceil((n+1)*(1-alpha)) float convention is
+    evaluated in IEEE doubles identically everywhere (document-stable
+    even where the real-number ceil would differ).  When k > n the
+    conformal threshold is +infinity: ``conformal_threshold`` is NULL
+    and every row is kept.  NULL scores keep a NULL flag.
+
+    Adds (conformal_threshold, conformal_keep) to ``df``'s columns.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    grp = by
+    work = df
+    if by is None:
+        grp = "_cg"
+        work = df.withColumn("_cg", F.lit(0))
+    ranked = _group_rank_sizes(
+        work, score_col, grp, key,
+        ascending=True, bucketed=bucketed,
+        bucket_threshold=2_000_000, quant=quant,
+        max_group_rows=None,
+    )
+    k = F.ceil((F.col("_n") + 1) * F.lit(1.0 - float(alpha))).cast("long")
+    thr = (
+        ranked.filter(F.col("_rn") == k)
+        .select(
+            F.col(grp).alias("_tg"),
+            F.col(score_col).cast("double").alias("_thr"),
+        )
+    )
+    out = (
+        ranked.join(
+            F.broadcast(thr), F.col(grp).eqNullSafe(F.col("_tg")), "left"
+        )
+        .withColumn(
+            "conformal_keep",
+            F.when(F.col(score_col).isNull(), F.lit(None).cast("boolean"))
+            .when(F.col("_thr").isNull(), F.lit(True))
+            .otherwise(F.col(score_col).cast("double") <= F.col("_thr")),
+        )
+        .withColumn("conformal_threshold", F.col("_thr"))
+        # df.columns (not work's) — the synthetic global group column
+        # never reaches the output
+        .select(*df.columns, "conformal_threshold", "conformal_keep")
+    )
+    return out
 
 
 def scoring_metrics(

@@ -1574,3 +1574,62 @@ def test_isotonic_property_random_vs_pav(spark):
         by_s = sorted((s, out[i]) for i, (s, y) in enumerate(case))
         vals = [v for _, v in by_s]
         assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_conformal_gate_threshold_and_coverage(spark):
+    import math
+
+    from gbdc_spark.operators.quality import conformal_gate
+
+    # 19 rows, alpha=0.1: k = ceil(20*0.9) = 18 -> threshold = 18th
+    # smallest score
+    rows = [(i, float(i)) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = {r["doc_id"]: r for r in conformal_gate(df, "s", alpha=0.1).collect()}
+    k = math.ceil(20 * (1.0 - 0.1))
+    thr = float(sorted(s for _, s in rows)[k - 1])
+    kept = [i for i, s in rows if out[i]["conformal_keep"]]
+    for i, s in rows:
+        assert out[i]["conformal_threshold"] == thr
+        assert out[i]["conformal_keep"] == (s <= thr)
+    # coverage: at most alpha fraction rejected
+    assert len(kept) >= math.floor(len(rows) * 0.9)
+
+
+def test_conformal_gate_k_exceeding_n_keeps_all(spark):
+    from gbdc_spark.operators.quality import conformal_gate
+
+    rows = [(i, float(i)) for i in range(5)]  # n=5, alpha=0.05 -> k=6 > n
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = conformal_gate(df, "s", alpha=0.05).collect()
+    assert all(r["conformal_keep"] for r in out)
+    assert all(r["conformal_threshold"] is None for r in out)
+
+
+def test_conformal_gate_mondrian_per_group(spark):
+    from gbdc_spark.operators.quality import conformal_gate
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [
+        (100 + i, "b", float(1000 + i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, s double")
+    out = {r["doc_id"]: r for r in
+           conformal_gate(df, "s", alpha=0.2, by="source").collect()}
+    # k = ceil(11*0.8) = 9 per group -> per-group thresholds
+    assert out[0]["conformal_threshold"] == 8.0
+    assert out[100]["conformal_threshold"] == 1008.0
+    assert out[9]["conformal_keep"] is False
+    assert out[108]["conformal_keep"] is True
+
+    with pytest.raises(ValueError):
+        conformal_gate(df, "s", alpha=0.0)
+
+
+def test_conformal_gate_null_scores_flag_null(spark):
+    from gbdc_spark.operators.quality import conformal_gate
+
+    rows = [(1, 1.0), (2, 2.0), (3, None), (4, 3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = {r["doc_id"]: r for r in conformal_gate(df, "s", alpha=0.3).collect()}
+    assert out[3]["conformal_keep"] is None
+    assert len(out) == 4

@@ -605,6 +605,12 @@ CHECKS = {
          "literals)", r"^(?!.*CartesianProduct)"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "conformal_gate": [
+        ("threshold table broadcast back to the rows",
+         r"BroadcastHashJoin"),
+        ("no cartesian product", r"^(?!.*CartesianProduct)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "isotonic_calibrate": [
         ("distinct-score fold is a map-side-combined partial agg",
          r"partial_count"),
