@@ -858,6 +858,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
         return conformal_gate(docs, "n_chars", alpha=0.1, by="lang")
 
+    def q_perplexity_conformal(spark, sf_dir):
+        # composed CCNet-with-a-guarantee: self-trained bigram LM
+        # perplexity -> Mondrian conformal keep per lang at alpha=0.2
+        # (instead of ccnet_buckets' fixed head/middle/tail thirds)
+        from gbdc_spark.operators.quality import (
+            conformal_gate,
+            lm_perplexity,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        ppl = lm_perplexity(
+            docs.select("doc_id", "text"), min_count=2
+        ).select("doc_id", "perplexity")
+        joined = ppl.join(docs.select("doc_id", "lang"), "doc_id")
+        return conformal_gate(joined, "perplexity", alpha=0.2, by="lang")
+
     def q_cluster_agreement(spark, sf_dir):
         # ARI between the lang and source partitionings of documents —
         # exercises the exact pair-count machinery on a known-domain
@@ -3315,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "platt_metrics": q_platt_metrics,
         "isotonic_calibrate": q_isotonic_calibrate,
         "conformal_gate": q_conformal_gate,
+        "perplexity_conformal": q_perplexity_conformal,
         "unimax_expand": q_unimax_expand,
         "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
@@ -8586,5 +8603,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, n_docs, round(ce, 6) AS ce,
                round((1.0 - 0.3) * e / z + 0.3 / k, 6) AS weight
         FROM ex, tot
+    """
+    # CCNet-with-a-guarantee: the verified lm_perplexity oracle feeds
+    # the Mondrian conformal window per lang (alpha=0.2 -> 0.8)
+    oracles["perplexity_conformal"] = f"""
+        WITH base AS ({oracles["lm_perplexity"]}),
+        j AS (SELECT b.doc_id, b.perplexity, d.lang
+              FROM base b JOIN documents d USING (doc_id)),
+        rk AS (
+            SELECT doc_id, perplexity, lang,
+                   CAST(perplexity AS DOUBLE) AS s,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY CAST(perplexity AS DOUBLE),
+                                               doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM j),
+        thr AS (
+            SELECT lang, s AS t FROM rk
+            WHERE rn = CAST(ceil((n + 1) * 0.8) AS BIGINT))
+        SELECT rk.doc_id, rk.perplexity, rk.lang,
+               thr.t AS conformal_threshold,
+               CASE WHEN rk.s IS NULL THEN NULL
+                    WHEN thr.t IS NULL THEN TRUE
+                    ELSE rk.s <= thr.t END AS conformal_keep
+        FROM rk LEFT JOIN thr USING (lang)
     """
     return oracles

@@ -605,6 +605,12 @@ CHECKS = {
          "literals)", r"^(?!.*CartesianProduct)"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "perplexity_conformal": [
+        ("LM model tables broadcast to the scoring pass",
+         r"BroadcastHashJoin"),
+        ("no cartesian product", r"^(?!.*CartesianProduct)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "conformal_gate": [
         ("threshold table broadcast back to the rows",
          r"BroadcastHashJoin"),
