@@ -874,6 +874,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         joined = ppl.join(docs.select("doc_id", "lang"), "doc_id")
         return conformal_gate(joined, "perplexity", alpha=0.2, by="lang")
 
+    def q_weighted_dedup(spark, sf_dir):
+        # E2E TF-weighted near-dup dedup: weighted band candidates ->
+        # exact weighted-Jaccard verify at 0.5 -> large-star/small-star
+        # components -> (doc_id, keeper); composes three verified
+        # pieces, oracled by the closure recursion over the verified
+        # edge set
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        cand = dedup.weighted_minhash_pairs(docs)
+        verified = (
+            dedup.weighted_jaccard_pairs(docs, cand)
+            .filter(F.col("weighted_jaccard") >= 0.5)
+            .select("a", "b")
+        )
+        return dedup.dup_clusters_star(verified)
+
     def q_cluster_agreement(spark, sf_dir):
         # ARI between the lang and source partitionings of documents —
         # exercises the exact pair-count machinery on a known-domain
@@ -3327,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_minhash_pairs": q_weighted_minhash_pairs,
         "weighted_jaccard": q_weighted_jaccard,
         "cluster_agreement": q_cluster_agreement,
+        "weighted_dedup": q_weighted_dedup,
         "platt_scale": q_platt_scale,
         "platt_metrics": q_platt_metrics,
         "isotonic_calibrate": q_isotonic_calibrate,
@@ -8603,6 +8619,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, n_docs, round(ce, 6) AS ce,
                round((1.0 - 0.3) * e / z + 0.3 / k, 6) AS weight
         FROM ex, tot
+    """
+    # E2E weighted dedup: weighted band candidates -> exact weighted
+    # Jaccard verify at 0.5 -> closure recursion over the verified
+    # edges (the dedup_clusters oracle shape on a composed edge set)
+    oracles["weighted_dedup"] = f"""
+        WITH RECURSIVE cand AS MATERIALIZED (
+            {oracles["weighted_minhash_pairs"]}
+        ),
+        tw AS (SELECT doc_id, str_split(text, ' ') AS words
+               FROM documents),
+        ver AS MATERIALIZED (
+            SELECT a, b FROM (
+                SELECT c.a, c.b, ta.words AS wa, tb.words AS wb,
+                       list_distinct(list_concat(
+                           list_distinct(ta.words),
+                           list_distinct(tb.words))) AS ut
+                FROM cand c
+                JOIN tw ta ON ta.doc_id = c.a
+                JOIN tw tb ON tb.doc_id = c.b)
+            WHERE round(CAST(list_sum(list_transform(ut,
+                       t -> least(len(list_filter(wa, x -> x = t)),
+                                  len(list_filter(wb, x -> x = t)))))
+                   AS DOUBLE)
+                   / list_sum(list_transform(ut,
+                       t -> greatest(len(list_filter(wa, x -> x = t)),
+                                     len(list_filter(wb, x -> x = t))))),
+                   6) >= 0.5),
+        edges AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM ver
+            UNION SELECT b, a FROM ver),
+        reach AS (
+            SELECT src AS v, dst AS w FROM edges
+            UNION
+            SELECT r.v, e.dst FROM reach r JOIN edges e ON r.w = e.src),
+        comp AS (SELECT v, least(v, min(w)) AS keeper
+                 FROM reach GROUP BY v)
+        SELECT v AS doc_id, keeper FROM comp
     """
     # CCNet-with-a-guarantee: the verified lm_perplexity oracle feeds
     # the Mondrian conformal window per lang (alpha=0.2 -> 0.8)

@@ -638,6 +638,14 @@ CHECKS = {
          r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "weighted_dedup": [
+        # the star-contraction rounds ran at plan-BUILD time
+        # (localCheckpoint per round), so the returned lineage is the
+        # final keeper fold over the converged edge table — the band +
+        # verify join shapes are audited on weighted_minhash_pairs
+        ("no cartesian product", r"^(?!.*CartesianProduct)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "weighted_minhash_pairs": [
         ("band equi-join is a real join (never cross)",
          r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
