@@ -889,6 +889,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.dup_clusters_star(verified)
 
+    def q_group_auc(spark, sf_dir):
+        # per-source AUC of the n_chars score for predicting
+        # lang=='en' — the slice-level fairness/drift check of a
+        # scorer that global binary_auc averages away
+        from gbdc_spark.operators.quality import group_auc
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.col("n_chars").cast("double").alias("score"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
+        return group_auc(docs, "score", "y", by="source")
+
     def q_cluster_agreement(spark, sf_dir):
         # ARI between the lang and source partitionings of documents —
         # exercises the exact pair-count machinery on a known-domain
@@ -3348,6 +3361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibrate": q_isotonic_calibrate,
         "conformal_gate": q_conformal_gate,
         "perplexity_conformal": q_perplexity_conformal,
+        "group_auc": q_group_auc,
         "unimax_expand": q_unimax_expand,
         "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
@@ -6034,6 +6048,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT doc_id,
                          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
                   FROM documents) y USING (doc_id)
+        """,
+        "group_auc": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       CAST(n_chars AS DOUBLE) AS s,
+                       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                FROM documents),
+            g AS (SELECT source, s, count(*) AS n, sum(y) AS np
+                  FROM d GROUP BY source, s),
+            r AS (
+                SELECT source, s, n, np,
+                       coalesce(sum(n) OVER (PARTITION BY source
+                           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0.0) AS below
+                FROM g)
+            SELECT source,
+                   CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+                   round(CASE WHEN sum(np) > 0
+                                   AND sum(n) - sum(np) > 0
+                              THEN (sum(np * (below + (n + 1) / 2.0))
+                                    - sum(np) * (sum(np) + 1) / 2.0)
+                                   / (sum(np) * (sum(n) - sum(np)))
+                         END, 6) AS auc
+            FROM r GROUP BY source
         """,
         "conformal_gate": """
             WITH rk AS (

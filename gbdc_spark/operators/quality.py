@@ -35,7 +35,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "temperature_weights", "ccnet_buckets", "temperature_mix",
            "unimax_weights", "unimax_mix", "normalize_scores",
            "platt_scale", "scoring_metrics", "isotonic_calibrate",
-           "conformal_gate",
+           "conformal_gate", "group_auc",
            "percentile_gate"]
 
 # Redaction rules: name -> (regex, replacement token).  Patterns are
@@ -2327,6 +2327,62 @@ def binary_auc(
             ),
             6,
         ).alias("auc"),
+    )
+
+
+def group_auc(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    by: str = "source",
+) -> DataFrame:
+    """Per-group exact ROC-AUC — :func:`binary_auc` stratified by
+    ``by`` (source, language, snapshot): the fairness/drift check that
+    a scorer which looks fine globally isn't rank-inverting on one
+    slice.  Same tie-averaged Mann–Whitney construction; groups where
+    either class is empty report NULL (AUC undefined).
+
+    Returns one row per group: (by, n_pos, n_neg, auc).
+
+    Scale shape: rows collapse to one partial-agg count per (group,
+    DISTINCT score); the rank window partitions by group over that
+    model-sized table; the final fold is one row per group.
+    """
+    from pyspark.sql import Window
+
+    g = (
+        df.groupBy(
+            F.col(by).alias("_g"), F.col(score_col).alias("_s")
+        )
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col(label_col).cast("double")).alias("_np"),
+        )
+    )
+    w = (
+        Window.partitionBy("_g").orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = g.withColumn(
+        "_below", F.coalesce(F.sum("_n").over(w), F.lit(0.0))
+    ).withColumn(
+        "_avg_rank", F.col("_below") + (F.col("_n") + 1) / 2.0
+    )
+    return (
+        ranked.groupBy("_g")
+        .agg(
+            F.sum("_np").cast("long").alias("n_pos"),
+            (F.sum("_n") - F.sum("_np")).cast("long").alias("n_neg"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("_np") * F.col("_avg_rank"))
+                    - F.sum("_np") * (F.sum("_np") + 1) / 2.0,
+                    F.sum("_np") * (F.sum("_n") - F.sum("_np")),
+                ),
+                6,
+            ).alias("auc"),
+        )
+        .select(F.col("_g").alias(by), "n_pos", "n_neg", "auc")
     )
 
 

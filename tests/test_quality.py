@@ -1633,3 +1633,38 @@ def test_conformal_gate_null_scores_flag_null(spark):
     out = {r["doc_id"]: r for r in conformal_gate(df, "s", alpha=0.3).collect()}
     assert out[3]["conformal_keep"] is None
     assert len(out) == 4
+
+
+def test_group_auc_matches_global_on_each_slice(spark):
+    from gbdc_spark.operators.quality import binary_auc, group_auc
+
+    rows = (
+        [(i, "a", float(i), 1.0 if i >= 5 else 0.0) for i in range(10)]
+        + [(100 + i, "b", float(i % 3), 1.0 if i % 2 == 0 else 0.0)
+           for i in range(12)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, score double, y double"
+    )
+    per = {r["source"]: r for r in
+           group_auc(df, "score", "y", by="source").collect()}
+    for src in ("a", "b"):
+        sub = df.filter(df.source == src)
+        glob = binary_auc(sub, "score", "y").collect()[0]
+        assert per[src]["auc"] == glob["auc"], src
+        assert per[src]["n_pos"] == glob["n_pos"]
+        assert per[src]["n_neg"] == glob["n_neg"]
+    assert per["a"]["auc"] == 1.0  # perfectly ranked slice
+
+
+def test_group_auc_single_class_group_is_null(spark):
+    from gbdc_spark.operators.quality import group_auc
+
+    rows = [(1, "only_pos", 0.5, 1.0), (2, "only_pos", 0.7, 1.0),
+            (3, "mixed", 0.1, 0.0), (4, "mixed", 0.9, 1.0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, score double, y double"
+    )
+    out = {r["source"]: r for r in group_auc(df, by="source").collect()}
+    assert out["only_pos"]["auc"] is None
+    assert out["mixed"]["auc"] == 1.0

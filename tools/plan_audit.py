@@ -605,6 +605,12 @@ CHECKS = {
          "literals)", r"^(?!.*CartesianProduct)"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "group_auc": [
+        ("distinct-(group,score) fold is a map-side-combined partial "
+         "agg", r"partial_count"),
+        ("no cartesian product", r"^(?!.*CartesianProduct)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "perplexity_conformal": [
         ("LM model tables broadcast to the scoring pass",
          r"BroadcastHashJoin"),
