@@ -872,7 +872,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.select("doc_id", "text"), min_count=2
         ).select("doc_id", "perplexity")
         joined = ppl.join(docs.select("doc_id", "lang"), "doc_id")
-        return conformal_gate(joined, "perplexity", alpha=0.2, by="lang")
+        # bucketed=False: skip the rank device's group-size probe —
+        # on this DERIVED input the probe would re-execute the whole
+        # LM lineage (the documented size-hint pattern)
+        return conformal_gate(
+            joined, "perplexity", alpha=0.2, by="lang", bucketed=False
+        )
 
     def q_weighted_dedup(spark, sf_dir):
         # E2E TF-weighted near-dup dedup: weighted band candidates ->
