@@ -907,6 +907,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return group_auc(docs, "score", "y", by="source")
 
+    def q_time_resample(spark, sf_dir):
+        # hourly fixed-grid resample of event values per user with
+        # explicit gap rows — the regular-step feature matrix the
+        # trailing windows can't produce
+        from gbdc_spark.operators.temporal import time_resample
+
+        ev = tables.load(spark, sf_dir, "events").select(
+            "user_id", "ts", "value"
+        )
+        return time_resample(ev, "value", interval_seconds=3600)
+
     def q_cluster_agreement(spark, sf_dir):
         # ARI between the lang and source partitionings of documents —
         # exercises the exact pair-count machinery on a known-domain
@@ -3367,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_gate": q_conformal_gate,
         "perplexity_conformal": q_perplexity_conformal,
         "group_auc": q_group_auc,
+        "time_resample": q_time_resample,
         "unimax_expand": q_unimax_expand,
         "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
@@ -6053,6 +6065,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT doc_id,
                          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
                   FROM documents) y USING (doc_id)
+        """,
+        "time_resample": """
+            WITH a AS (
+                SELECT user_id,
+                       CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                           AS bucket,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       sum(value) AS vsum,
+                       avg(value) AS vmean
+                FROM events GROUP BY user_id, bucket),
+            s AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+                  FROM a GROUP BY user_id),
+            g AS (SELECT user_id,
+                         unnest(generate_series(b0, b1)) AS bucket
+                  FROM s)
+            SELECT g.user_id, g.bucket,
+                   make_timestamp(g.bucket * 3600000000) AS bucket_start,
+                   coalesce(a.n_events, 0) AS n_events,
+                   coalesce(a.vsum, 0.0) AS value_sum,
+                   round(a.vmean, 6) AS value_mean
+            FROM g LEFT JOIN a USING (user_id, bucket)
         """,
         "group_auc": """
             WITH d AS (

@@ -34,6 +34,7 @@ __all__ = [
     "with_session_id_scalable",
     "with_temporal_bundle_scalable",
     "with_trailing_agg",
+    "time_resample",
     "funnel_analysis",
     "cohort_retention",
     "markov_transitions",
@@ -580,6 +581,84 @@ def with_trailing_agg(
     for name, fn in funcs.items():
         df = df.withColumn(f"{value}_trailing_{name}", getattr(F, fn)(F.col(value)).over(w))
     return df
+
+
+def time_resample(
+    df: DataFrame,
+    value: str,
+    ts: str = "ts",
+    entity: str = "user_id",
+    interval_seconds: int = 3600,
+    fill: str = "zero",
+) -> DataFrame:
+    """Fixed-interval downsampling with GAP FILLING — the feature-store
+    resample the windowed family lacks: events bucket to
+    ``floor(epoch / interval)``, aggregate per (entity, bucket), and
+    every entity gets a DENSE bucket axis from its first to its last
+    bucket — the empty intervals a trailing window silently skips
+    become explicit rows, which is what a fixed-step training matrix
+    (or any model assuming regular time steps) needs.
+
+    Per kept bucket: ``n_events`` (0 on gap rows), ``value_sum``
+    (0.0 on gaps under ``fill='zero'``), ``value_mean`` (NULL on gaps
+    — a mean of nothing is not 0), and ``bucket_start`` (timestamp).
+    ``fill='ffill'`` instead carries the last seen ``value_mean``
+    forward into gap rows (sum stays 0): the
+    :func:`with_ffill` last-value semantics on the regular grid.
+
+    Scale shape: one map-side-combined agg to (entity, bucket)
+    cardinality, a per-entity min/max agg (same shuffle key), the gap
+    EXPLODE generates only each entity's own span, and the fill path
+    is one last-value window over the RESAMPLED (not raw) rows.  The
+    span explode means one entity spanning the whole corpus history
+    emits history/interval rows — bounded by the grid, not by the raw
+    event count.
+    """
+    if fill not in ("zero", "ffill"):
+        raise ValueError(f"unknown fill {fill!r}")
+    step = int(interval_seconds)
+    if step <= 0:
+        raise ValueError("interval_seconds must be positive")
+    epoch = F.unix_micros(F.col(ts).cast("timestamp"))
+    bucket = F.floor(epoch / F.lit(step * 1_000_000)).cast("long")
+    agg = (
+        df.select(F.col(entity), bucket.alias("bucket"),
+                  F.col(value).cast("double").alias("_v"))
+        .groupBy(entity, "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_v").alias("value_sum"),
+            F.avg("_v").alias("value_mean"),
+        )
+    )
+    span = agg.groupBy(entity).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    grid = span.select(
+        entity,
+        F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("bucket"),
+    )
+    out = (
+        grid.join(agg, [entity, "bucket"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        .withColumn("value_sum", F.coalesce("value_sum", F.lit(0.0)))
+    )
+    if fill == "ffill":
+        w = (
+            Window.partitionBy(entity).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(
+            "value_mean", F.last("value_mean", ignorenulls=True).over(w)
+        )
+    return out.select(
+        entity, "bucket",
+        F.timestamp_micros(
+            F.col("bucket") * F.lit(step * 1_000_000)
+        ).alias("bucket_start"),
+        "n_events", "value_sum",
+        F.round("value_mean", 6).alias("value_mean"),
+    )
 
 
 def with_ewma(

@@ -511,3 +511,59 @@ def test_markov_stationary_matches_numpy_power_iteration(spark):
     for s in states:
         assert got[s] == pytest.approx(pi[idx[s]], abs=1e-6), s
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_time_resample_gap_filling_zero(spark):
+    from datetime import datetime
+
+    from gbdc_spark.operators.temporal import time_resample
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 2.0),
+        (1, datetime(2024, 1, 1, 0, 40), 4.0),
+        (1, datetime(2024, 1, 1, 3, 5), 10.0),   # gap hours 1, 2
+        (2, datetime(2024, 1, 1, 5, 0), 7.0),    # single-bucket entity
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(r["user_id"], r["bucket"]): r for r in
+           time_resample(df, "value", interval_seconds=3600).collect()}
+    b0 = [b for (u, b) in out if u == 1]
+    assert len(b0) == 4  # dense hours 0..3 for entity 1
+    lo = min(b0)
+    assert out[(1, lo)]["n_events"] == 2
+    assert out[(1, lo)]["value_sum"] == 6.0
+    assert out[(1, lo)]["value_mean"] == 3.0
+    for gap in (lo + 1, lo + 2):
+        assert out[(1, gap)]["n_events"] == 0
+        assert out[(1, gap)]["value_sum"] == 0.0
+        assert out[(1, gap)]["value_mean"] is None
+    assert out[(1, lo + 3)]["value_mean"] == 10.0
+    assert len([b for (u, b) in out if u == 2]) == 1
+    # bucket_start is the exact interval boundary
+    assert out[(1, lo)]["bucket_start"] == datetime(2024, 1, 1, 0, 0)
+
+
+def test_time_resample_ffill_carries_mean(spark):
+    from datetime import datetime
+
+    from gbdc_spark.operators.temporal import time_resample
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 5.0),
+        (1, datetime(2024, 1, 1, 2, 0), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(
+        time_resample(df, "value", interval_seconds=3600,
+                      fill="ffill").collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["value_mean"] for r in out] == [5.0, 5.0, 9.0]
+    assert [r["n_events"] for r in out] == [1, 0, 1]
+    assert [r["value_sum"] for r in out] == [5.0, 0.0, 9.0]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        time_resample(df, "value", fill="interp")
+    with _pt.raises(ValueError):
+        time_resample(df, "value", interval_seconds=0)

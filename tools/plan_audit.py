@@ -605,6 +605,13 @@ CHECKS = {
          "literals)", r"^(?!.*CartesianProduct)"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "time_resample": [
+        ("bucket agg is map-side combined", r"partial_count"),
+        ("gap generation is a per-entity explode", r"Generate"),
+        ("grid x agg join is a real equi-join (never cross)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "group_auc": [
         ("distinct-(group,score) fold is a map-side-combined partial "
          "agg", r"partial_count"),
