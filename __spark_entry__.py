@@ -918,6 +918,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return time_resample(ev, "value", interval_seconds=3600)
 
+    def q_psi_drift(spark, sf_dir):
+        # score-drift check: PSI of the n_chars distribution, en docs
+        # as the reference population vs all other langs as the new
+        # one — real distributional shift in the synth tables
+        from gbdc_spark.operators.quality import population_stability
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        ref = docs.filter(F.col("lang") == "en")
+        new = docs.filter(F.col("lang") != "en")
+        return population_stability(ref, new, "n_chars", bins=10)
+
     def q_cluster_agreement(spark, sf_dir):
         # ARI between the lang and source partitionings of documents —
         # exercises the exact pair-count machinery on a known-domain
@@ -3379,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_conformal": q_perplexity_conformal,
         "group_auc": q_group_auc,
         "time_resample": q_time_resample,
+        "psi_drift": q_psi_drift,
         "unimax_expand": q_unimax_expand,
         "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
@@ -6065,6 +6077,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT doc_id,
                          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
                   FROM documents) y USING (doc_id)
+        """,
+        "psi_drift": """
+            WITH ref AS (SELECT CAST(n_chars AS DOUBLE) AS s
+                         FROM documents WHERE lang = 'en'),
+            nw AS (SELECT CAST(n_chars AS DOUBLE) AS s
+                   FROM documents WHERE lang <> 'en'),
+            b AS (SELECT min(s) AS lo, max(s) AS hi FROM ref),
+            pb AS (
+                SELECT CAST(least(greatest(floor((s - b.lo) * 10.0
+                           / (b.hi - b.lo)), 0), 9) AS BIGINT) AS bb,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM ref CROSS JOIN b GROUP BY 1),
+            qb AS (
+                SELECT CAST(least(greatest(floor((s - b.lo) * 10.0
+                           / (b.hi - b.lo)), 0), 9) AS BIGINT) AS bb,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM nw CROSS JOIN b GROUP BY 1),
+            j AS (
+                SELECT coalesce(pb.c, 0) AS cr, coalesce(qb.c, 0) AS cn
+                FROM pb FULL JOIN qb USING (bb)),
+            t AS (SELECT sum(cr) AS n_ref, sum(cn) AS n_new FROM j)
+            SELECT t.n_ref, t.n_new,
+                   round(sum(
+                       (greatest(j.cn / CAST(t.n_new AS DOUBLE), 0.000001)
+                        - greatest(j.cr / CAST(t.n_ref AS DOUBLE),
+                                   0.000001))
+                       * ln(greatest(j.cn / CAST(t.n_new AS DOUBLE),
+                                     0.000001)
+                            / greatest(j.cr / CAST(t.n_ref AS DOUBLE),
+                                       0.000001))), 6) AS psi
+            FROM j CROSS JOIN t GROUP BY t.n_ref, t.n_new
         """,
         "time_resample": """
             WITH a AS (

@@ -35,7 +35,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "temperature_weights", "ccnet_buckets", "temperature_mix",
            "unimax_weights", "unimax_mix", "normalize_scores",
            "platt_scale", "scoring_metrics", "isotonic_calibrate",
-           "conformal_gate", "group_auc",
+           "conformal_gate", "group_auc", "population_stability",
            "percentile_gate"]
 
 # Redaction rules: name -> (regex, replacement token).  Patterns are
@@ -2383,6 +2383,89 @@ def group_auc(
             ).alias("auc"),
         )
         .select(F.col("_g").alias(by), "n_pos", "n_neg", "auc")
+    )
+
+
+def population_stability(
+    ref: DataFrame,
+    new: DataFrame,
+    score_col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a new score
+    distribution — the standard drift number for a deployed scorer
+    (credit-scoring lineage; <0.1 stable, 0.1-0.25 moderate shift,
+    >0.25 investigate): equal-width bins over [lo, hi] (probed from
+    the REFERENCE min/max when not given — a bounded 2-value action;
+    pass explicit bounds on derived inputs), out-of-range values clamp
+    into the edge bins, and
+
+        PSI = sum_i (q_i - p_i) * ln(q_i / p_i)
+
+    with the bin fractions eps-clamped so an empty bin contributes a
+    large-but-finite term instead of infinity.  Complements
+    :func:`~gbdc_spark.operators.text.source_divergence` (vocabulary
+    KL) with the binned-score view, and :func:`split_contamination`
+    (membership) with a distribution-level drift check.
+
+    Returns ONE row: (n_ref, n_new, psi) with psi rounded to 6.
+
+    Scale shape: one map-side-combined bin count per side (≤ ``bins``
+    rows each), a full-outer bin join, and a 1-row fold — the corpora
+    are scanned once and never reshuffled.
+    """
+    if bins <= 0:
+        raise ValueError("bins must be positive")
+    if lo is None or hi is None:
+        b = ref.agg(
+            F.min(F.col(score_col).cast("double")).alias("lo"),
+            F.max(F.col(score_col).cast("double")).alias("hi"),
+        ).first()
+        lo = float(b["lo"]) if lo is None else float(lo)
+        hi = float(b["hi"]) if hi is None else float(hi)
+    if not hi > lo:
+        raise ValueError("hi must be greater than lo")
+    x = lambda d: d.select(  # noqa: E731
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(score_col).cast("double") - F.lit(lo))
+                    * F.lit(float(bins)) / F.lit(hi - lo)
+                ),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(int(bins) - 1).cast("long"),
+        ).alias("_b")
+    ).groupBy("_b").agg(F.count("*").alias("_c"))
+    p = x(ref).select(F.col("_b"), F.col("_c").alias("_cr"))
+    q = x(new).select(F.col("_b").alias("_bn"), F.col("_c").alias("_cn"))
+    j = p.join(q, F.col("_b") == F.col("_bn"), "full_outer").select(
+        F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        F.coalesce("_cn", F.lit(0)).alias("_cn"),
+    )
+    tots = j.agg(
+        F.sum("_cr").alias("n_ref"), F.sum("_cn").alias("n_new")
+    )
+    scored = j.crossJoin(F.broadcast(tots)).select(
+        "n_ref", "n_new",
+        (
+            (
+                F.greatest(F.col("_cn") / F.col("n_new"), F.lit(float(eps)))
+                - F.greatest(F.col("_cr") / F.col("n_ref"),
+                             F.lit(float(eps)))
+            )
+            * F.log(
+                F.greatest(F.col("_cn") / F.col("n_new"), F.lit(float(eps)))
+                / F.greatest(F.col("_cr") / F.col("n_ref"),
+                             F.lit(float(eps)))
+            )
+        ).alias("_t"),
+    )
+    return scored.groupBy("n_ref", "n_new").agg(
+        F.round(F.sum("_t"), 6).alias("psi")
     )
 
 

@@ -1668,3 +1668,58 @@ def test_group_auc_single_class_group_is_null(spark):
     out = {r["source"]: r for r in group_auc(df, by="source").collect()}
     assert out["only_pos"]["auc"] is None
     assert out["mixed"]["auc"] == 1.0
+
+
+def test_psi_matches_python_reference(spark):
+    import math
+
+    from gbdc_spark.operators.quality import population_stability
+
+    ref_vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+    new_vals = [1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 9.0, 9.5, 10.0, 10.0]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "s double")
+    new = spark.createDataFrame([(v,) for v in new_vals], "s double")
+    out = population_stability(ref, new, "s", bins=5).collect()[0]
+    lo, hi = min(ref_vals), max(ref_vals)
+
+    def binof(v):
+        return int(min(max(math.floor((v - lo) * 5 / (hi - lo)), 0), 4))
+
+    eps = 1e-6
+    pc = [0] * 5
+    qc = [0] * 5
+    for v in ref_vals:
+        pc[binof(v)] += 1
+    for v in new_vals:
+        qc[binof(v)] += 1
+    psi = sum(
+        (max(q / 10, eps) - max(p / 10, eps))
+        * math.log(max(q / 10, eps) / max(p / 10, eps))
+        for p, q in zip(pc, qc)
+    )
+    assert out["n_ref"] == 10 and out["n_new"] == 10
+    assert out["psi"] == pytest.approx(round(psi, 6), abs=1e-6)
+    assert out["psi"] > 0.1  # the shifted distribution reads as drift
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from gbdc_spark.operators.quality import population_stability
+
+    vals = [(float(i % 17),) for i in range(200)]
+    a = spark.createDataFrame(vals, "s double")
+    out = population_stability(a, a, "s", bins=8).collect()[0]
+    assert out["psi"] == 0.0
+
+    with pytest.raises(ValueError):
+        population_stability(a, a, "s", bins=0)
+    with pytest.raises(ValueError):
+        population_stability(a, a, "s", lo=5.0, hi=5.0)
+
+
+def test_psi_out_of_range_clamps_to_edge_bins(spark):
+    from gbdc_spark.operators.quality import population_stability
+
+    ref = spark.createDataFrame([(float(v),) for v in range(10)], "s double")
+    new = spark.createDataFrame([(-100.0,), (500.0,)], "s double")
+    out = population_stability(ref, new, "s", bins=4).collect()[0]
+    assert out["n_new"] == 2  # both rows landed in edge bins, none lost

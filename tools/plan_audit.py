@@ -605,6 +605,13 @@ CHECKS = {
          "literals)", r"^(?!.*CartesianProduct)"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "psi_drift": [
+        ("bin counts are map-side-combined partial aggs",
+         r"partial_count"),
+        ("no cartesian on data (only the 1-row totals broadcast)",
+         r"^(?!.*CartesianProduct)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "time_resample": [
         ("bucket agg is map-side combined", r"partial_count"),
         ("gap generation is a per-entity explode", r"Generate"),
