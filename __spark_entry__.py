@@ -929,6 +929,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         new = docs.filter(F.col("lang") != "en")
         return population_stability(ref, new, "n_chars", bins=10)
 
+    def q_ks_drift(spark, sf_dir):
+        # bin-free drift companion of psi_drift: exact two-sample KS
+        # statistic of the n_chars distribution, en vs other langs
+        from gbdc_spark.operators.quality import ks_statistic
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        return ks_statistic(
+            docs.filter(F.col("lang") == "en"),
+            docs.filter(F.col("lang") != "en"),
+            "n_chars",
+        )
+
     def q_cluster_agreement(spark, sf_dir):
         # ARI between the lang and source partitionings of documents —
         # exercises the exact pair-count machinery on a known-domain
@@ -3391,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_auc": q_group_auc,
         "time_resample": q_time_resample,
         "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
         "unimax_expand": q_unimax_expand,
         "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
@@ -6077,6 +6090,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT doc_id,
                          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
                   FROM documents) y USING (doc_id)
+        """,
+        "ks_drift": """
+            WITH a AS (
+                SELECT CAST(n_chars AS DOUBLE) AS s,
+                       CAST(count(*) AS BIGINT) AS ca
+                FROM documents WHERE lang = 'en' GROUP BY 1),
+            b AS (
+                SELECT CAST(n_chars AS DOUBLE) AS s,
+                       CAST(count(*) AS BIGINT) AS cb
+                FROM documents WHERE lang <> 'en' GROUP BY 1),
+            j AS (
+                SELECT coalesce(a.s, b.s) AS s,
+                       coalesce(a.ca, 0) AS ca,
+                       coalesce(b.cb, 0) AS cb
+                FROM a FULL JOIN b ON a.s = b.s),
+            c AS (
+                SELECT sum(ca) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS fa,
+                       sum(cb) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS fb
+                FROM j),
+            t AS (SELECT sum(ca) AS n_ref, sum(cb) AS n_new FROM j)
+            SELECT t.n_ref, t.n_new,
+                   round(max(abs(c.fa / CAST(t.n_ref AS DOUBLE)
+                                 - c.fb / CAST(t.n_new AS DOUBLE))), 6)
+                       AS ks_d
+            FROM c CROSS JOIN t GROUP BY t.n_ref, t.n_new
         """,
         "psi_drift": """
             WITH ref AS (SELECT CAST(n_chars AS DOUBLE) AS s

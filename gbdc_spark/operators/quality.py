@@ -36,6 +36,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "unimax_weights", "unimax_mix", "normalize_scores",
            "platt_scale", "scoring_metrics", "isotonic_calibrate",
            "conformal_gate", "group_auc", "population_stability",
+           "ks_statistic",
            "percentile_gate"]
 
 # Redaction rules: name -> (regex, replacement token).  Patterns are
@@ -2466,6 +2467,66 @@ def population_stability(
     )
     return scored.groupBy("n_ref", "n_new").agg(
         F.round(F.sum("_t"), 6).alias("psi")
+    )
+
+
+def ks_statistic(
+    ref: DataFrame,
+    new: DataFrame,
+    score_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic
+    ``D = sup_x |F_ref(x) - F_new(x)|`` — the bin-free companion of
+    :func:`population_stability`: PSI depends on a binning choice; D
+    is the exact worst-case CDF gap, evaluated at every distinct
+    observed score (where the sup is attained).
+
+    Every CDF value is an exact integer ratio (cumulative counts over
+    totals), so both engines derive the identical D; only the final
+    value rounds (6 decimals).  NULL scores are ignored on both sides.
+
+    Returns ONE row: (n_ref, n_new, ks_d).
+
+    Scale shape: each side collapses to one map-side-combined count
+    per DISTINCT score; the union of distinct scores carries both
+    cumulative sums in one ordered window over that model-sized
+    table (the :func:`binary_auc` contract); the final fold is 1 row.
+    """
+    from pyspark.sql import Window
+
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.filter(F.col(score_col).isNotNull())
+            .groupBy(F.col(score_col).cast("double").alias("_s"))
+            .agg(F.count("*").alias(name))
+        )
+    a = counts(ref, "_ca")
+    b = counts(new, "_cb")
+    j = a.join(b.withColumnRenamed("_s", "_sb"),
+               F.col("_s").eqNullSafe(F.col("_sb")), "full_outer").select(
+        F.coalesce("_s", "_sb").alias("_s"),
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    w = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = j.select(
+        F.sum("_ca").over(w).alias("_fa"),
+        F.sum("_cb").over(w).alias("_fb"),
+    )
+    tot = j.agg(F.sum("_ca").alias("n_ref"), F.sum("_cb").alias("n_new"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n_ref", "n_new",
+            F.abs(
+                F.col("_fa") / F.col("n_ref")
+                - F.col("_fb") / F.col("n_new")
+            ).alias("_d"),
+        )
+        .groupBy("n_ref", "n_new")
+        .agg(F.round(F.max("_d"), 6).alias("ks_d"))
     )
 
 

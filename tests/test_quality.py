@@ -1723,3 +1723,43 @@ def test_psi_out_of_range_clamps_to_edge_bins(spark):
     new = spark.createDataFrame([(-100.0,), (500.0,)], "s double")
     out = population_stability(ref, new, "s", bins=4).collect()[0]
     assert out["n_new"] == 2  # both rows landed in edge bins, none lost
+
+
+def test_ks_statistic_matches_scipy_style_reference(spark):
+    from gbdc_spark.operators.quality import ks_statistic
+
+    ref_vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    new_vals = [3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    a = spark.createDataFrame([(v,) for v in ref_vals], "s double")
+    b = spark.createDataFrame([(v,) for v in new_vals], "s double")
+    out = ks_statistic(a, b, "s").collect()[0]
+
+    xs = sorted(set(ref_vals) | set(new_vals))
+    d = max(
+        abs(
+            sum(1 for v in ref_vals if v <= x) / len(ref_vals)
+            - sum(1 for v in new_vals if v <= x) / len(new_vals)
+        )
+        for x in xs
+    )
+    assert out["n_ref"] == 5 and out["n_new"] == 6
+    assert out["ks_d"] == pytest.approx(round(d, 6), abs=1e-9)
+
+
+def test_ks_statistic_identical_zero_and_disjoint_one(spark):
+    from gbdc_spark.operators.quality import ks_statistic
+
+    a = spark.createDataFrame([(float(i % 7),) for i in range(50)], "s double")
+    assert ks_statistic(a, a, "s").collect()[0]["ks_d"] == 0.0
+    lo = spark.createDataFrame([(float(i),) for i in range(5)], "s double")
+    hi = spark.createDataFrame([(float(100 + i),) for i in range(5)], "s double")
+    assert ks_statistic(lo, hi, "s").collect()[0]["ks_d"] == 1.0
+
+
+def test_ks_statistic_ignores_nulls(spark):
+    from gbdc_spark.operators.quality import ks_statistic
+
+    a = spark.createDataFrame([(1.0,), (None,), (2.0,)], "s double")
+    b = spark.createDataFrame([(1.0,), (2.0,)], "s double")
+    out = ks_statistic(a, b, "s").collect()[0]
+    assert out["n_ref"] == 2 and out["ks_d"] == 0.0

@@ -605,6 +605,13 @@ CHECKS = {
          "literals)", r"^(?!.*CartesianProduct)"),
         ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
     ],
+    "ks_drift": [
+        ("per-side distinct-score folds are map-side combined",
+         r"partial_count"),
+        ("no cartesian on data (only the 1-row totals broadcast)",
+         r"^(?!.*CartesianProduct)"),
+        ("all JVM-side", r"^(?!.*ArrowEvalPython)"),
+    ],
     "psi_drift": [
         ("bin counts are map-side-combined partial aggs",
          r"partial_count"),
