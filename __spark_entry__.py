@@ -929,6 +929,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         new = docs.filter(F.col("lang") != "en")
         return population_stability(ref, new, "n_chars", bins=10)
 
+    def q_stream_psi(spark, sf_dir):
+        # REAL streaming drift monitor: psi_bins runs UNCHANGED as a
+        # streaming aggregate (bin counts are additive across
+        # micro-batches — the CMS/HLL merge-property pattern); the
+        # non-en docs stream in as two mtime-ordered files, the sunk
+        # bin table joins the static en reference batch-side, and the
+        # result equals the batch psi_drift exactly (same oracle)
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from gbdc_spark.operators.quality import psi_bins, psi_from_bins
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        ref = docs.filter(F.col("lang") == "en")
+        b = ref.agg(
+            F.min(F.col("n_chars").cast("double")).alias("lo"),
+            F.max(F.col("n_chars").cast("double")).alias("hi"),
+        ).first()
+        lo, hi = float(b["lo"]), float(b["hi"])
+        new = docs.filter(F.col("lang") != "en").select("doc_id", "n_chars")
+        base = tempfile.mkdtemp(prefix="gbdc_spsi_")
+        os.makedirs(f"{base}/in")
+        for tag, mt, par in (("a", 1000, 0), ("b", 2000, 1)):
+            tmp = f"{base}/_{tag}"
+            new.filter(F.col("doc_id") % 2 == par).select(
+                "n_chars"
+            ).coalesce(1).write.parquet(tmp)
+            fn = next(
+                f for f in sorted(os.listdir(tmp))
+                if f.endswith(".parquet")
+            )
+            dst = f"{base}/in/{tag}.parquet"
+            shutil.copy(f"{tmp}/{fn}", dst)
+            os.utime(dst, (mt, mt))
+            shutil.rmtree(tmp)
+        src = (
+            spark.readStream.schema("n_chars long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/in")
+        )
+        name = f"spsi_{uuid.uuid4().hex[:8]}"
+        q = (
+            psi_bins(src, "n_chars", lo, hi, bins=10)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return psi_from_bins(
+            psi_bins(ref, "n_chars", lo, hi, bins=10),
+            spark.table(name),
+        )
+
     def q_ks_drift(spark, sf_dir):
         # bin-free drift companion of psi_drift: exact two-sample KS
         # statistic of the n_chars distribution, en vs other langs
@@ -3404,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_resample": q_time_resample,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
+        "stream_psi": q_stream_psi,
         "unimax_expand": q_unimax_expand,
         "rank_fuse": q_rank_fuse,
         "source_temperature": q_source_temperature,
@@ -8819,6 +8874,9 @@ def oracle_sql() -> dict[str, str]:
                  FROM reach GROUP BY v)
         SELECT v AS doc_id, keeper FROM comp
     """
+    # streamed bin counts are additive, so after full replay the sunk
+    # bin table equals the batch build and the SAME psi SQL gates it
+    oracles["stream_psi"] = oracles["psi_drift"]
     # CCNet-with-a-guarantee: the verified lm_perplexity oracle feeds
     # the Mondrian conformal window per lang (alpha=0.2 -> 0.8)
     oracles["perplexity_conformal"] = f"""

@@ -36,7 +36,7 @@ __all__ = ["with_quality_signals", "with_repetition_signals",
            "unimax_weights", "unimax_mix", "normalize_scores",
            "platt_scale", "scoring_metrics", "isotonic_calibrate",
            "conformal_gate", "group_auc", "population_stability",
-           "ks_statistic",
+           "psi_bins", "psi_from_bins", "ks_statistic",
            "percentile_gate"]
 
 # Redaction rules: name -> (regex, replacement token).  Patterns are
@@ -2429,20 +2429,44 @@ def population_stability(
         hi = float(b["hi"]) if hi is None else float(hi)
     if not hi > lo:
         raise ValueError("hi must be greater than lo")
-    x = lambda d: d.select(  # noqa: E731
-        F.least(
-            F.greatest(
-                F.floor(
-                    (F.col(score_col).cast("double") - F.lit(lo))
-                    * F.lit(float(bins)) / F.lit(hi - lo)
-                ),
-                F.lit(0).cast("long"),
+    return psi_from_bins(
+        psi_bins(ref, score_col, lo, hi, bins),
+        psi_bins(new, score_col, lo, hi, bins),
+        eps=eps,
+    )
+
+
+def psi_bins(df: DataFrame, score_col: str, lo: float, hi: float,
+             bins: int = 10) -> DataFrame:
+    """Equal-width bin counts (bin, n) over [lo, hi] with edge
+    clamping — the additive half of :func:`population_stability`.
+    Counts are additive across ANY row split, so this runs UNCHANGED
+    as a Structured Streaming aggregate (the CMS/HLL merge-property
+    pattern): stream the new population's scores, sink the bin table,
+    and assemble PSI batch-side with :func:`psi_from_bins`."""
+    b = F.least(
+        F.greatest(
+            F.floor(
+                (F.col(score_col).cast("double") - F.lit(float(lo)))
+                * F.lit(float(bins)) / F.lit(float(hi) - float(lo))
             ),
-            F.lit(int(bins) - 1).cast("long"),
-        ).alias("_b")
-    ).groupBy("_b").agg(F.count("*").alias("_c"))
-    p = x(ref).select(F.col("_b"), F.col("_c").alias("_cr"))
-    q = x(new).select(F.col("_b").alias("_bn"), F.col("_c").alias("_cn"))
+            F.lit(0).cast("long"),
+        ),
+        F.lit(int(bins) - 1).cast("long"),
+    )
+    return (
+        df.select(b.alias("bin")).groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def psi_from_bins(ref_bins: DataFrame, new_bins: DataFrame,
+                  eps: float = 1e-6) -> DataFrame:
+    """Assemble the PSI from two (bin, n) tables (see
+    :func:`psi_bins`) — full-outer join on the bin id, eps-clamped
+    fraction fold, one row (n_ref, n_new, psi)."""
+    p = ref_bins.select(F.col("bin").alias("_b"), F.col("n").alias("_cr"))
+    q = new_bins.select(F.col("bin").alias("_bn"), F.col("n").alias("_cn"))
     j = p.join(q, F.col("_b") == F.col("_bn"), "full_outer").select(
         F.coalesce("_cr", F.lit(0)).alias("_cr"),
         F.coalesce("_cn", F.lit(0)).alias("_cn"),

@@ -398,3 +398,54 @@ def test_stream_hll_registers_equal_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.table(name).collect()))
     want = sorted(map(tuple, hll_registers(df, "item", p=8).collect()))
     assert got == want and len(want) > 0
+
+
+def test_stream_psi_bins_equal_batch(spark, tmp_path):
+    """psi_bins runs unchanged as a streaming aggregate: bin counts
+    after a two-batch replay are identical to the batch build (counts
+    are additive — the PSI drift monitor's online form), so the
+    assembled PSI equals the batch number exactly."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from gbdc_spark.operators.quality import (
+        population_stability,
+        psi_bins,
+        psi_from_bins,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 11),) for i in range(120)], "s double"
+    )
+    new = spark.createDataFrame(
+        [(float((i * 7) % 13),) for i in range(90)], "s double"
+    )
+    lo, hi = 0.0, 10.0
+    indir = tmp_path / "in"
+    os.makedirs(indir)
+    for tag, mt, par in (("a", 1000, 0), ("b", 2000, 1)):
+        tmp = str(tmp_path / f"_{tag}")
+        new.filter(F.pmod(F.xxhash64("s"), F.lit(2)) == par).coalesce(1) \
+            .write.parquet(tmp)
+        fn = next(f for f in sorted(os.listdir(tmp))
+                  if f.endswith(".parquet"))
+        dst = str(indir / f"{tag}.parquet")
+        os.rename(f"{tmp}/{fn}", dst)
+        os.utime(dst, (mt, mt))
+    src = (spark.readStream.schema("s double")
+           .option("maxFilesPerTrigger", "1").parquet(str(indir)))
+    name = f"spsi_t_{uuid.uuid4().hex[:8]}"
+    q = (psi_bins(src, "s", lo, hi, bins=6)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got_bins = sorted(map(tuple, spark.table(name).collect()))
+    want_bins = sorted(map(tuple, psi_bins(new, "s", lo, hi, bins=6).collect()))
+    assert got_bins == want_bins and len(want_bins) > 0
+    streamed = psi_from_bins(
+        psi_bins(ref, "s", lo, hi, bins=6), spark.table(name)
+    ).collect()[0]
+    batch = population_stability(ref, new, "s", bins=6, lo=lo, hi=hi).collect()[0]
+    assert tuple(streamed) == tuple(batch)
